@@ -1,0 +1,29 @@
+package graft
+
+class SparkEntrySpec extends SparkSuite {
+
+  test("entry returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("every oracle key has a query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
+  }
+
+  test("all queries run on sf0.001 and produce stable schemas") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      // non-chk queries must return rows; chk_* are violation queries (0 = pass)
+      val n = df.count()
+      if (!name.startsWith("chk_") && !name.startsWith("j3_"))
+        assert(n > 0, s"$name returned no rows")
+      assert(df.schema.fields.nonEmpty, s"$name has empty schema")
+    }
+  }
+}
