@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Numeric
+
+/** Document-dedup operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every stage is keyed (doc_id or shingle/band bucket) and
+  * shuffles once on that key. The all-pairs Jaccard join is on the
+  * *shingle* (inverted-index join) — cost is Σ per-shingle df², not n²
+  * over documents; MinHash/LSH replaces it with a band-bucket join whose
+  * cost is Σ per-bucket size², the standard way to near-dedup 100 TB.
+  * Hashes are md5-derived (lexicographic min over hex strings), identical
+  * in any engine — deliberately NOT murmur/xxhash, whose values are
+  * engine-specific and would break oracle parity.
+  */
+object DedupOps {
+
+  /** doc_id + exploded DISTINCT n-gram shingles — the inverted-index base. */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol), explode(array_distinct(TextOps.shingles(col(textCol), n))).as("shingle"))
+
+  /** Exact dedup groups: content hash → group size + representative id. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** All pairs (a < b) with n-gram Jaccard ≥ threshold, via inverted-index
+    * self-join on the shingle. `jaccard` is rounded order-independently
+    * (integer set sizes, single IEEE division) for cross-engine parity.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.02): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard", Numeric.roundBin(
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** MinHash signature: k independent hash functions h_i(s) = md5("i|"+s);
+    * the signature component is the lexicographic MIN over the document's
+    * shingles — a single groupBy with k min-aggregates over the inverted
+    * index (map-side combining, one shuffle).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, n: Int = 3): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n)
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding of a k-wide signature into bands of `rowsPerBand`:
+    * (doc, band_idx, band_key) rows; docs sharing any (band_idx, band_key)
+    * are candidate near-dup pairs.
+    */
+  def lshBands(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      md5(concat_ws("|", parts: _*))
+    }
+    sigs.select(col(idCol), posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** Distinct candidate pairs (a < b) sharing at least one LSH band. */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+    val bands = lshBands(minhashSignatures(docs, idCol, textCol, k, n), idCol, k, rowsPerBand)
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** Spark-dialect SQL for bit j of the 32-bit md5-nibble hash column `h`
+    * (8 hex chars; char p = j/4 from the left, bit q = j%4 within the
+    * nibble). Built from instr/substr/shiftright — portable, codegen'd.
+    */
+  private def sparkBit(h: String, j: Int): String = {
+    val p = j / 4 + 1; val q = j % 4
+    s"(shiftright(instr('0123456789abcdef', substr($h, $p, 1)) - 1, $q) & 1)"
+  }
+
+  /** DuckDB-dialect twin of [[sparkBit]] (>> operator instead of shiftright). */
+  def duckBit(h: String, j: Int): String = {
+    val p = j / 4 + 1; val q = j % 4
+    s"(((instr('0123456789abcdef', substr($h, $p, 1)) - 1) >> $q) & 1)"
+  }
+
+  /** 32-bit SimHash per document over n-gram shingles: bit j of the
+    * fingerprint is set iff Σ_shingles (2·bit_j(md5(shingle)) − 1) > 0.
+    * One shuffle (groupBy doc) carrying 32 small integer sums.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val hh = shingleIndex(docs, idCol, textCol, n)
+      .select(col(idCol), substring(md5(col("shingle")), 1, 8).as("h"))
+    val sums = (0 until 32).map(j => expr(s"sum(2 * ${sparkBit("h", j)} - 1)").as(s"s$j"))
+    val combine = (0 until 32)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    hh.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), expr(combine).cast("bigint").as("simhash"))
+  }
+
+  /** DuckDB oracle twin of [[simhash]] (generated, same bit formulas). */
+  def simhashOracleSql(table: String, idCol: String, textCol: String): String = {
+    val sums = (0 until 32).map(j => s"sum(2 * ${duckBit("h", j)} - 1) AS s$j").mkString(",\n    ")
+    val combine = (0 until 32)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (SELECT $idCol, string_split($textCol, ' ') AS ws FROM $table),
+       |sh AS (SELECT DISTINCT $idCol, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t),
+       |hh AS (SELECT $idCol, substr(md5(shingle), 1, 8) AS h FROM sh),
+       |agg AS (SELECT $idCol,
+       |    $sums
+       |  FROM hh GROUP BY $idCol)
+       |SELECT $idCol, CAST($combine AS BIGINT) AS simhash FROM agg""".stripMargin
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * shingling, language-ID heuristic, quality stats, fingerprinting.
+  *
+  * Everything is built from codegen'd array/string built-ins (`split`,
+  * `transform`, `filter`, `aggregate`) — no UDFs, so the whole pipeline
+  * stays inside WholeStageCodegen and scales linearly with no shuffle:
+  * all operators here are per-row projections.
+  */
+object TextOps {
+
+  /** Whitespace tokens (corpus is single-space separated). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Word n-gram shingles: positions 1..len-n+1 joined with spaces.
+    * Empty array (not a descending-sequence artifact) when len < n.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Count of tokens that are members of `set` (language markers,
+    * stopwords). int64 for cross-engine hash parity.
+    */
+  def markerCount(c: Column, set: Seq[String]): Column =
+    size(filter(tokens(c), x => x.isin(set: _*))).cast("bigint")
+
+  /** BPE-ish token count: alpha runs, digit runs, single punctuation. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(lower(c), lit(BpePattern)).cast("bigint")
+
+  /** Language-marker word lists (ordered — ties resolve to the earlier
+    * language deterministically).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  /** n-gram/stopword language-ID heuristic: argmax of marker-word hits,
+    * 'und' (unknown) when no marker hits at all. Deterministic tie-break
+    * by marker-list order.
+    */
+  def langId(c: Column): Column = {
+    val counts = LangMarkers.map { case (lang, set) => lang -> markerCount(c, set) }
+    val all = counts.map(_._2)
+    counts.foldRight(lit("unknown")) { case ((lang, cnt), els) =>
+      when(cnt > 0 && all.map(o => cnt >= o).reduce(_ && _), lang).otherwise(els)
+    }
+  }
+
+  /** Canonical bag-of-words fingerprint: md5 of sorted distinct tokens.
+    * Robust to token reordering — a cheap "same content, shuffled" dup key.
+    */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+
+  /** Exact total character count of all tokens (int64). */
+  def tokenCharSum(c: Column): Column =
+    aggregate(transform(tokens(c), t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+}

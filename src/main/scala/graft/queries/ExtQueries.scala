@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{DedupOps, Similarity, TextOps}
+import graft.functions.Numeric
+
+/** Training-data-pipeline operators (beyond the reference): text
+  * analysis, document dedup (exact / n-gram Jaccard / MinHash+LSH /
+  * SimHash), embedding similarity search. Each has a DuckDB oracle.
+  */
+object ExtQueries {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
+  private val AnnScale = Similarity.Scale
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text quality / token statistics
+    "x_text_stats" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast("bigint").as("n_tokens"),
+        size(array_distinct(toks)).cast("bigint").as("n_distinct_tokens"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        TextOps.bpeTokenCount(col("text")).as("bpe_tokens"),
+        Numeric.roundBin(
+          TextOps.markerCount(col("text"), Stopwords).cast("double") / size(toks), 4)
+          .as("stop_ratio"),
+        Numeric.roundBin(
+          TextOps.tokenCharSum(col("text")).cast("double") / size(toks), 4)
+          .as("avg_token_len"))
+    }),
+
+    // ---- language-ID heuristic (marker-word argmax)
+    "x_lang_id" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+    }),
+
+    // ---- bag-of-words document fingerprint
+    "x_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- exact dedup groups by content hash
+    "x_dedup_exact" -> ((s, d) =>
+      DedupOps.exactGroups(Tables.documents(s, d), "doc_id", "text")),
+
+    // ---- n-gram Jaccard near-dup pairs (inverted-index join)
+    "x_jaccard_pairs" -> ((s, d) =>
+      DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.1)),
+
+    // ---- MinHash signatures (8 hashes over 3-shingles)
+    "x_minhash_sig" -> ((s, d) =>
+      DedupOps.minhashSignatures(Tables.documents(s, d), "doc_id", "text")),
+
+    // ---- LSH candidate pairs (4 bands × 2 rows)
+    "x_lsh_candidates" -> ((s, d) =>
+      DedupOps.lshCandidates(Tables.documents(s, d), "doc_id", "text")),
+
+    // ---- 32-bit SimHash fingerprints
+    "x_simhash" -> ((s, d) =>
+      DedupOps.simhash(Tables.documents(s, d), "doc_id", "text")),
+
+    // ---- brute-force cosine top-5 (queries: vec_id < 10)
+    "x_ann_cosine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // ---- bucket-pruned cosine top-3 within the query's label bucket
+    "x_ann_bucketed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 3)
+    })
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  private def stopFilterSql(listExpr: String, words: Seq[String]): String =
+    s"len(list_filter($listExpr, x -> ${words.map(w => s"x = '$w'").mkString(" OR ")}))"
+
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t)""".stripMargin
+
+  private val minhashSigCte = {
+    val aggs = (0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  private val annNormCte =
+    s"""nrm AS (
+       |  SELECT vec_id, embedding, label,
+       |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS n2
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+       |  GROUP BY vec_id, embedding, label)""".stripMargin
+
+  private def annCosSql(extraJoin: String, extraCol: String, k: Int): String =
+    s"""WITH $annNormCte,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id$extraCol,
+       |    sum(CAST(floor(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dot_s,
+       |    max(q.n2) AS q_n2, max(c.n2) AS c_n2
+       |  FROM nrm q, nrm c, LATERAL (SELECT unnest(generate_series(1, len(q.embedding))) AS i) t
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id$extraJoin
+       |  GROUP BY ALL),
+       |cos AS (
+       |  SELECT * EXCLUDE (dot_s, q_n2, c_n2),
+       |    ${Numeric.roundBinSql(
+              s"(CAST(dot_s AS DOUBLE) / $AnnScale) / " +
+              s"(sqrt(CAST(q_n2 AS DOUBLE) / $AnnScale) * sqrt(CAST(c_n2 AS DOUBLE) / $AnnScale))", 6)} AS cos_sim
+       |  FROM scored)
+       |SELECT * FROM cos
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= $k""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x_text_stats" ->
+      s"""SELECT doc_id,
+         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+         | ${Numeric.roundBinSql(
+              s"CAST(${stopFilterSql("string_split(text, ' ')", Stopwords)} AS DOUBLE) / len(string_split(text, ' '))", 4)} AS stop_ratio,
+         | ${Numeric.roundBinSql(
+              "CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE) / len(string_split(text, ' '))", 4)} AS avg_token_len
+         |FROM documents""".stripMargin,
+
+    "x_lang_id" -> {
+      val countCols = TextOps.LangMarkers.map { case (lang, set) =>
+        s"${stopFilterSql("string_split(text, ' ')", set)} AS c_$lang"
+      }.mkString(",\n  ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val caseChain = langs.map { l =>
+        val geAll = langs.map(o => s"c_$l >= c_$o").mkString(" AND ")
+        s"WHEN c_$l > 0 AND $geAll THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH c AS (SELECT doc_id, lang,
+         |  $countCols
+         |FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE $caseChain
+         |    ELSE 'unknown' END AS lang_pred
+         |FROM c""".stripMargin
+    },
+
+    "x_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |FROM documents""".stripMargin,
+
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "x_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b, n_common,
+         |        ${Numeric.roundBinSql("CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)", 4)} AS jaccard
+         |      FROM pairs
+         |      JOIN sizes sa ON sa.doc_id = doc_a
+         |      JOIN sizes sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, n_common, jaccard FROM j WHERE jaccard >= 0.1""".stripMargin,
+
+    "x_minhash_sig" ->
+      s"""WITH $minhashSigCte
+         |SELECT * FROM sig""".stripMargin,
+
+    "x_lsh_candidates" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $minhashSigCte,
+         |bands AS (
+         |  $bandSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    "x_simhash" -> DedupOps.simhashOracleSql("documents", "doc_id", "text"),
+
+    "x_ann_cosine" -> annCosSql("", "", 5),
+
+    "x_ann_bucketed" -> annCosSql(" AND c.label = q.label", ", c.label AS bucket", 3)
+  )
+}
