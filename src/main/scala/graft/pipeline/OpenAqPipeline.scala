@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end orchestration of the medallion chain for one run
+  * (SURVEY §3): lake NDJSON → bronze → (lazy) silver/intermediate →
+  * materialized gold, with the reference's count-gated stages (T7) and
+  * the disaster-recovery full-reload path (§3.3).
+  *
+  * Staging/intermediate stay UNMATERIALIZED DataFrame vals — Catalyst
+  * inlines the whole chain into each mart job exactly as BigQuery inlines
+  * dbt views, giving cross-layer predicate pushdown and column pruning
+  * for free (SURVEY §3.2, §4).
+  */
+final case class OpenAqModels(
+    stgLocations: DataFrame, stgSensors: DataFrame, stgMeasurements: DataFrame,
+    sensorsEnriched: DataFrame, validMeasurements: DataFrame,
+    dimLocations: DataFrame, martAirQuality: DataFrame, martWeather: DataFrame)
+
+object OpenAqPipeline {
+
+  /** Build every model lazily from the two bronze inputs. */
+  def models(rawLocations: DataFrame, rawMeasurements: DataFrame): OpenAqModels = {
+    val locs = Silver.stgLocations(rawLocations)
+    val sens = Silver.stgSensors(rawLocations)
+    val meas = Silver.stgMeasurements(rawMeasurements)
+    val enriched = Gold.intSensorsEnriched(sens, locs)
+    val valid = Gold.intValidMeasurements(meas)
+    OpenAqModels(locs, sens, meas, enriched, valid,
+      Gold.dimLocations(enriched),
+      Gold.martAirQuality(valid, enriched),
+      Gold.martWeather(valid, enriched))
+  }
+
+  /** Ingest one run's lake files into bronze (count-gated append, T7):
+    * returns loaded row counts; zero-row inputs skip the write exactly
+    * like the reference's branch operators (dags/01:104-119).
+    */
+  def ingest(spark: SparkSession, locationsGlob: String, measurementsGlob: String,
+             bronzeDir: String): (Long, Long) = {
+    val rawLoc = Bronze.readNdjson(spark, Schemas.locationsEnvelope, locationsGlob)
+    val rawMeas = Bronze.readNdjson(spark, Schemas.measurementsEnvelope, measurementsGlob)
+    val nLoc = rawLoc.count()
+    if (nLoc > 0) Bronze.appendPartitioned(rawLoc, s"$bronzeDir/raw_locations")
+    val nMeas = rawMeas.count()
+    if (nMeas > 0) Bronze.appendPartitioned(rawMeas, s"$bronzeDir/raw_measurements")
+    (nLoc, nMeas)
+  }
+
+  /** Transform: read bronze, materialize gold tables partitioned by day
+    * (marts partition on the hour column's date like the reference's
+    * day-granularity partition_by).
+    */
+  def transform(spark: SparkSession, bronzeDir: String, goldDir: String): OpenAqModels = {
+    val m = models(
+      spark.read.parquet(s"$bronzeDir/raw_locations"),
+      spark.read.parquet(s"$bronzeDir/raw_measurements"))
+    m.dimLocations.write.mode("overwrite").parquet(s"$goldDir/dim_locations")
+    import org.apache.spark.sql.functions.{col, to_date}
+    def writeMart(df: DataFrame, name: String): Unit =
+      df.withColumn("__day", to_date(col("measurement_hour_utc")))
+        .write.mode("overwrite").partitionBy("__day").parquet(s"$goldDir/$name")
+    writeMart(m.martAirQuality, "mart_location_air_quality")
+    writeMart(m.martWeather, "mart_location_weather")
+    m
+  }
+
+  /** Disaster recovery (dags/99): full-lake wildcard rescan, truncate
+    * bronze, then a normal transform.
+    */
+  def recover(spark: SparkSession, lakeLocationsGlob: String, lakeMeasurementsGlob: String,
+              bronzeDir: String, goldDir: String): OpenAqModels = {
+    Bronze.overwritePartitioned(
+      Bronze.readNdjson(spark, Schemas.locationsEnvelope, lakeLocationsGlob),
+      s"$bronzeDir/raw_locations")
+    Bronze.overwritePartitioned(
+      Bronze.readNdjson(spark, Schemas.measurementsEnvelope, lakeMeasurementsGlob),
+      s"$bronzeDir/raw_measurements")
+    transform(spark, bronzeDir, goldDir)
+  }
+}
