@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Merge
+
+/** Structured Streaming form of the reference's incremental contract
+  * (SURVEY §2.9): the batch T1 hourly tumbling aggregation becomes a
+  * watermarked window aggregation, and the T2 "new data upserts by
+  * (key, hour)" merge becomes a foreachBatch MERGE into the mart.
+  *
+  * Differences from the batch emulation, by design: the watermark gives a
+  * principled late-data bound (the reference silently drops anything
+  * before its incremental boundary — SURVEY §2.9 T2); state is bounded by
+  * the watermark, so this runs indefinitely at scale. Each micro-batch
+  * shuffles once on (window, keys) with partial aggregation upstream.
+  */
+object StreamingHourly {
+
+  /** T1: tumbling 1-hour window aggregation with late-data watermark.
+    * Works on streaming AND batch DataFrames (watermark is a no-op in
+    * batch — same code path for backfill and live, the lambda-free way).
+    */
+  def hourlyAgg(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                valueCol: String, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour").as("w") +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col(valueCol)), 2).as("avg_value"))
+      .select(col("w.start").as("window_start") +:
+        (keyCols.map(col) ++ Seq(col("n_events"), col("avg_value"))): _*)
+
+  /** T2: a foreachBatch sink that MERGEs each micro-batch into a parquet
+    * mart by key (A6 upsert), with a staging-dir swap for atomicity on a
+    * plain filesystem. Pass to `writeStream.foreachBatch(mergeSink(...))`.
+    *
+    * At scale this is where a table format (Delta/Iceberg) would take
+    * over MERGE + atomicity; the staging-swap keeps the same contract on
+    * bare parquet.
+    */
+  def mergeSink(outPath: String, keys: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(outPath)
+    val staging = new Path(outPath + s"__staging_$batchId")
+    val merged =
+      if (fs.exists(target)) Merge.upsert(spark.read.parquet(outPath), batch, keys)
+      else batch
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(target, true)
+    fs.rename(staging, target)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+import graft.functions.{Keys, Numeric}
+import graft.operators.{Dedup, Merge}
+
+/** Property-based invariants (SURVEY §5.4) — ScalaCheck generators drive
+  * small DataFrames through the operators; 20 cases per property.
+  */
+class PropertiesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val params = ScTest.Parameters.default.withMinSuccessfulTests(20)
+  private def check(name: String, p: Prop): Unit =
+    test(name) {
+      val r = ScTest.check(params, p)
+      assert(r.passed, r.status.toString)
+    }
+
+  private val rowsGen: Gen[List[(Long, Long, Int, Double)]] =
+    Gen.resize(30, Gen.listOf(Gen.zip(
+      Gen.choose(0L, 1000L), Gen.choose(0L, 5L), Gen.choose(0, 5),
+      Gen.choose(-100.0, 100.0).map(v => math.round(v * 100) / 100.0))))
+      // unique row ids so dedup ordering has a deterministic tiebreak
+      .map(_.zipWithIndex.map { case ((_, k, o, v), i) => (i.toLong, k, o, v) })
+
+  check("latestWins is idempotent and keeps exactly one row per key",
+    Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("id", "key", "ord", "v")
+        val once = Dedup.latestWins(df, Seq("key"), Seq(col("ord"), col("id")))
+        val twice = Dedup.latestWins(once, Seq("key"), Seq(col("ord"), col("id")))
+        val keys = rows.map(_._2).distinct.size
+        once.count() == keys && once.collect().toSet == twice.collect().toSet
+      }
+    })
+
+  check("upsert replay is idempotent and preserves key-uniqueness",
+    Prop.forAll(rowsGen, rowsGen) { (e, b) =>
+      val existing = Dedup.firstWinsByMin(e.toDF("id", "key", "ord", "v"), Seq("key"), "id")
+      val batch = Dedup.firstWinsByMin(b.toDF("id", "key", "ord", "v"), Seq("key"), "id")
+      val once = Merge.upsert(existing, batch, Seq("key"))
+      val twice = Merge.upsert(once, batch, Seq("key"))
+      once.collect().toSet == twice.collect().toSet &&
+        once.groupBy("key").count().filter(col("count") > 1).count() == 0
+    })
+
+  check("surrogateKey is deterministic and separator-injective on null vs string",
+    Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val k1 = df.select(Keys.surrogateKey(col("a"), col("b"))).as[String].head()
+      val k2 = df.select(Keys.surrogateKey(col("a"), col("b"))).as[String].head()
+      val kNull = Seq((Option.empty[String], b)).toDF("a", "b")
+        .select(Keys.surrogateKey(col("a"), col("b"))).as[String].head()
+      k1 == k2 && (a == Keys.NullSentinel || k1 != kNull)
+    })
+
+  check("scaledSum/scaledAvg are partitioning-invariant (order-independent)",
+    Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("id", "key", "ord", "v")
+        def agg(parts: Int) = df.repartition(parts)
+          .agg(Numeric.scaledSum(col("v")).as("s"), Numeric.scaledAvg(col("v")).as("a"))
+          .as[(Double, Double)].head()
+        agg(1) == agg(7)
+      }
+    })
+
+  check("firstWinsByMin commutes with itself (dedup of dedup is dedup)",
+    Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("id", "key", "ord", "v")
+        val once = Dedup.firstWinsByMin(df, Seq("key", "ord"), "id")
+        val twice = Dedup.firstWinsByMin(once, Seq("key", "ord"), "id")
+        once.collect().toSet == twice.collect().toSet
+      }
+    })
+}

@@ -1,0 +1,58 @@
+package graft.ext
+
+import java.nio.ByteBuffer
+
+import graft.SparkSuite
+import graft.ext.Multimodal._
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fakeMedia(id: Long, kind: String, w: Int, h: Int, c: Int,
+                        payload: Array[Byte]): MediaFile = {
+    val header = ByteBuffer.allocate(12).putInt(w).putInt(h).putInt(c).array()
+    MediaFile(id, kind, header ++ payload,
+      MediaMeta(s"file_$id.bin", s"$kind/fake", 12L + payload.length))
+  }
+
+  test("imageFeatures decodes header, computes deterministic features per partition") {
+    val media = asMediaTable(spark, Seq(
+      fakeMedia(1L, "image", 640, 480, 3, Array[Byte](10, 20, 30)),
+      fakeMedia(2L, "image", 32, 32, 1, Array.fill[Byte](16)(100))))
+    val feats = imageFeatures(repartitionForDecode(media, 2))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 640 && feats(1L).height == 480 && feats(1L).channels == 3)
+    assert(feats(1L).mean_intensity == 20.0)
+    assert(feats(2L).mean_intensity == 100.0)
+    assert(feats(1L).content_hash.length == 32)
+    // determinism: recompute → identical hashes
+    val again = imageFeatures(media).collect().map(f => f.media_id -> f.content_hash).toMap
+    assert(again == feats.view.mapValues(_.content_hash).toMap)
+  }
+
+  test("sampleFrames slices payload into stride-sampled frames") {
+    val media = asMediaTable(spark, Seq(
+      fakeMedia(7L, "video", 16, 16, 3, Array.tabulate[Byte](40)(_.toByte))))
+    val frames = sampleFrames(media, frameSize = 10, stride = 2).collect()
+      .map(f => f.frame_idx -> f.frame_bytes.toSeq).toMap
+    assert(frames.keySet == Set(0, 2)) // frames 0..3 exist, stride 2 keeps 0 and 2
+    assert(frames(0) == (0 until 10).map(_.toByte).toSeq)
+    assert(frames(2) == (20 until 30).map(_.toByte).toSeq)
+  }
+
+  test("featureTable joins small features with metadata, drops the binary column") {
+    val media = asMediaTable(spark, Seq(
+      fakeMedia(1L, "image", 8, 8, 3, Array[Byte](1, 2, 3))))
+    val t = featureTable(media)
+    assert(!t.columns.contains("content"))
+    val r = t.collect().head
+    assert(r.getAs[String]("mime") == "image/fake")
+    assert(r.getAs[Long]("size_bytes") == 15L)
+  }
+
+  test("decode stub fails loudly on truncated payloads") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeHeaderStub(Array[Byte](1, 2, 3))
+    }
+  }
+}

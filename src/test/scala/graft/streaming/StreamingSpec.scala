@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType), StructField("key", StringType),
+    StructField("value", DoubleType)))
+
+  private def writeBatch(dir: String, rows: Seq[(String, String, Double)]): Unit =
+    rows.toDF("ts_s", "key", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("key"), col("value"))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  test("streaming hourly window agg matches the batch aggregation") {
+    val src = Files.createTempDirectory("graft_stream_src").toString
+    writeBatch(src, Seq(
+      ("2026-01-01 05:10:00", "a", 1.0), ("2026-01-01 05:50:00", "a", 3.0),
+      ("2026-01-01 06:10:00", "a", 10.0), ("2026-01-01 05:20:00", "b", 7.0)))
+
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val agg = StreamingHourly.hourlyAgg(stream, "ts", Seq("key"), "value")
+    // complete mode: append would emit only watermark-closed windows,
+    // which with AvailableNow + a 2h watermark is none — the comparison
+    // wants every window
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("hourly_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("hourly_out")
+      .select("window_start", "key", "n_events", "avg_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = StreamingHourly.hourlyAgg(spark.read.parquet(src), "ts", Seq("key"), "value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(got == batch)
+    assert(got.exists { case (w, k, n, a) => k == "a" && n == 2 && a == 2.0 })
+  }
+
+  test("foreachBatch mergeSink upserts micro-batches by key into parquet") {
+    val src = Files.createTempDirectory("graft_stream_src2").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString + "/mart"
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src)
+      val agg = StreamingHourly.hourlyAgg(stream, "ts", Seq("key"), "value", "10 minutes")
+      val q = agg.writeStream.outputMode("update")
+        .foreachBatch(StreamingHourly.mergeSink(out, Seq("window_start", "key")) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    writeBatch(src, Seq(("2026-01-01 05:10:00", "a", 1.0), ("2026-01-01 05:30:00", "a", 3.0)))
+    runOnce()
+    assert(spark.read.parquet(out).as[(java.sql.Timestamp, String, Long, Double)]
+      .collect().toSeq == Seq((java.sql.Timestamp.valueOf("2026-01-01 05:00:00"), "a", 2L, 2.0)))
+
+    // second micro-batch: same (hour, key) re-aggregates and REPLACES the row
+    writeBatch(src, Seq(("2026-01-01 05:50:00", "a", 5.0), ("2026-01-01 06:10:00", "b", 9.0)))
+    runOnce()
+    val rows = spark.read.parquet(out)
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(rows.contains((java.sql.Timestamp.valueOf("2026-01-01 05:00:00"), "a", 3L, 3.0)))
+    assert(rows.contains((java.sql.Timestamp.valueOf("2026-01-01 06:00:00"), "b", 1L, 9.0)))
+    assert(rows.size == 2)
+  }
+}
