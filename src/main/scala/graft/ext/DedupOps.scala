@@ -22,6 +22,17 @@ object DedupOps {
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol), explode(array_distinct(TextOps.shingles(col(textCol), n))).as("shingle"))
 
+  /** As [[shingleIndex]] but shingles pre-hashed to int64 (xxhash64):
+    * the Jaccard self-join shuffles and compares 8-byte keys instead of
+    * ~20-char strings — same pair counts (collision odds ~2^-64·|S|²,
+    * negligible), much cheaper exchange. Use where the shingle VALUE
+    * isn't needed downstream.
+    */
+  def shingleIndexHashed(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      explode(array_distinct(transform(TextOps.shingles(col(textCol), n), s => xxhash64(s))))
+        .as("shingle"))
+
   /** Exact dedup groups: content hash → group size + representative id. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("text_hash"))
@@ -33,7 +44,7 @@ object DedupOps {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.02): DataFrame = {
-    val sh = shingleIndex(docs, idCol, textCol, n)
+    val sh = shingleIndexHashed(docs, idCol, textCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))

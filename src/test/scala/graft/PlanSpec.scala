@@ -1,0 +1,71 @@
+package graft
+
+/** Physical-plan guards for the 100 TB posture (SURVEY §7.5.8): these
+  * assertions pin the plan shapes that matter at scale — column pruning
+  * reaching the parquet scan, broadcast joins for dims, single-shuffle
+  * aggregations with map-side partial aggregation, no accidental
+  * cartesian products. A regression here is a performance bug even if
+  * results stay correct.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("q1_agg: column pruning reaches the scan; partial aggregation present") {
+    val p = planOf("q1_agg")
+    assert(p.contains("ReadSchema"))
+    // only the 5 needed columns are read, not all 11
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("l_shipdate") && !rs.contains("l_partkey"))
+    assert(p.contains("partial_sum") || p.contains("partial_"))
+  }
+
+  test("j4_semi_join: the dim filter is pushed into the orders scan") {
+    val p = planOf("j4_semi_join")
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(o_orderstatus,F)"), s"filter not pushed:\n$p")
+  }
+
+  test("j1_enrich_left_join: dims broadcast — the fact side never shuffles") {
+    val p = planOf("j1_enrich_left_join")
+    assert(countOccurrences(p, "BroadcastHashJoin") == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("a1_hourly_pivot: exactly one shuffle, map-side combine upstream") {
+    val p = planOf("a1_hourly_pivot")
+    assert(countOccurrences(p, "Exchange") == 1, s"extra shuffle:\n$p")
+    assert(p.contains("partial_"))
+  }
+
+  test("w1_latest_dedup: one shuffle for the window, no extra exchanges") {
+    val p = planOf("w1_latest_dedup")
+    assert(countOccurrences(p, "Exchange") == 1, s"extra shuffle:\n$p")
+  }
+
+  test("a6_merge_upsert: batch key-set is broadcast into the anti-join") {
+    val p = planOf("a6_merge_upsert")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+  }
+
+  test("x_ann_cosine: broadcast nested loop over tiny query side only") {
+    val p = planOf("x_ann_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("whole-stage codegen covers the hot paths (no interpreted hot loop)") {
+    Seq("q1_agg", "f1_range_filter", "p7_surrogate_key", "a1_hourly_pivot").foreach { q =>
+      // AQE hides codegen stages until execution — run, then read the final plan
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect() // count() would plan a different query; collect finalizes THIS one
+      // codegen stages print as "*(n) Operator" in the final adaptive plan
+      assert(df.queryExecution.executedPlan.toString.contains("*(1)"),
+        s"$q lost codegen")
+    }
+  }
+}
