@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Numeric
+import graft.quality.Checks
+
+/** Engine-completeness queries beyond the reference's own operator rows:
+  * scalar-function suite, analytic windows, rollup, exact count-distinct,
+  * set ops, full-outer join, global top-k, multi-join headline, and the
+  * freshness/future-year checks — each with a DuckDB oracle except the
+  * HLL sketch (approximation is engine-specific → rows-only check).
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- P4-P14 scalar-function suite (no aggregation → pure IEEE /
+    //      string ops, deterministic in both engines)
+    "p_scalar_suite" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        coalesce(nullif(col("event_type"), lit("click")), lit("was_click")).as("type_coalesced"),
+        try_element_at(split(col("event_type"), "e"), lit(2)).as("split_part_safe"),
+        translate(col("event_type"), "aeiou", "AEIOU").as("type_translated"),
+        concat_ws("#", col("event_type"), col("user_id").cast("string")).as("type_user"),
+        upper(substring(col("event_type"), 1, 3)).as("type_prefix"),
+        length(col("event_type")).cast("bigint").as("type_len"),
+        year(col("ts")).cast("bigint").as("year_utc"),
+        month(col("ts")).cast("bigint").as("month_utc"),
+        dayofmonth(col("ts")).cast("bigint").as("day_utc"),
+        hour(col("ts")).cast("bigint").as("hour_utc"),
+        to_date(col("ts")).as("date_utc"),
+        (col("value") * lit(9) / lit(5) + lit(32)).as("value_f"),
+        when(col("value") >= 50, lit("high")).when(col("value") >= 10, lit("mid"))
+          .otherwise(lit("low")).as("value_band"))
+    }),
+
+    // ---- analytic window functions: running sum (exact integer cents —
+    //      engines disagree on float accumulation order inside window
+    //      frames), lag/lead, dense_rank
+    "w3_analytics" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("value"),
+        (sum(floor(col("value") * 100 + lit(0.5))).over(frame).cast("double") / 100)
+          .as("running_value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        row_number().over(w).cast("bigint").as("seq_in_user"),
+        dense_rank().over(w).cast("bigint").as("dense_seq"))
+    }),
+
+    // ---- exact COUNT(DISTINCT) per group
+    "a5_count_distinct" -> ((s, d) => {
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // ---- ROLLUP hierarchy totals
+    "a8_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- INTERSECT / EXCEPT
+    "u2_intersect" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+    }),
+    "u3_except" -> ((s, d) => {
+      // (user, day) grain: users with a click but no error that day
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .except(ev.filter(col("event_type") === "error")
+          .select(col("user_id"), to_date(col("ts")).as("day")))
+    }),
+
+    // ---- FULL OUTER join (customers without orders null-extend)
+    "j5_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ---- global ORDER BY + LIMIT (top-k with unique tiebreak)
+    "o2_global_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // ---- TPC-H Q3-shaped headline: filter → 3-way join → agg → top-k
+    "q3_shipping_priority" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(Numeric.scaledSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- A7 freshness vs a pinned as-of (dataset ends 2024-01-30 → stale)
+    "chk_freshness" -> ((s, d) => {
+      Checks.freshness(Tables.events(s, d), "ts", 48,
+        lit("2024-03-01 00:00:00").cast("timestamp"))
+    }),
+
+    // ---- X2 is_not_future_year over a computed calendar column
+    "chk_not_future_year" -> ((s, d) => {
+      Checks.isNotFutureYear(
+        Tables.events(s, d).select(col("event_id"),
+          year(col("ts")).cast("bigint").as("year_utc")), "year_utc")
+    }),
+
+    // ---- HLL sketch (no oracle: approximation is engine-specific; the
+    //      driver records a rows-only check)
+    "x_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "p_scalar_suite" ->
+      """SELECT event_id,
+        | coalesce(nullif(event_type, 'click'), 'was_click') AS type_coalesced,
+        | string_split(event_type, 'e')[2] AS split_part_safe,
+        | translate(event_type, 'aeiou', 'AEIOU') AS type_translated,
+        | concat_ws('#', event_type, CAST(user_id AS VARCHAR)) AS type_user,
+        | upper(substring(event_type, 1, 3)) AS type_prefix,
+        | CAST(length(event_type) AS BIGINT) AS type_len,
+        | CAST(year(ts) AS BIGINT) AS year_utc,
+        | CAST(month(ts) AS BIGINT) AS month_utc,
+        | CAST(day(ts) AS BIGINT) AS day_utc,
+        | CAST(hour(ts) AS BIGINT) AS hour_utc,
+        | CAST(ts AS DATE) AS date_utc,
+        | value * 9 / 5 + 32 AS value_f,
+        | CASE WHEN value >= 50 THEN 'high' WHEN value >= 10 THEN 'mid'
+        |      ELSE 'low' END AS value_band
+        |FROM events""".stripMargin,
+
+    "w3_analytics" ->
+      """SELECT event_id, user_id, value,
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+        |   AS running_value,
+        | lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        | lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+        | CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |   AS seq_in_user,
+        | CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |   AS dense_seq
+        |FROM events""".stripMargin,
+
+    "a5_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "a8_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "u2_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "u3_except" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "j5_full_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "o2_global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         | ${Numeric.scaledSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM customer c
+         |              WHERE c.c_custkey = o_custkey AND c.c_mktsegment = 'BUILDING')
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "chk_freshness" ->
+      """SELECT max_loaded_at, age_hours FROM (
+        |  SELECT max(ts) AS max_loaded_at,
+        |    (epoch(TIMESTAMP '2024-03-01 00:00:00')
+        |      - CAST(floor(epoch(max(ts))) AS BIGINT)) / 3600.0 AS age_hours
+        |  FROM events)
+        |WHERE max_loaded_at IS NULL OR age_hours > 48""".stripMargin,
+
+    "chk_not_future_year" ->
+      """SELECT event_id, CAST(year(ts) AS BIGINT) AS year_utc FROM events
+        |WHERE year(ts) > year(current_date)""".stripMargin
+  )
+}
