@@ -28,8 +28,19 @@ object Similarity {
 
   val Scale = 1000000000000L // 1e12: |v| ≤ ~0.6 ⇒ per-term ≤ 3.6e11, 64-dim sums ≪ 2^53
 
-  /** Exact scaled-integer dot product of two float-array columns. */
+  /** Exact scaled-integer dot product of two float-array columns — the
+    * custom codegen'd Catalyst expression ([[graft.functions.DotProductScaled]]);
+    * the equivalent `aggregate(zip_with(...))` formulation is interpreted
+    * (higher-order functions don't codegen) and ~an order of magnitude
+    * slower in the ANN hot loop.
+    */
   def dotScaled(a: Column, b: Column): Column =
+    graft.functions.DotProductScaled.dotScaled(a, b, Scale)
+
+  /** The composable built-ins-only formulation, kept as a semantics
+    * cross-check for the custom expression (tested equal).
+    */
+  def dotScaledHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => floor(x.cast("double") * y.cast("double") * lit(Scale) + lit(0.5))),
       lit(0L), (acc, x) => acc + x)
