@@ -98,21 +98,6 @@ object DedupOps {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** Spark-dialect SQL for bit j of the 32-bit md5-nibble hash column `h`
-    * (8 hex chars; char p = j/4 from the left, bit q = j%4 within the
-    * nibble). Built from instr/substr/shiftright — portable, codegen'd.
-    */
-  private def sparkBit(h: String, j: Int): String = {
-    val p = j / 4 + 1; val q = j % 4
-    s"(shiftright(instr('0123456789abcdef', substr($h, $p, 1)) - 1, $q) & 1)"
-  }
-
-  /** DuckDB-dialect twin of [[sparkBit]] (>> operator instead of shiftright). */
-  def duckBit(h: String, j: Int): String = {
-    val p = j / 4 + 1; val q = j % 4
-    s"(((instr('0123456789abcdef', substr($h, $p, 1)) - 1) >> $q) & 1)"
-  }
-
   /** 32-bit SimHash per document over n-gram shingles: bit j of the
     * fingerprint is set iff Σ_shingles (2·bit_j(md5(shingle)) − 1) > 0.
     * One shuffle (groupBy doc) carrying 32 small integer sums.
@@ -120,25 +105,38 @@ object DedupOps {
   def simhash(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val hh = shingleIndex(docs, idCol, textCol, n)
       .select(col(idCol), substring(md5(col("shingle")), 1, 8).as("h"))
-    val sums = (0 until 32).map(j => expr(s"sum(2 * ${sparkBit("h", j)} - 1)").as(s"s$j"))
+    // precompute the 8 nibble values once per row (8 instr calls), then
+    // derive the 32 bits by shifting — not 32 independent instr chains
+    val nibbles = hh.select(col(idCol) +: (0 until 8).map(p =>
+      expr(s"instr('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1").as(s"n$p")): _*)
+    val sums = (0 until 32).map { j =>
+      expr(s"sum(2 * (shiftright(n${j / 4}, ${j % 4}) & 1) - 1)").as(s"s$j")
+    }
     val combine = (0 until 32)
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    hh.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    nibbles.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
       .select(col(idCol), expr(combine).cast("bigint").as("simhash"))
   }
 
   /** DuckDB oracle twin of [[simhash]] (generated, same bit formulas). */
   def simhashOracleSql(table: String, idCol: String, textCol: String): String = {
-    val sums = (0 until 32).map(j => s"sum(2 * ${duckBit("h", j)} - 1) AS s$j").mkString(",\n    ")
+    val nibbles = (0 until 8)
+      .map(p => s"(instr('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1) AS n$p")
+      .mkString(",\n    ")
+    val sums = (0 until 32)
+      .map(j => s"sum(2 * ((n${j / 4} >> ${j % 4}) & 1) - 1) AS s$j").mkString(",\n    ")
     val combine = (0 until 32)
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
     s"""WITH toks AS (SELECT $idCol, string_split($textCol, ' ') AS ws FROM $table),
        |sh AS (SELECT DISTINCT $idCol, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t),
        |hh AS (SELECT $idCol, substr(md5(shingle), 1, 8) AS h FROM sh),
+       |nib AS (SELECT $idCol,
+       |    $nibbles
+       |  FROM hh),
        |agg AS (SELECT $idCol,
        |    $sums
-       |  FROM hh GROUP BY $idCol)
+       |  FROM nib GROUP BY $idCol)
        |SELECT $idCol, CAST($combine AS BIGINT) AS simhash FROM agg""".stripMargin
   }
 }
