@@ -18,20 +18,24 @@ import graft.functions.Numeric
   */
 object DedupOps {
 
-  /** doc_id + exploded DISTINCT n-gram shingles — the inverted-index base. */
+  /** doc_id + exploded DISTINCT n-gram shingles — the inverted-index base
+    * (native [[graft.functions.WordShingles]]; the HOF formulation costs
+    * per-element interpreted dispatch).
+    */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol), explode(array_distinct(TextOps.shingles(col(textCol), n))).as("shingle"))
+    docs.select(col(idCol),
+      explode(graft.functions.WordShingles.shingles(col(textCol), n, distinct = true))
+        .as("shingle"))
 
-  /** As [[shingleIndex]] but shingles pre-hashed to int64 (xxhash64):
-    * the Jaccard self-join shuffles and compares 8-byte keys instead of
-    * ~20-char strings — same pair counts (collision odds ~2^-64·|S|²,
-    * negligible), much cheaper exchange. Use where the shingle VALUE
-    * isn't needed downstream.
+  /** As [[shingleIndex]] but shingles hashed to int64 (xxhash64) after
+    * the explode: the Jaccard self-join shuffles and compares 8-byte
+    * keys instead of ~20-char strings — same pair counts (collision odds
+    * ~2^-64·|S|², negligible), much cheaper exchange. Use where the
+    * shingle VALUE isn't needed downstream.
     */
   def shingleIndexHashed(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol),
-      explode(array_distinct(transform(TextOps.shingles(col(textCol), n), s => xxhash64(s))))
-        .as("shingle"))
+    shingleIndex(docs, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
 
   /** Exact dedup groups: content hash → group size + representative id. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
