@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.SparkSuite
+import graft.pipeline.{Bronze, OpenAqPipeline, Schemas}
+
+/** The OpenAQ chain as a stream: lake files arriving in two waves
+  * produce the same mart as one batch run over everything.
+  */
+class StreamingOpenAqSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val res = "src/test/resources/openaq"
+
+  test("two-wave streaming ingestion converges to the batch mart") {
+    val lake = Files.createTempDirectory("graft_stream_lake").toString
+    val mart = Files.createTempDirectory("graft_stream_mart").toString + "/aq"
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt2").toString
+
+    val rawLoc = Bronze.readNdjson(spark, Schemas.locationsEnvelope,
+      s"$res/lake/locations_json/*/*/*/*.ndjson")
+    val m = OpenAqPipeline.models(rawLoc,
+      Bronze.readNdjson(spark, Schemas.measurementsEnvelope,
+        s"$res/lake/measurements_json/*/*/*/*.ndjson"))
+
+    def copyWave(day: String): Unit = {
+      val src = Paths.get(s"$res/lake/measurements_json/2026/01/$day")
+        .toFile.listFiles().head.toPath
+      Files.copy(src, Paths.get(s"$lake/${src.getFileName}"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def runWave(): Unit = {
+      val q = StreamingOpenAq.airQualityMartWriter(
+        StreamingOpenAq.measurementsStream(spark, s"$lake/*.ndjson"),
+        m.sensorsEnriched, mart, ckpt).start()
+      q.awaitTermination()
+    }
+
+    copyWave("01"); runWave()
+    val afterWave1 = spark.read.parquet(mart)
+    assert(afterWave1.filter($"location_id" === 100).collect()
+      .head.getAs[Double]("pm25_ugm3") == 9.7) // run-1 data only
+
+    copyWave("02"); runWave()
+    val streamed = spark.read.parquet(mart)
+    // wave 2's hour-05 row replaces wave 1's for the SAME record key —
+    // note per-batch semantics: the micro-batch re-pivots only ITS rows
+    assert(streamed.filter($"location_id" === 100 && $"hour_utc" === 5).count() == 1)
+    assert(streamed.filter($"location_id" === 300 && $"hour_utc" === 8).collect()
+      .head.getAs[Double]("pm10_ugm3") == 30.0)
+    // late hour-04 row DOES land here (per-batch merge has no boundary
+    // filter — documents the difference from the batch incremental path)
+    assert(streamed.filter($"hour_utc" === 4).count() == 1)
+  }
+}
