@@ -76,6 +76,19 @@ object DedupOps {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Same signature via the single mergeable sketch aggregate
+    * ([[graft.functions.MinHashAgg]], TypedImperativeAggregate): one
+    * buffer per group instead of k expression aggregates. Byte-identical
+    * output (asserted in spec).
+    */
+  def minhashSignaturesAgg(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, n: Int = 3): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n)
+    val sig = sh.groupBy(col(idCol))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("shingle"), k).as("sig"))
+    sig.select(col(idCol) +: (0 until k).map(i => col("sig")(i).as(s"mh$i")): _*)
+  }
+
   /** LSH banding of a k-wide signature into bands of `rowsPerBand`:
     * (doc, band_idx, band_key) rows; docs sharing any (band_idx, band_key)
     * are candidate near-dup pairs.

@@ -137,6 +137,25 @@ object AnalyticsQueries {
     "x_approx_distinct" -> ((s, d) => {
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+    }),
+
+    // ---- exact interpolated percentiles (rounded binary-deterministically:
+    //      both engines interpolate within 2 ULP of the true ≤3-decimal value)
+    "a9_percentiles" -> ((s, d) => {
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(Numeric.roundBin(expr("percentile(value, 0.5)"), 3).as("median_v"),
+          Numeric.roundBin(expr("percentile(value, 0.9)"), 3).as("p90_v"))
+    }),
+
+    // ---- null-safe equality, guarded division, null-propagating concat
+    "p_null_safety" -> ((s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("bigint")
+      Tables.events(s, d).select(
+        col("event_id"),
+        (k <=> lit(69)).as("k_is_69_nullsafe"),
+        (lit(null).cast("bigint") <=> k).as("null_vs_k"),
+        (col("value") / nullif(k.cast("double"), lit(0.0))).as("value_per_k"),
+        concat(col("event_type"), lit(":"), k.cast("string")).as("typed_key"))
     })
   )
 
@@ -222,6 +241,24 @@ object AnalyticsQueries {
 
     "chk_not_future_year" ->
       """SELECT event_id, CAST(year(ts) AS BIGINT) AS year_utc FROM events
-        |WHERE year(ts) > year(current_date)""".stripMargin
+        |WHERE year(ts) > year(current_date)""".stripMargin,
+
+    "a9_percentiles" ->
+      s"""SELECT event_type,
+         | ${Numeric.roundBinSql("quantile_cont(value, 0.5)", 3)} AS median_v,
+         | ${Numeric.roundBinSql("quantile_cont(value, 0.9)", 3)} AS p90_v
+         |FROM events GROUP BY event_type""".stripMargin,
+
+    "p_null_safety" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT DISTINCT FROM 69
+        |   AS k_is_69_nullsafe,
+        | CAST(NULL AS BIGINT) IS NOT DISTINCT FROM
+        |   CAST(json_extract_string(props, '$.k') AS BIGINT) AS null_vs_k,
+        | value / nullif(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE), 0.0)
+        |   AS value_per_k,
+        | event_type || ':' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+        |   AS typed_key
+        |FROM events""".stripMargin
   )
 }
