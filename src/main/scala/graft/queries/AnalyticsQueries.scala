@@ -147,6 +147,12 @@ object AnalyticsQueries {
           Numeric.roundBin(expr("percentile(value, 0.9)"), 3).as("p90_v"))
     }),
 
+    // ---- gap-based sessionization (12h gap): lag-marks + running sum
+    "w4_sessionize" -> ((s, d) => {
+      graft.ext.Sessionize.sessionStats(Tables.events(s, d),
+        "user_id", "ts", "event_id", gapMinutes = 720)
+    }),
+
     // ---- null-safe equality, guarded division, null-propagating concat
     "p_null_safety" -> ((s, d) => {
       val k = get_json_object(col("props"), "$.k").cast("bigint")
@@ -248,6 +254,23 @@ object AnalyticsQueries {
          | ${Numeric.roundBinSql("quantile_cont(value, 0.5)", 3)} AS median_v,
          | ${Numeric.roundBinSql("quantile_cont(value, 0.9)", 3)} AS p90_v
          |FROM events GROUP BY event_type""".stripMargin,
+
+    "w4_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 43200.0
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq, min(ts) AS session_start,
+        |       max(ts) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
 
     "p_null_safety" ->
       """SELECT event_id,
