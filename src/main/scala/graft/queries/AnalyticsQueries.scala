@@ -119,6 +119,28 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // ---- TPC-H Q5 shape: 6-way join through the region hierarchy with
+    //      co-nation restriction; dims broadcast, facts never reshuffled
+    "q5_local_supplier_volume" -> ((s, d) => {
+      val dims = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Numeric.scaledSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+    }),
+
     // ---- A7 freshness vs a pinned as-of (dataset ends 2024-01-30 → stale)
     "chk_freshness" -> ((s, d) => {
       Checks.freshness(Tables.events(s, d), "ts", 48,
@@ -236,6 +258,20 @@ object AnalyticsQueries {
          |              WHERE c.c_custkey = o_custkey AND c.c_mktsegment = 'BUILDING')
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      s"""SELECT n_name,
+         | ${Numeric.scaledSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin,
 
     "chk_freshness" ->
       """SELECT max_loaded_at, age_hours FROM (

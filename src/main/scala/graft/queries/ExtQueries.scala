@@ -80,6 +80,18 @@ object ExtQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", "label", k = 3)
+    }),
+
+    // ---- per-label centroids (tall form: label × dim → exact scaled
+    //      mean). The k-means-update / class-prototype aggregation shape;
+    //      posexplode keeps it one shuffle on (label, dim).
+    "x_centroids" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label").cast("bigint").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), (col("dim") + 1).cast("bigint").as("dim"))
+        .agg(Numeric.scaledAvg(col("v").cast("double"), 6).as("centroid_v"),
+          count(lit(1)).as("n_vecs"))
     })
   )
 
@@ -198,6 +210,13 @@ object ExtQueries {
 
     "x_ann_cosine" -> annCosSql("", "", 5),
 
-    "x_ann_bucketed" -> annCosSql(" AND c.label = q.label", ", c.label AS bucket", 3)
+    "x_ann_bucketed" -> annCosSql(" AND c.label = q.label", ", c.label AS bucket", 3),
+
+    "x_centroids" ->
+      s"""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+         | ${Numeric.scaledAvgSql("CAST(embedding[i] AS DOUBLE)", 6)} AS centroid_v,
+         | count(*) AS n_vecs
+         |FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+         |GROUP BY label, i""".stripMargin
   )
 }
