@@ -58,6 +58,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("events nanos-conversion doesn't break column pruning at the scan") {
+    // p1 touches only event_id + props; the ts rebuild in Tables.events
+    // must be pruned away, not force a full-width read
+    val rs = planOf("p1_json_extract").linesIterator.find(_.contains("ReadSchema")).get
+    assert(rs.contains("event_id") && rs.contains("props"))
+    assert(!rs.contains("value") && !rs.contains("user_id"),
+      s"pruning lost through ts conversion: $rs")
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot loop)") {
     Seq("q1_agg", "f1_range_filter", "p7_surrogate_key", "a1_hourly_pivot").foreach { q =>
       // AQE hides codegen stages until execution — run, then read the final plan
