@@ -113,6 +113,39 @@ object DedupOps {
       .distinct()
   }
 
+  /** Dedup RESOLUTION: collapse candidate pairs into groups and pick a
+    * keeper — connected components by iterative min-label propagation
+    * (each node adopts the min label among itself and its neighbors;
+    * converges in graph-diameter rounds; near-dup components are
+    * near-cliques, so diameter is tiny). Returns (doc_id, keep_id) for
+    * every doc appearing in a pair; keep_id = component minimum.
+    *
+    * Scale note: each round is one join + one groupBy on the node id; at
+    * real scale checkpoint `labels` every few rounds to cut lineage.
+    */
+  def resolveComponents(pairs: DataFrame, iterations: Int = 10): DataFrame = {
+    // materialize the edge list once and truncate label lineage per round —
+    // otherwise every iteration's plan re-embeds the full upstream
+    // candidate pipeline (~2× per round) and the final plan replays it
+    // dozens of times
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id")).agg(min(col("label")).as("nbr_label"))
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("doc_id"), col("label").as("keep_id"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 32-bit SimHash per document over n-gram shingles: bit j of the

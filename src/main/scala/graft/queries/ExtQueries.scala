@@ -82,6 +82,13 @@ object ExtQueries {
         "vec_id", "embedding", "label", k = 3)
     }),
 
+    // ---- dedup resolution: connected components over LSH candidates →
+    //      (doc, keep) assignment
+    "x_dedup_resolution" -> ((s, d) => {
+      DedupOps.resolveComponents(
+        DedupOps.lshCandidates(Tables.documents(s, d), "doc_id", "text"))
+    }),
+
     // ---- per-label centroids (tall form: label × dim → exact scaled
     //      mean). The k-means-update / class-prototype aggregation shape;
     //      posexplode keeps it one shuffle on (label, dim).
@@ -207,6 +214,27 @@ object ExtQueries {
     },
 
     "x_simhash" -> DedupOps.simhashOracleSql("documents", "doc_id", "text"),
+
+    "x_dedup_resolution" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM sig"
+      }.mkString("\n  UNION ALL ")
+      // recursive label closure = Spark's fixed-point min propagation
+      s"""WITH RECURSIVE $minhashSigCte,
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION ALL SELECT doc_b, doc_a FROM cand),
+         |lab(doc_id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, l.label FROM edges e JOIN lab l ON l.doc_id = e.dst)
+         |SELECT doc_id, min(label) AS keep_id FROM lab GROUP BY doc_id""".stripMargin
+    },
 
     "x_ann_cosine" -> annCosSql("", "", 5),
 
