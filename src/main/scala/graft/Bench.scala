@@ -23,8 +23,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: touch every table once (schema + full scan) + JIT the agg path
+    // (events is warmed via Tables.events below — a plain read would hit
+    // the TIMESTAMP(NANOS) rejection and spew an aborted-job stack trace)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      "lineitem", "documents", "embeddings").foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }

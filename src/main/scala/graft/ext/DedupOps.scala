@@ -114,16 +114,22 @@ object DedupOps {
   }
 
   /** Dedup RESOLUTION: collapse candidate pairs into groups and pick a
-    * keeper — connected components by iterative min-label propagation
-    * (each node adopts the min label among itself and its neighbors;
-    * converges in graph-diameter rounds; near-dup components are
-    * near-cliques, so diameter is tiny). Returns (doc_id, keep_id) for
-    * every doc appearing in a pair; keep_id = component minimum.
+    * keeper — connected components by min-label propagation iterated TO A
+    * FIXED POINT (each node adopts the min label among itself and its
+    * neighbors; stop when a round changes no label, so a chained
+    * component A~B~C~… of any eccentricity resolves exactly — a fixed
+    * round count would silently return non-converged labels on long
+    * chains). Labels only ever decrease and are bounded below, so the
+    * fixed point is guaranteed; `maxIterations` is a runaway backstop,
+    * not a correctness parameter. Returns (doc_id, keep_id) for every
+    * doc appearing in a pair; keep_id = component minimum.
     *
-    * Scale note: each round is one join + one groupBy on the node id; at
-    * real scale checkpoint `labels` every few rounds to cut lineage.
+    * Scale note: each round is one join + one groupBy on the node id,
+    * with the convergence probe a cheap count over the checkpointed
+    * round output; at real scale swap localCheckpoint for reliable
+    * checkpointing, same loop.
     */
-  def resolveComponents(pairs: DataFrame, iterations: Int = 10): DataFrame = {
+  def resolveComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     // materialize the edge list once and truncate label lineage per round —
     // otherwise every iteration's plan re-embeds the full upstream
     // candidate pipeline (~2× per round) and the final plan replays it
@@ -134,14 +140,19 @@ object DedupOps {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIterations) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min(col("label")).as("nbr_label"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint(true)
+      converged = stepped.filter(col("label") < col("prev_label")).isEmpty
+      labels = stepped.select(col("doc_id"), col("label"))
+      round += 1
     }
     labels.select(col("doc_id"), col("label").as("keep_id"))
   }

@@ -25,6 +25,16 @@ case class DotProductScaled(left: Expression, right: Expression, scale: Long)
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_product_scaled"
 
+  /** Data-dependent nulls (length mismatch, null element) exist even when
+    * both inputs are non-nullable — without this override the default
+    * `left.nullable || right.nullable` would (a) let the optimizer fold
+    * IsNull(dot) to false over non-nullable inputs and (b) make
+    * nullSafeCodeGen emit an assignment to a FalseLiteral isNull slot,
+    * which fails Janino and drops the whole stage to interpreted
+    * execution. Same pattern as Spark's own ElementAt/ZipWith.
+    */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

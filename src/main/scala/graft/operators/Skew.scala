@@ -19,13 +19,20 @@ object Skew {
 
   private val SaltCol = "__salt"
 
-  /** Row-local deterministic-enough salt: round-robin within a partition
-    * spreads any hot key across `buckets` reducers. (The salt value is
-    * not reproducible across runs — irrelevant, it never reaches the
-    * result.)
+  /** Deterministic per-row salt: hash of ALL the row's columns, mod
+    * buckets. Determinism matters for fault tolerance, not results: a
+    * nondeterministic salt (e.g. monotonically_increasing_id) is a
+    * shuffle KEY, and on shuffle-fetch failure recomputed map tasks
+    * would re-salt the same rows differently, duplicating or dropping
+    * them (the SPARK-23207 repartition hazard — Spark's stage-rerun
+    * mitigation covers its own round-robin repartition, not user
+    * expressions). Hashing the full row spreads a hot key as long as
+    * rows differ in SOME column (a unique id, a timestamp, the value);
+    * fully identical duplicate rows land in one bucket — acceptable,
+    * since identical rows carry no distinguishing work anyway.
     */
-  private def salt(buckets: Int): Column =
-    pmod(monotonically_increasing_id(), lit(buckets.toLong))
+  private def salt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(buckets.toLong))
 
   /** Two-phase skew-safe SUM/COUNT aggregation: phase 1 on (keys, salt)
     * caps any reducer's share of a hot key at 1/buckets; phase 2
@@ -35,7 +42,7 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                      buckets: Int = 16): DataFrame = {
-    val phase1 = df.withColumn(SaltCol, salt(buckets))
+    val phase1 = df.withColumn(SaltCol, salt(df, buckets))
       .groupBy((keys :+ SaltCol).map(col): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
     phase1.groupBy(keys.map(col): _*)
@@ -43,15 +50,30 @@ object Skew {
         sum(col("__pcnt")).as("n_rows"))
   }
 
+  /** Join types for which salting is exact: each LEFT row carries one
+    * salt and finds every key match in the right copy with that salt, so
+    * inner/left-outer/semi/anti results are identical to the direct
+    * join. right/full outer are NOT expressible this way — an unmatched
+    * right row exists once per replica and would null-extend `buckets`
+    * times.
+    */
+  private val SaltableJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   /** Skewed equi-join: the (large, skewed) left side gets a per-row salt;
     * the right side is replicated `buckets` times with every salt value,
     * so the join key becomes (key, salt) and a hot key's rows spread
     * over `buckets` tasks. Right side should be small-ish (it is
     * materialized ×buckets) but too big / unwanted for broadcast.
+    * `joinType` is restricted to [[SaltableJoinTypes]].
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  buckets: Int = 16, joinType: String = "inner"): DataFrame = {
-    val saltedLeft = left.withColumn(SaltCol, salt(buckets))
+    require(SaltableJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin is only exact for ${SaltableJoinTypes.mkString("/")}; " +
+        s"'$joinType' would replicate unmatched right rows $buckets times")
+    val saltedLeft = left.withColumn(SaltCol, salt(left, buckets))
     val replicatedRight = right.withColumn(SaltCol,
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     saltedLeft.join(replicatedRight, keys :+ SaltCol, joinType).drop(SaltCol)

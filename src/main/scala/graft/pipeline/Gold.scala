@@ -71,13 +71,37 @@ object Gold {
         date_trunc("hour", col("m.measured_from_utc")).as("measurement_hour_utc"),
         col("m.parameter_id"), col("m.measurement_value"))
 
-  private val martGroup = Seq("location_id", "location_name", "country_code",
+  private[graft] val martGroup = Seq("location_id", "location_name", "country_code",
     "latitude", "longitude", "measurement_hour_utc")
 
-  private def pAvg(paramId: Int, name: String, scale: Int = 2,
-                   valueExpr: Column => Column = identity): Column =
-    round(avg(when(col("parameter_id") === paramId,
-      valueExpr(col("measurement_value")))), scale).as(name)
+  /** One conditional-AVG pivot column of a mart (parameter filter, output
+    * name, rounding scale, optional unit conversion). Shared between the
+    * batch pivots and the streaming algebraic partials so both paths
+    * aggregate the same expressions.
+    */
+  case class PivotCol(paramId: Int, name: String, scale: Int = 2,
+                      valueExpr: Column => Column = identity) {
+    def value: Column = when(col("parameter_id") === paramId, valueExpr(col("measurement_value")))
+  }
+
+  /** mart_location_air_quality.sql:51-96 pivot columns. */
+  val airQualityPivots: Seq[PivotCol] = Seq(
+    PivotCol(1, "pm10_ugm3"), PivotCol(2, "pm25_ugm3"), PivotCol(19, "pm1_ugm3"),
+    PivotCol(125, "um003_particles_cm3"),
+    PivotCol(3, "o3_ugm3"), PivotCol(4, "co_ugm3"), PivotCol(102, "co_ppb"),
+    PivotCol(5, "no2_ugm3"), PivotCol(15, "no2_ppb"), PivotCol(6, "so2_ugm3"),
+    PivotCol(101, "so2_ppb"), PivotCol(23, "nox_ppb"), PivotCol(24, "no_ppb"),
+    PivotCol(19843, "no_ugm3"))
+
+  /** mart_location_weather.sql:50-88 pivot columns. */
+  val weatherPivots: Seq[PivotCol] = Seq(
+    PivotCol(100, "temp_celsius"),
+    PivotCol(100, "temp_fahrenheit", valueExpr = v => v * lit(9) / lit(5) + lit(32)),
+    PivotCol(98, "humidity_pct"),
+    PivotCol(34, "wind_speed_ms"),
+    PivotCol(22, "wind_direction_deg", scale = 0))
+
+  private def pAvg(p: PivotCol): Column = round(avg(p.value), p.scale).as(p.name)
 
   private def calendarCols: Seq[Column] = Seq(
     to_date(col("measurement_hour_utc")).as("date_utc"),
@@ -97,13 +121,7 @@ object Gold {
     * (mart_location_air_quality.sql:51-96).
     */
   def martAirQuality(validMeasurements: DataFrame, sensorsEnriched: DataFrame): DataFrame = {
-    val pivots = Seq(
-      pAvg(1, "pm10_ugm3"), pAvg(2, "pm25_ugm3"), pAvg(19, "pm1_ugm3"),
-      pAvg(125, "um003_particles_cm3"),
-      pAvg(3, "o3_ugm3"), pAvg(4, "co_ugm3"), pAvg(102, "co_ppb"),
-      pAvg(5, "no2_ugm3"), pAvg(15, "no2_ppb"), pAvg(6, "so2_ugm3"),
-      pAvg(101, "so2_ppb"), pAvg(23, "nox_ppb"), pAvg(24, "no_ppb"),
-      pAvg(19843, "no_ugm3"))
+    val pivots = airQualityPivots.map(pAvg)
     val agg = martJoined(validMeasurements, sensorsEnriched)
       .groupBy(martGroup.map(col): _*).agg(pivots.head, pivots.tail: _*)
     withMartKey(agg, "air_quality_record_id")
@@ -113,15 +131,48 @@ object Gold {
     * and 0-decimal wind direction (mart_location_weather.sql:50-88).
     */
   def martWeather(validMeasurements: DataFrame, sensorsEnriched: DataFrame): DataFrame = {
-    val pivots = Seq(
-      pAvg(100, "temp_celsius"),
-      pAvg(100, "temp_fahrenheit", valueExpr = v => v * lit(9) / lit(5) + lit(32)),
-      pAvg(98, "humidity_pct"),
-      pAvg(34, "wind_speed_ms"),
-      pAvg(22, "wind_direction_deg", scale = 0))
+    val pivots = weatherPivots.map(pAvg)
     val agg = martJoined(validMeasurements, sensorsEnriched)
       .groupBy(martGroup.map(col): _*).agg(pivots.head, pivots.tail: _*)
     withMartKey(agg, "weather_record_id")
+  }
+
+  /** Streaming-algebraic mart building blocks. A micro-batch sink that
+    * re-pivots only its own rows and MERGEs by key silently replaces an
+    * hour's average with the last batch's PARTIAL average whenever the
+    * hour spans micro-batches. The fix: aggregate to (sum, count)
+    * partials, carry them in the mart, and re-combine on merge —
+    * avg = Σsum / Σcnt is exact under any batch split (algebraic
+    * re-aggregation).
+    */
+  def martPartials(validMeasurements: DataFrame, sensorsEnriched: DataFrame,
+                   pivots: Seq[PivotCol]): DataFrame = {
+    val aggs = pivots.flatMap(p => Seq(
+      sum(p.value).as(s"${p.name}__sum"), count(p.value).as(s"${p.name}__cnt")))
+    martJoined(validMeasurements, sensorsEnriched)
+      .groupBy(martGroup.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Combine partial rows for the same group key (across micro-batches):
+    * sums and counts both add.
+    */
+  def combinePartials(partials: DataFrame): DataFrame = {
+    val partialCols = partials.columns.filterNot(martGroup.contains)
+    val aggs = partialCols.map(c => sum(col(c)).as(c)).toSeq
+    partials.groupBy(martGroup.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Display view of a partials mart: the AVG pivot columns derived from
+    * the carried sums/counts (the same sum/count division Spark's Average
+    * performs), keyed + calendar'd like the batch mart. The partial
+    * columns stay in the output so the NEXT merge can re-combine; when a
+    * group has no values for a parameter its sum is NULL and the display
+    * column is NULL — identical to the batch pivot's null-skipping AVG.
+    */
+  def finalizeMart(partials: DataFrame, pivots: Seq[PivotCol], keyName: String): DataFrame = {
+    val display = pivots.map(p =>
+      round(col(s"${p.name}__sum") / col(s"${p.name}__cnt"), p.scale).as(p.name))
+    withMartKey(partials.select(partials.columns.map(col) ++ display: _*), keyName)
   }
 
   /** Incremental mart refresh (T2/F3/A6): keep only measurements at or

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
@@ -30,9 +31,13 @@ object StreamingOpenAq {
       .drop("_corrupt_record")
 
   /** Per-micro-batch: silver-extract, quality-gate, join the (static)
-    * sensor dimension, pivot, MERGE into the mart parquet by record key.
-    * `sensorsEnriched` is a static broadcastable dim — the stream-static
-    * join pattern.
+    * sensor dimension, aggregate to algebraic (sum, count) PARTIALS, and
+    * combine them with the partials carried in the mart parquet
+    * (avg = Σsum / Σcnt). An hour whose measurements span micro-batches —
+    * two waves, or one AvailableNow run split by maxFilesPerTrigger —
+    * therefore converges to the exact whole-data average, not
+    * last-batch-wins (ADVICE r1). `sensorsEnriched` is a static
+    * broadcastable dim — the stream-static join pattern.
     */
   def airQualityMartWriter(raw: DataFrame, sensorsEnriched: DataFrame,
                            martPath: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -42,7 +47,32 @@ object StreamingOpenAq {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val valid = Gold.intValidMeasurements(Silver.stgMeasurements(batch))
-        val mart = Gold.martAirQuality(valid, sensorsEnriched)
-        StreamingHourly.mergeSink(martPath, Seq("air_quality_record_id"))(mart, batchId)
+        val parts = Gold.martPartials(valid, sensorsEnriched, Gold.airQualityPivots)
+        algebraicMergeSink(martPath, Gold.airQualityPivots,
+          "air_quality_record_id")(parts, batchId)
       }
+
+  /** foreachBatch sink over PARTIALS: union the batch's (sum, count)
+    * rows with the partial columns already in the mart, re-sum per group
+    * key, re-derive the display AVG columns, and swap the parquet in
+    * atomically (same staging-dir contract as
+    * [[StreamingHourly.mergeSink]]).
+    */
+  def algebraicMergeSink(outPath: String, pivots: Seq[Gold.PivotCol], keyName: String)(
+      batchPartials: DataFrame, batchId: Long): Unit = {
+    val spark = batchPartials.sparkSession
+    val fs = new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(outPath)
+    val staging = new Path(outPath + s"__staging_$batchId")
+    val combined =
+      if (fs.exists(target)) {
+        val existing = spark.read.parquet(outPath).select(
+          batchPartials.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        Gold.combinePartials(existing.unionByName(batchPartials))
+      } else batchPartials
+    Gold.finalizeMart(combined, pivots, keyName)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(target, true)
+    fs.rename(staging, target)
+  }
 }

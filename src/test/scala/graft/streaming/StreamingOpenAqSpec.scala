@@ -43,9 +43,18 @@ class StreamingOpenAqSpec extends SparkSuite {
 
     copyWave("02"); runWave()
     val streamed = spark.read.parquet(mart)
-    // wave 2's hour-05 row replaces wave 1's for the SAME record key —
-    // note per-batch semantics: the micro-batch re-pivots only ITS rows
+    // one row per record key, and — because the sink carries algebraic
+    // (sum, count) partials — an hour whose measurements SPAN the two
+    // waves re-combines to the exact whole-data average, not
+    // last-batch-wins: every display column equals the batch mart's.
     assert(streamed.filter($"location_id" === 100 && $"hour_utc" === 5).count() == 1)
+    val batchRows = m.martAirQuality
+      .select($"air_quality_record_id", $"pm25_ugm3", $"pm10_ugm3")
+      .collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    val streamedRows = streamed
+      .select($"air_quality_record_id", $"pm25_ugm3", $"pm10_ugm3")
+      .collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    assert(streamedRows == batchRows)
     assert(streamed.filter($"location_id" === 300 && $"hour_utc" === 8).collect()
       .head.getAs[Double]("pm10_ugm3") == 30.0)
     // late hour-04 row DOES land here (per-batch merge has no boundary
