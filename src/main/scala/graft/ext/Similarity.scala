@@ -94,4 +94,103 @@ object Similarity {
         cosineFromScaled(dotScaled(col("q_vec"), col("c_vec")), col("q_n2"), col("c_n2")))
     topK(scored, k, Seq("query_id", "neighbor_id", "bucket", "cos_sim"))
   }
+
+  // -------------------------------------------- embedding-cosine near-dup
+
+  /** Per-component scale for sign-bit quantization: |v| < 1 ⇒ per-term
+    * ≤ 1e6, 64-term sums ≪ 2^53; sign of the integer sum is
+    * order/engine-independent.
+    */
+  val BitScale = 1000000L
+
+  /** Deterministic ±1 random-hyperplane matrix: component (j,i) is the
+    * parity of the first MD5 byte of "plane:j|i". Derivable as literal
+    * constants in any engine — embedded verbatim into the DuckDB oracle,
+    * so the bucketing is bit-identical cross-engine (same reason the
+    * MinHash family uses md5, not murmur/xxhash).
+    */
+  def hyperplanes(nPlanes: Int, dims: Int): Array[Array[Int]] =
+    Array.tabulate(nPlanes, dims) { (j, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane:$j|$i".getBytes("UTF-8"))
+      if ((d(0) & 1) == 0) 1 else -1
+    }
+
+  /** Integer-quantized vector: floor(vᵢ·BitScale + 0.5) as int64 (exact
+    * IEEE ops) — the basis for order-independent signed sums.
+    */
+  private def quantized(vecCol: Column): Column =
+    transform(vecCol, x =>
+      floor(x.cast("double") * lit(BitScale.toDouble) + lit(0.5)).cast("long"))
+
+  /** SimHash-for-embeddings banding: sign bit of ⟨v, plane_j⟩ per
+    * hyperplane, grouped into bands of `rowsPerBand` bits →
+    * (id, band_idx, band_key). Vectors at angle θ agree per bit with
+    * probability 1 − θ/π, so near-dups collide in some band w.h.p.
+    */
+  def signBitBands(emb: DataFrame, idCol: String, vecCol: String,
+                   planes: Array[Array[Int]], rowsPerBand: Int): DataFrame = {
+    val withIv = emb.select(col(idCol), quantized(col(vecCol)).as("iv"))
+    val bits = planes.map { p =>
+      val signed = zip_with(col("iv"), typedLit(p.map(_.toLong).toSeq),
+        (x, c) => x * c)
+      when(aggregate(signed, lit(0L), (acc, x) => acc + x) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }
+    val bands = bits.grouped(rowsPerBand).map(g => concat(g: _*)).toSeq
+    withIv.select(col(idCol),
+      posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  private def scoredPairs(emb: DataFrame, idCol: String, vecCol: String,
+                          pairs: DataFrame): DataFrame = {
+    val sides = emb.select(col(idCol), col(vecCol).as("v"),
+      norm2Scaled(col(vecCol)).as("n2"))
+    pairs
+      .join(sides.select(col(idCol).as("vec_a"), col("v").as("va"), col("n2").as("na")), "vec_a")
+      .join(sides.select(col(idCol).as("vec_b"), col("v").as("vb"), col("n2").as("nb")), "vec_b")
+      .withColumn("cos_sim",
+        cosineFromScaled(dotScaled(col("va"), col("vb")), col("na"), col("nb")))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
+  /** Exact embedding-cosine near-dup: all pairs (a < b) with cosine ≥
+    * threshold. O(n²) by construction — the correctness baseline; the
+    * scale path is [[cosineNearDupLsh]]. The n² join broadcasts one
+    * (id, n2) side and evaluates the codegen'd dot product per pair.
+    */
+  def cosineNearDupExact(emb: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val sides = emb.select(col(idCol), col(vecCol).as("v"),
+      norm2Scaled(col(vecCol)).as("n2"))
+    val a = sides.select(col(idCol).as("vec_a"), col("v").as("va"), col("n2").as("na"))
+    val b = sides.select(col(idCol).as("vec_b"), col("v").as("vb"), col("n2").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim",
+        cosineFromScaled(dotScaled(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
+  /** Embedding-cosine near-dup at scale: sign-bit LSH bands prune the n²
+    * pair space to same-band candidates (equi-join on the band key — the
+    * only shuffle is keyed on it), then candidates are exact-verified with
+    * the scaled cosine ≥ threshold. Output ⊆ [[cosineNearDupExact]] with
+    * LSH recall (1 − (1 − p^r)^b, p = 1 − θ/π); both the bucketing and
+    * the verification are cross-engine deterministic, so the oracle
+    * reproduces the exact same pair set.
+    */
+  def cosineNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nPlanes: Int = 16,
+                       rowsPerBand: Int = 4): DataFrame = {
+    val dims = 64 // testdata embedding width; parameterize if it varies
+    val bands = signBitBands(emb, idCol, vecCol, hyperplanes(nPlanes, dims), rowsPerBand)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"))
+      .distinct()
+    scoredPairs(emb, idCol, vecCol, cand).filter(col("cos_sim") >= lit(threshold))
+  }
 }

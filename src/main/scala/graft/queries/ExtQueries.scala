@@ -16,6 +16,12 @@ object ExtQueries {
   private val Stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
   private val AnnScale = Similarity.Scale
 
+  // embedding near-dup parameters (shared by Spark query and oracle)
+  private val NearDupTau = 0.4
+  private val NearDupPlanes = 16
+  private val NearDupRowsPerBand = 4
+  private val EmbDims = 64
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text quality / token statistics
@@ -88,6 +94,17 @@ object ExtQueries {
       DedupOps.resolveComponents(
         DedupOps.lshCandidates(Tables.documents(s, d), "doc_id", "text"))
     }),
+
+    // ---- embedding-cosine near-dup: exact all-pairs baseline (O(n²))
+    "x_embed_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupExact(Tables.embeddings(s, d), "vec_id",
+        "embedding", NearDupTau)),
+
+    // ---- embedding-cosine near-dup at scale: sign-bit LSH bands prune
+    //      the pair space, candidates exact-verified (⊆ the exact result)
+    "x_embed_neardup_lsh" -> ((s, d) =>
+      Similarity.cosineNearDupLsh(Tables.embeddings(s, d), "vec_id",
+        "embedding", NearDupTau, NearDupPlanes, NearDupRowsPerBand)),
 
     // ---- per-label centroids (tall form: label × dim → exact scaled
     //      mean). The k-means-update / class-prototype aggregation shape;
