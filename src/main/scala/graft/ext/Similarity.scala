@@ -130,7 +130,15 @@ object Similarity {
     */
   def signBitBands(emb: DataFrame, idCol: String, vecCol: String,
                    planes: Array[Array[Int]], rowsPerBand: Int): DataFrame = {
-    val withIv = emb.select(col(idCol), quantized(col(vecCol)).as("iv"))
+    // fail fast on a width mismatch: zip_with would null-pad, the signed
+    // sums would go NULL, every row would share one band key, and the
+    // candidate join would silently degenerate to the full cross product
+    val dims = planes.head.length
+    val guarded = when(size(col(vecCol)) === dims, quantized(col(vecCol)))
+      .otherwise(raise_error(concat(
+        lit(s"signBitBands: embedding width != hyperplane width $dims (got "),
+        size(col(vecCol)).cast("string"), lit(")"))))
+    val withIv = emb.select(col(idCol), guarded.as("iv"))
     val bits = planes.map { p =>
       val signed = zip_with(col("iv"), typedLit(p.map(_.toLong).toSeq),
         (x, c) => x * c)
@@ -182,8 +190,7 @@ object Similarity {
     */
   def cosineNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, nPlanes: Int = 16,
-                       rowsPerBand: Int = 4): DataFrame = {
-    val dims = 64 // testdata embedding width; parameterize if it varies
+                       rowsPerBand: Int = 4, dims: Int = 64): DataFrame = {
     val bands = signBitBands(emb, idCol, vecCol, hyperplanes(nPlanes, dims), rowsPerBand)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

@@ -104,7 +104,7 @@ object ExtQueries {
     //      the pair space, candidates exact-verified (⊆ the exact result)
     "x_embed_neardup_lsh" -> ((s, d) =>
       Similarity.cosineNearDupLsh(Tables.embeddings(s, d), "vec_id",
-        "embedding", NearDupTau, NearDupPlanes, NearDupRowsPerBand)),
+        "embedding", NearDupTau, NearDupPlanes, NearDupRowsPerBand, EmbDims)),
 
     // ---- per-label centroids (tall form: label × dim → exact scaled
     //      mean). The k-means-update / class-prototype aggregation shape;
@@ -141,6 +141,55 @@ object ExtQueries {
        |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS n2
        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
        |  GROUP BY vec_id, embedding, label)""".stripMargin
+
+  /** Pairwise scaled-cosine over a candidate CTE `cand(vec_a, vec_b)`:
+    * joins both sides to `nrm`, computes the exact scaled dot, rounds —
+    * the oracle twin of [[Similarity]]'s scoredPairs/exact paths.
+    */
+  private def pairCosineSql(candFrom: String): String =
+    s"""scored AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    sum(CAST(floor(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dot_s,
+       |    max(a.n2) AS a_n2, max(b.n2) AS b_n2
+       |  FROM $candFrom,
+       |    LATERAL (SELECT unnest(generate_series(1, len(a.embedding))) AS i) t
+       |  GROUP BY ALL),
+       |cos AS (
+       |  SELECT vec_a, vec_b,
+       |    ${Numeric.roundBinSql(
+            s"(CAST(dot_s AS DOUBLE) / $AnnScale) / " +
+            s"(sqrt(CAST(a_n2 AS DOUBLE) / $AnnScale) * sqrt(CAST(b_n2 AS DOUBLE) / $AnnScale))", 6)} AS cos_sim
+       |  FROM scored)
+       |SELECT vec_a, vec_b, cos_sim FROM cos WHERE cos_sim >= $NearDupTau""".stripMargin
+
+  /** Sign-bit LSH banding as DuckDB CTEs — the hyperplanes are the same
+    * MD5-parity literals [[Similarity.hyperplanes]] builds (embedded
+    * verbatim), so bucketing is bit-identical cross-engine.
+    */
+  private def signBitBandCtesSql: String = {
+    val planes = Similarity.hyperplanes(NearDupPlanes, EmbDims)
+    val bitExprs = planes.zipWithIndex.map { case (p, j) =>
+      val lst = p.mkString("[", ",", "]")
+      s"CASE WHEN list_sum(list_transform(generate_series(1, $EmbDims), i -> iv[i] * ($lst)[i])) >= 0 THEN '1' ELSE '0' END AS b$j"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until NearDupPlanes / NearDupRowsPerBand).map { bi =>
+      val ks = (0 until NearDupRowsPerBand)
+        .map(r => s"b${bi * NearDupRowsPerBand + r}").mkString(" || ")
+      s"SELECT vec_id, $bi AS band_idx, $ks AS band_key FROM bits"
+    }.mkString("\n  UNION ALL ")
+    s"""iv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.BitScale}.0 + 0.5) AS BIGINT)) AS iv
+       |  FROM embeddings),
+       |bits AS (SELECT vec_id,
+       |    $bitExprs
+       |  FROM iv),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id)""".stripMargin
+  }
 
   private def annCosSql(extraJoin: String, extraCol: String, k: Int): String =
     s"""WITH $annNormCte,
@@ -252,6 +301,16 @@ object ExtQueries {
          |  SELECT e.src, l.label FROM edges e JOIN lab l ON l.doc_id = e.dst)
          |SELECT doc_id, min(label) AS keep_id FROM lab GROUP BY doc_id""".stripMargin
     },
+
+    "x_embed_neardup" ->
+      s"""WITH $annNormCte,
+         |${pairCosineSql("nrm a JOIN nrm b ON a.vec_id < b.vec_id")}""".stripMargin,
+
+    "x_embed_neardup_lsh" ->
+      s"""WITH $annNormCte,
+         |$signBitBandCtesSql,
+         |${pairCosineSql(
+           "cand c JOIN nrm a ON a.vec_id = c.vec_a JOIN nrm b ON b.vec_id = c.vec_b")}""".stripMargin,
 
     "x_ann_cosine" -> annCosSql("", "", 5),
 

@@ -73,6 +73,29 @@ class ExtSpec extends SparkSuite {
     assert(math.abs(top(1)._3 - 0.707107) < 1e-6)
   }
 
+  test("cosineNearDupLsh works at non-64 widths and matches the exact baseline") {
+    val base = Array.tabulate(32)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(32)(i => (math.cos(3 * i + 2) * 0.5).toFloat)
+    val emb = Seq((0L, base), (1L, near), (2L, far)).toDF("vec_id", "embedding")
+    val lsh = Similarity.cosineNearDupLsh(emb, "vec_id", "embedding",
+        threshold = 0.9, dims = 32)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.cosineNearDupExact(emb, "vec_id", "embedding", 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((0L, 1L)))
+    assert(lsh == exact) // identical vectors-modulo-epsilon collide in every band
+  }
+
+  test("signBitBands fails fast on embedding/hyperplane width mismatch") {
+    val emb = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.cosineNearDupLsh(emb, "vec_id", "embedding",
+        threshold = 0.5, dims = 64).collect()
+    }
+    assert(ex.getMessage.contains("width"))
+  }
+
   test("bucketedTopK only searches the query's bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 0),
