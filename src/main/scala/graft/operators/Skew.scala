@@ -31,8 +31,21 @@ object Skew {
     * fully identical duplicate rows land in one bucket — acceptable,
     * since identical rows carry no distinguishing work anyway.
     */
-  private def salt(df: DataFrame, buckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(buckets.toLong))
+  private def salt(df: DataFrame, buckets: Int): Column = {
+    // xxhash64 rejects MapType (no canonical entry order) anywhere in a
+    // column's type, so hash only the hashable columns; rows identical
+    // on those still spread as long as ANY hashable column varies. A
+    // row that is all-maps degrades to one bucket — correct, not spread.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    if (cols.isEmpty) lit(0L)
+    else pmod(xxhash64(cols.toSeq: _*), lit(buckets.toLong))
+  }
 
   /** Two-phase skew-safe SUM/COUNT aggregation: phase 1 on (keys, salt)
     * caps any reducer's share of a hot key at 1/buckets; phase 2

@@ -46,13 +46,32 @@ object Bronze {
       .withColumn("_audit_extracted_at", current_timestamp())
       .withColumn("_audit_source", lit(source))
 
-  /** S9/S10 sink: append into the day-partitioned bronze lake. */
+  /** Clustering-on-write (the reference's BigQuery `cluster_by`,
+    * dags/01:191): sort within partitions by (partition col, cluster
+    * cols) so each output file's row groups carry tight, mostly
+    * non-overlapping min/max stats on the cluster keys — at scale the
+    * difference between row-group skipping and full-partition scans for
+    * point/range reads on those keys. Leading with the partition col
+    * also satisfies the partitioned writer's required ordering, so no
+    * second sort is inserted.
+    */
+  private def clustered(df: DataFrame, partCol: String, clusterBy: Seq[String]): DataFrame =
+    if (clusterBy.isEmpty) df
+    else df.sortWithinPartitions((partCol +: clusterBy).map(col): _*)
+
+  /** S9/S10 sink: append into the day-partitioned bronze lake,
+    * clustering rows within each file on `clusterBy`.
+    */
   def appendPartitioned(df: DataFrame, path: String,
-                        partCol: String = "_audit_logical_date"): Unit =
-    df.write.mode("append").partitionBy(partCol).parquet(path)
+                        partCol: String = "_audit_logical_date",
+                        clusterBy: Seq[String] = Nil): Unit =
+    clustered(df, partCol, clusterBy)
+      .write.mode("append").partitionBy(partCol).parquet(path)
 
   /** S11: disaster-recovery truncate-reload (WRITE_TRUNCATE semantics). */
   def overwritePartitioned(df: DataFrame, path: String,
-                           partCol: String = "_audit_logical_date"): Unit =
-    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+                           partCol: String = "_audit_logical_date",
+                           clusterBy: Seq[String] = Nil): Unit =
+    clustered(df, partCol, clusterBy)
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
 }

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Keys
+import graft.functions.{Keys, Numeric}
 import graft.operators.{Dedup, Merge}
 
 /** Intermediate + gold models: enrichment join, physical-range gate,
@@ -101,7 +101,15 @@ object Gold {
     PivotCol(34, "wind_speed_ms"),
     PivotCol(22, "wind_direction_deg", scale = 0))
 
-  private def pAvg(p: PivotCol): Column = round(avg(p.value), p.scale).as(p.name)
+  /** Mart pivot rounding goes through [[Numeric.roundBin]], not Spark
+    * `round()`: round() renders the double to decimal and HALF_UPs the
+    * string, so a negative half-value (temperature -0.125 → -0.13) can
+    * disagree with engines that round the binary value — the SURVEY
+    * §7.5.5 parity hazard. roundBin (floor(x·10^s + 0.5)/10^s) is the
+    * same exact IEEE ops in every engine and in the oracle twins.
+    */
+  private def pAvg(p: PivotCol): Column =
+    Numeric.roundBin(avg(p.value), p.scale).as(p.name)
 
   private def calendarCols: Seq[Column] = Seq(
     to_date(col("measurement_hour_utc")).as("date_utc"),
@@ -171,7 +179,7 @@ object Gold {
     */
   def finalizeMart(partials: DataFrame, pivots: Seq[PivotCol], keyName: String): DataFrame = {
     val display = pivots.map(p =>
-      round(col(s"${p.name}__sum") / col(s"${p.name}__cnt"), p.scale).as(p.name))
+      Numeric.roundBin(col(s"${p.name}__sum") / col(s"${p.name}__cnt"), p.scale).as(p.name))
     withMartKey(partials.select(partials.columns.map(col) ++ display: _*), keyName)
   }
 

@@ -43,9 +43,13 @@ object OpenAqPipeline {
     val nLoc = rawLoc.count()
     if (nLoc > 0) Bronze.appendPartitioned(rawLoc, s"$bronzeDir/raw_locations")
     val nMeas = rawMeas.count()
-    if (nMeas > 0) Bronze.appendPartitioned(rawMeas, s"$bronzeDir/raw_measurements")
+    if (nMeas > 0) Bronze.appendPartitioned(rawMeas, s"$bronzeDir/raw_measurements",
+      clusterBy = MeasurementsCluster)
     (nLoc, nMeas)
   }
+
+  /** Raw-measurements clustering keys (reference dags/01:191 cluster_by). */
+  private val MeasurementsCluster = Seq("_audit_sensor_id", "_audit_extracted_at")
 
   /** Transform: read bronze, materialize gold tables partitioned by day
     * (marts partition on the hour column's date like the reference's
@@ -57,8 +61,12 @@ object OpenAqPipeline {
       spark.read.parquet(s"$bronzeDir/raw_measurements"))
     m.dimLocations.write.mode("overwrite").parquet(s"$goldDir/dim_locations")
     import org.apache.spark.sql.functions.{col, to_date}
+    // marts cluster on (country_code, location_id) within each day file
+    // (mart_location_air_quality.sql:9 cluster_by) — BI reads filtered on
+    // country/location then skip row groups instead of scanning the day
     def writeMart(df: DataFrame, name: String): Unit =
       df.withColumn("__day", to_date(col("measurement_hour_utc")))
+        .sortWithinPartitions(col("__day"), col("country_code"), col("location_id"))
         .write.mode("overwrite").partitionBy("__day").parquet(s"$goldDir/$name")
     writeMart(m.martAirQuality, "mart_location_air_quality")
     writeMart(m.martWeather, "mart_location_weather")
@@ -75,7 +83,7 @@ object OpenAqPipeline {
       s"$bronzeDir/raw_locations")
     Bronze.overwritePartitioned(
       Bronze.readNdjson(spark, Schemas.measurementsEnvelope, lakeMeasurementsGlob),
-      s"$bronzeDir/raw_measurements")
+      s"$bronzeDir/raw_measurements", clusterBy = MeasurementsCluster)
     transform(spark, bronzeDir, goldDir)
   }
 }

@@ -57,6 +57,23 @@ object Checks {
         (unix_timestamp(asOf) - unix_timestamp(col("max_loaded_at"))) / 3600.0)
       .filter(col("max_loaded_at").isNull || col("age_hours") > maxAgeHours)
 
+  /** Two-level source freshness, the reference's full contract
+    * (src_openaq.yml:8-11: warn_after 24h, error_after 48h): empty
+    * result = fresh; otherwise one row whose `severity` column is
+    * 'error' past the error threshold (or when the source is empty),
+    * 'warn' past the warn threshold.
+    */
+  def freshnessLevels(df: DataFrame, tsColumn: String, warnAfterHours: Int = 24,
+                      errorAfterHours: Int = 48,
+                      asOf: Column = current_timestamp()): DataFrame =
+    df.agg(max(col(tsColumn)).as("max_loaded_at"))
+      .withColumn("age_hours",
+        (unix_timestamp(asOf) - unix_timestamp(col("max_loaded_at"))) / 3600.0)
+      .withColumn("severity",
+        when(col("max_loaded_at").isNull || col("age_hours") > errorAfterHours, lit("error"))
+          .when(col("age_hours") > warnAfterHours, lit("warn")))
+      .filter(col("severity").isNotNull)
+
   /** Run a named batch of checks; returns (name, violationCount) — the
     * dbt-build-style summary. Counts run as independent Spark jobs.
     */

@@ -147,6 +147,12 @@ object AnalyticsQueries {
         lit("2024-03-01 00:00:00").cast("timestamp"))
     }),
 
+    // ---- A7 two-level freshness (warn 24h / error 48h, src_openaq.yml:8-11)
+    "chk_freshness_levels" -> ((s, d) => {
+      Checks.freshnessLevels(Tables.events(s, d), "ts", 24, 48,
+        lit("2024-03-01 00:00:00").cast("timestamp"))
+    }),
+
     // ---- X2 is_not_future_year over a computed calendar column
     "chk_not_future_year" -> ((s, d) => {
       Checks.isNotFutureYear(
@@ -280,6 +286,18 @@ object AnalyticsQueries {
         |      - CAST(floor(epoch(max(ts))) AS BIGINT)) / 3600.0 AS age_hours
         |  FROM events)
         |WHERE max_loaded_at IS NULL OR age_hours > 48""".stripMargin,
+
+    "chk_freshness_levels" ->
+      """SELECT max_loaded_at, age_hours, severity FROM (
+        |  SELECT max_loaded_at, age_hours,
+        |    CASE WHEN max_loaded_at IS NULL OR age_hours > 48 THEN 'error'
+        |         WHEN age_hours > 24 THEN 'warn' END AS severity
+        |  FROM (
+        |    SELECT max(ts) AS max_loaded_at,
+        |      (epoch(TIMESTAMP '2024-03-01 00:00:00')
+        |        - CAST(floor(epoch(max(ts))) AS BIGINT)) / 3600.0 AS age_hours
+        |    FROM events))
+        |WHERE severity IS NOT NULL""".stripMargin,
 
     "chk_not_future_year" ->
       """SELECT event_id, CAST(year(ts) AS BIGINT) AS year_utc FROM events

@@ -29,28 +29,30 @@ object StreamingHourly {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), "1 hour").as("w") +: keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_events"),
-        round(avg(col(valueCol)), 2).as("avg_value"))
+        graft.functions.Numeric.roundBin(avg(col(valueCol)), 2).as("avg_value"))
       .select(col("w.start").as("window_start") +:
         (keyCols.map(col) ++ Seq(col("n_events"), col("avg_value"))): _*)
 
   /** T2: a foreachBatch sink that MERGEs each micro-batch into a parquet
-    * mart by key (A6 upsert), with a staging-dir swap for atomicity on a
-    * plain filesystem. Pass to `writeStream.foreachBatch(mergeSink(...))`.
+    * mart by key (A6 upsert). Commit goes through [[AtomicSwap]]: a
+    * readable mart exists at every step, and a replayed batch (crash
+    * between data commit and checkpoint commit) is detected by its
+    * batchId marker and skipped. Pass to
+    * `writeStream.foreachBatch(mergeSink(...))`.
     *
     * At scale this is where a table format (Delta/Iceberg) would take
-    * over MERGE + atomicity; the staging-swap keeps the same contract on
-    * bare parquet.
+    * over MERGE + atomicity; the swap keeps the same contract on bare
+    * parquet.
     */
   def mergeSink(outPath: String, keys: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val fs = new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(outPath)
-    val staging = new Path(outPath + s"__staging_$batchId")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicSwap.heal(fs, target)
+    if (AtomicSwap.lastAppliedBatchId(fs, target).exists(_ >= batchId)) return
     val merged =
       if (fs.exists(target)) Merge.upsert(spark.read.parquet(outPath), batch, keys)
       else batch
-    merged.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(target, true)
-    fs.rename(staging, target)
+    AtomicSwap.commit(merged, outPath, batchId)
   }
 }

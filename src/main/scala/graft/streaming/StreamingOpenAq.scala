@@ -54,25 +54,25 @@ object StreamingOpenAq {
 
   /** foreachBatch sink over PARTIALS: union the batch's (sum, count)
     * rows with the partial columns already in the mart, re-sum per group
-    * key, re-derive the display AVG columns, and swap the parquet in
-    * atomically (same staging-dir contract as
-    * [[StreamingHourly.mergeSink]]).
+    * key, re-derive the display AVG columns, and commit via
+    * [[AtomicSwap]]. Idempotence matters MORE here than for a key-upsert
+    * sink: partials are additive, so a replayed batch would double-count
+    * its (sum, count) into the averages — the batchId marker check makes
+    * replay a no-op instead.
     */
   def algebraicMergeSink(outPath: String, pivots: Seq[Gold.PivotCol], keyName: String)(
       batchPartials: DataFrame, batchId: Long): Unit = {
     val spark = batchPartials.sparkSession
-    val fs = new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(outPath)
-    val staging = new Path(outPath + s"__staging_$batchId")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicSwap.heal(fs, target)
+    if (AtomicSwap.lastAppliedBatchId(fs, target).exists(_ >= batchId)) return
     val combined =
       if (fs.exists(target)) {
         val existing = spark.read.parquet(outPath).select(
           batchPartials.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
         Gold.combinePartials(existing.unionByName(batchPartials))
       } else batchPartials
-    Gold.finalizeMart(combined, pivots, keyName)
-      .write.mode("overwrite").parquet(staging.toString)
-    fs.delete(target, true)
-    fs.rename(staging, target)
+    AtomicSwap.commit(Gold.finalizeMart(combined, pivots, keyName), outPath, batchId)
   }
 }

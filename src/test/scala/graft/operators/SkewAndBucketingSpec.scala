@@ -19,6 +19,16 @@ class SkewAndBucketingSpec extends SparkSuite {
     assert(salted == direct)
   }
 
+  test("salting works on frames carrying unhashable (map) columns") {
+    val df = Seq((1L, 2.0), (1L, 3.0), (2L, 4.0)).toDF("k", "v")
+      .withColumn("m", map(lit("a"), $"v"))
+    val r = Skew.saltedSumCount(df, Seq("k"), "v", buckets = 4)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSet
+    assert(r == Set((1L, 5.0, 2L), (2L, 4.0, 1L)))
+    val j = Skew.saltedJoin(df, Seq(1L).toDF("k"), Seq("k"), buckets = 4)
+    assert(j.count() == 2)
+  }
+
   test("saltedJoin equals the direct join, including rows multiplicity") {
     val left = (1 to 500).map(i => (if (i % 5 == 0) i.toLong else 1L, s"l$i")).toDF("k", "lv")
     val right = Seq((1L, "r1"), (5L, "r5"), (10L, "r10"), (999L, "none")).toDF("k", "rv")

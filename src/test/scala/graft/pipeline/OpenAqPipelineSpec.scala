@@ -98,6 +98,21 @@ class OpenAqPipelineSpec extends SparkSuite {
     assert(beta.getAs[Double]("wind_direction_deg") == 360.0)
   }
 
+  test("mart rounding is binary half-up: negative half-values don't HALF_UP away") {
+    // avg = -0.125 exactly (2^-3): plain round() renders the decimal
+    // string and HALF_UPs to -0.13; the engine contract (roundBin,
+    // §7.5.5) is floor(x·100 + 0.5)/100 = -0.12 in every engine.
+    val sens = Seq((1L, 10L, "Loc", "US", 1.0, 2.0))
+      .toDF("sensor_id", "location_id", "location_name", "country_code",
+        "latitude", "longitude")
+    val meas = Seq((1L, "2026-01-01 05:10:00", 100, -0.125))
+      .toDF("sensor_id", "ts", "parameter_id", "measurement_value")
+      .select($"sensor_id", $"ts".cast("timestamp").as("measured_from_utc"),
+        $"parameter_id", $"measurement_value")
+    val w = Gold.martWeather(meas, sens).collect().head
+    assert(w.getAs[Double]("temp_celsius") == -0.12)
+  }
+
   test("declarative check suite: all green except the planted RI violation") {
     val staging = Checks.run(OpenAqChecks.staging(m.stgLocations, m.stgSensors, m.stgMeasurements))
     val expect = staging.map { case (name, n) =>

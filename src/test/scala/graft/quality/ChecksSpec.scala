@@ -27,6 +27,20 @@ class ChecksSpec extends SparkSuite {
     assert(Checks.freshness(df, "loaded_at", 24, asOfStale).count() == 1)
   }
 
+  test("freshnessLevels: fresh → empty, warn band, error band, empty source") {
+    import org.apache.spark.sql.functions._
+    val df = Seq("2026-01-01 00:00:00").toDF("s")
+      .select(col("s").cast("timestamp").as("loaded_at"))
+    def sev(asOf: String, src: org.apache.spark.sql.DataFrame = df): Seq[String] =
+      Checks.freshnessLevels(src, "loaded_at", 24, 48,
+          lit(asOf).cast("timestamp"))
+        .select("severity").as[String].collect().toSeq
+    assert(sev("2026-01-01 10:00:00").isEmpty)            // 10h: fresh
+    assert(sev("2026-01-02 10:00:00") == Seq("warn"))     // 34h: warn band
+    assert(sev("2026-01-03 10:00:00") == Seq("error"))    // 58h: error band
+    assert(sev("2026-01-01 10:00:00", df.limit(0)) == Seq("error")) // empty source
+  }
+
   test("run returns per-check violation counts") {
     val df = Seq((1L, 1.0)).toDF("k", "v")
     val res = Checks.run(Seq(
