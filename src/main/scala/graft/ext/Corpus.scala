@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Numeric
+
+/** Corpus-preparation operators for training-data pipelines: dataset
+  * splitting, vocabulary statistics, inverse-document-frequency term
+  * weighting, composite quality gating.
+  *
+  * Scale design: the split and the quality gate are pure per-row
+  * projections (no shuffle, whole-stage codegen). Vocabulary and tf-idf
+  * are one keyed aggregation each on (token) / (doc, token) with
+  * map-side partial aggregation; the global top-k is
+  * TakeOrderedAndProject (per-partition top-k then a single tiny merge,
+  * never a full sort); the per-doc top-k is a window over each doc's
+  * already-small term list. No driver-side iteration anywhere.
+  */
+object Corpus {
+
+  /** Deterministic 0-255 bucket from the first md5 byte of the id —
+    * reproducible across engines, runs, and partitionings (md5, not
+    * murmur/xxhash, for oracle parity; same rationale as the MinHash
+    * family). The SQL text is valid in both Spark and DuckDB, so the
+    * Spark expression and the oracle share one definition.
+    */
+  def splitBucketSql(idExpr: String): String =
+    s"CAST((instr('0123456789abcdef', substr(md5(CAST($idExpr AS STRING)), 1, 1)) - 1) * 16" +
+      s" + instr('0123456789abcdef', substr(md5(CAST($idExpr AS STRING)), 2, 1)) - 1 AS BIGINT)"
+
+  def splitBucket(idCol: String): Column = expr(splitBucketSql(idCol))
+
+  /** Train/val/test assignment by hash bucket: stable under corpus
+    * growth (a document's split never changes when others are added) —
+    * the property random() splits lack. Defaults ≈ 80/10/10
+    * (204/26/26 of 256).
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  trainUpper: Int = 204, valUpper: Int = 230): DataFrame =
+    df.withColumn("bucket", splitBucket(idCol))
+      .withColumn("split",
+        when(col("bucket") < trainUpper, "train")
+          .when(col("bucket") < valUpper, "val")
+          .otherwise("test"))
+
+  /** Top-k vocabulary by document frequency (distinct per doc), with a
+    * deterministic (df desc, token asc) tie-break.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(k)
+
+  /** Per-document top-k terms by tf/df weighting (the log-free tf-idf
+    * variant: same ranking as tf·idf for a fixed doc since log is
+    * monotone, but a single exact IEEE division instead of a libm log
+    * whose last ulp varies across engines). Emits (doc, token, tf, df,
+    * score) for the winners.
+    */
+  def tfidfTop(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .withColumn("score", Numeric.roundBin(col("tf").cast("double") / col("df"), 6))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Composite quality gate (the filter stage every pretraining corpus
+    * runs): token-count band + stopword-ratio floor + language
+    * requirement. Returns the PASSING docs with their metrics — one
+    * projection, no shuffle; at 100 TB this is a map-only job.
+    */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                    stopwords: Seq[String], minTokens: Long, maxTokens: Long,
+                    minStopRatio: Double, requiredLang: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs.select(col(idCol),
+        size(toks).cast("bigint").as("n_tokens"),
+        Numeric.roundBin(
+          TextOps.markerCount(col(textCol), stopwords).cast("double") / size(toks), 4)
+          .as("stop_ratio"),
+        TextOps.langId(col(textCol)).as("lang_pred"))
+      .filter(col("n_tokens").between(minTokens, maxTokens) &&
+        col("stop_ratio") >= minStopRatio &&
+        col("lang_pred") === requiredLang)
+  }
+}

@@ -45,11 +45,32 @@ object DedupOps {
   /** All pairs (a < b) with n-gram Jaccard ≥ threshold, via inverted-index
     * self-join on the shingle. `jaccard` is rounded order-independently
     * (integer set sizes, single IEEE division) for cross-engine parity.
+    *
+    * `maxShingleDf`: optional document-frequency cap — shingles appearing
+    * in more than this many documents are excluded from the self-join
+    * (NOT from the set sizes). The join's cost is Σ per-shingle df², so a
+    * single stopword-like shingle with df = 10⁶ alone costs 10¹² pair
+    * rows; capping df bounds every bucket. Standard at corpus scale.
+    * Recall impact: a capped shingle no longer counts toward n_common,
+    * so `jaccard` is an UNDER-estimate for pairs sharing hot shingles —
+    * pairs whose overlap is mostly boilerplate may drop below threshold
+    * (usually the desired behavior: boilerplate overlap isn't near-dup
+    * evidence). Set sizes stay exact.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.02): DataFrame = {
-    val sh = shingleIndexHashed(docs, idCol, textCol, n)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+                   n: Int = 3, threshold: Double = 0.02,
+                   maxShingleDf: Option[Long] = None): DataFrame = {
+    val sh0 = shingleIndexHashed(docs, idCol, textCol, n)
+    val sizes = sh0.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val sh = maxShingleDf match {
+      case None => sh0
+      case Some(cap) =>
+        // shingles are DISTINCT per doc, so count = document frequency;
+        // one keyed aggregation (map-side combined) + a semi-join
+        val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select(col("shingle"))
+        sh0.join(rare, Seq("shingle"), "left_semi")
+    }
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))

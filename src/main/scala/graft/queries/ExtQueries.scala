@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{DedupOps, Similarity, TextOps}
+import graft.ext.{Corpus, DedupOps, Similarity, TextOps}
 import graft.functions.Numeric
 
 /** Training-data-pipeline operators (beyond the reference): text
@@ -106,6 +106,23 @@ object ExtQueries {
       Similarity.cosineNearDupLsh(Tables.embeddings(s, d), "vec_id",
         "embedding", NearDupTau, NearDupPlanes, NearDupRowsPerBand, EmbDims)),
 
+    // ---- deterministic 80/10/10 train/val/test split by md5 bucket
+    "x_train_split" -> ((s, d) =>
+      Corpus.assignSplit(Tables.documents(s, d).select(col("doc_id")), "doc_id")),
+
+    // ---- top-50 vocabulary by document frequency
+    "x_vocab_topk" -> ((s, d) =>
+      Corpus.vocabulary(Tables.documents(s, d), "doc_id", "text", 50)),
+
+    // ---- per-doc top-3 distinctive terms (tf/df weighting)
+    "x_tfidf_top" -> ((s, d) =>
+      Corpus.tfidfTop(Tables.documents(s, d), "doc_id", "text", 3)),
+
+    // ---- composite quality gate: token band + stopword floor + language
+    "x_quality_filter" -> ((s, d) =>
+      Corpus.qualityFilter(Tables.documents(s, d), "doc_id", "text",
+        Stopwords, 20, 80, 0.02, "en")),
+
     // ---- per-label centroids (tall form: label × dim → exact scaled
     //      mean). The k-means-update / class-prototype aggregation shape;
     //      posexplode keeps it one shuffle on (label, dim).
@@ -123,6 +140,20 @@ object ExtQueries {
 
   private def stopFilterSql(listExpr: String, words: Seq[String]): String =
     s"len(list_filter($listExpr, x -> ${words.map(w => s"x = '$w'").mkString(" OR ")}))"
+
+  // language-ID fragments shared by the x_lang_id / x_quality_filter oracles
+  private def langCountColsSql: String = TextOps.LangMarkers.map { case (lang, set) =>
+    s"${stopFilterSql("string_split(text, ' ')", set)} AS c_$lang"
+  }.mkString(",\n  ")
+
+  private def langCaseSql: String = {
+    val langs = TextOps.LangMarkers.map(_._1)
+    val chain = langs.map { l =>
+      val geAll = langs.map(o => s"c_$l >= c_$o").mkString(" AND ")
+      s"WHEN c_$l > 0 AND $geAll THEN '$l'"
+    }.mkString("\n    ")
+    s"CASE $chain\n    ELSE 'unknown' END"
+  }
 
   private val shingleCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -223,23 +254,50 @@ object ExtQueries {
               "CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE) / len(string_split(text, ' '))", 4)} AS avg_token_len
          |FROM documents""".stripMargin,
 
-    "x_lang_id" -> {
-      val countCols = TextOps.LangMarkers.map { case (lang, set) =>
-        s"${stopFilterSql("string_split(text, ' ')", set)} AS c_$lang"
-      }.mkString(",\n  ")
-      val langs = TextOps.LangMarkers.map(_._1)
-      val caseChain = langs.map { l =>
-        val geAll = langs.map(o => s"c_$l >= c_$o").mkString(" AND ")
-        s"WHEN c_$l > 0 AND $geAll THEN '$l'"
-      }.mkString("\n    ")
+    "x_lang_id" ->
       s"""WITH c AS (SELECT doc_id, lang,
-         |  $countCols
+         |  $langCountColsSql
          |FROM documents)
          |SELECT doc_id, lang,
-         |  CASE $caseChain
-         |    ELSE 'unknown' END AS lang_pred
-         |FROM c""".stripMargin
-    },
+         |  $langCaseSql AS lang_pred
+         |FROM c""".stripMargin,
+
+    "x_train_split" ->
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 204 THEN 'train'
+         |       WHEN bucket < 230 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${Corpus.splitBucketSql("doc_id")} AS bucket
+         |      FROM documents)""".stripMargin,
+
+    "x_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents))
+        |SELECT token, count(*) AS df FROM tok
+        |GROUP BY token ORDER BY df DESC, token LIMIT 50""".stripMargin,
+
+    "x_tfidf_top" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |s AS (SELECT doc_id, token, tf, df,
+         |        ${Numeric.roundBinSql("CAST(tf AS DOUBLE) / df", 6)} AS score
+         |      FROM tf JOIN dfq USING (token))
+         |SELECT doc_id, token, tf, df, score FROM s
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) <= 3""".stripMargin,
+
+    "x_quality_filter" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  ${Numeric.roundBinSql(
+              s"CAST(${stopFilterSql("string_split(text, ' ')", Stopwords)} AS DOUBLE) / len(string_split(text, ' '))", 4)} AS stop_ratio,
+         |  $langCountColsSql
+         |FROM documents)
+         |SELECT doc_id, n_tokens, stop_ratio, lang_pred FROM (
+         |  SELECT doc_id, n_tokens, stop_ratio, $langCaseSql AS lang_pred FROM c)
+         |WHERE n_tokens BETWEEN 20 AND 80 AND stop_ratio >= 0.02 AND lang_pred = 'en'""".stripMargin,
 
     "x_fingerprint" ->
       """SELECT doc_id,

@@ -35,6 +35,18 @@ class ExtSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("jaccardPairs df cap: non-binding cap changes nothing; cap=1 kills shared shingles") {
+    val uncapped = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val capped = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        maxShingleDf = Some(4)) // df ≤ #docs → drops nothing
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(capped == uncapped && capped.nonEmpty)
+    // cap=1 excludes every shared shingle → no pair can form
+    assert(DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+      maxShingleDf = Some(1)).isEmpty)
+  }
+
   test("lshCandidates surfaces near-dups; exact dups always collide") {
     val cand = DedupOps.lshCandidates(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
@@ -48,6 +60,51 @@ class ExtSpec extends SparkSuite {
     assert(m(1L) == m(4L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
+  }
+
+  test("assignSplit: deterministic, stable under corpus growth, ~80/10/10") {
+    val small = (1L to 200L).toDF("doc_id")
+    val big = (1L to 2000L).toDF("doc_id")
+    val s1 = Corpus.assignSplit(small, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val s2 = Corpus.assignSplit(big, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1.forall { case (id, sp) => s2(id) == sp }) // growth never reassigns
+    val frac = s2.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.797) < 0.05)
+    assert(math.abs(frac("val") - 0.102) < 0.04)
+    assert(math.abs(frac("test") - 0.102) < 0.04)
+  }
+
+  test("vocabulary ranks by document frequency with token tie-break") {
+    val v = Corpus.vocabulary(docs, "doc_id", "text", 3)
+      .as[(String, Long)].collect().toSeq
+    assert(v.head._2 == 3 && v.map(_._2).sorted.reverse == v.map(_._2))
+    assert(v == v.sortBy(t => (-t._2, t._1)))
+  }
+
+  test("tfidfTop surfaces each doc's distinctive tokens, not shared ones") {
+    val top = Corpus.tfidfTop(docs, "doc_id", "text", 2)
+      .select("doc_id", "token").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // doc 3's vocabulary is unique to it → its top tokens have df=1
+    assert(top(3L).subsetOf(Set("completely", "different", "words", "about", "spark",
+      "catalyst", "optimizer", "plans", "and", "shuffles", "here")))
+    // docs 1/2/4 share almost everything; their distinctive tokens are the
+    // trailing word that differs (today/now)
+    assert(top(2L).contains("now"))
+  }
+
+  test("qualityFilter applies token band + stop ratio + language gates") {
+    val qdocs = Seq(
+      (1L, "the cat sat on the mat and the dog is here today again ok fine"), // passes
+      (2L, "short text"),                                    // too few tokens
+      (3L, "el gato y la casa de que y el perro aqui esta hoy bien vale si")) // wrong lang
+      .toDF("doc_id", "text")
+    val r = Corpus.qualityFilter(qdocs, "doc_id", "text",
+      Seq("the", "a", "of", "and", "is"), 5, 100, 0.02, "en")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(r == Seq(1L))
   }
 
   test("langId picks marker-majority language deterministically") {
