@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProductScaled, MinHashAgg, WordShingles}
+
+/** Session extension registering graft's native Catalyst expressions as
+  * SQL functions, so the pure-SQL surface (`spark.sql`, thrift/connect
+  * clients, the reference's dbt-style SQL users) can call them without
+  * touching the Scala Column API:
+  *
+  *  - `dot_product_scaled(a, b, scale)` — exact scaled-integer dot
+  *    product (codegen'd loop; [[graft.functions.DotProductScaled]])
+  *  - `word_shingles(text, n[, distinct])` — native word n-gram
+  *    shingling ([[graft.functions.WordShingles]])
+  *  - `minhash_sig(shingle, k)` — mergeable MinHash sketch aggregate
+  *    ([[graft.functions.MinHashAgg]])
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)` —
+  * the standard `SparkSessionExtensions` injection point (the same
+  * mechanism Delta/Iceberg use), chosen over `spark.udf.register`
+  * because these are Catalyst expressions: they keep codegen, constant
+  * folding, and null-propagation instead of opaque UDF dispatch.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def lit[T](e: Expression, what: String): T = {
+    require(e.foldable, s"$what must be a literal, got: $e")
+    e.eval().asInstanceOf[T]
+  }
+  private def intLit(e: Expression, what: String): Int =
+    lit[Number](e, what).intValue
+  private def longLit(e: Expression, what: String): Long =
+    lit[Number](e, what).longValue
+
+  private def info(clazz: Class[_], name: String) =
+    new ExpressionInfo(clazz.getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product_scaled"),
+      info(classOf[DotProductScaled], "dot_product_scaled"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "dot_product_scaled(arrayA, arrayB, scale)")
+        DotProductScaled(args(0), args(1), longLit(args(2), "scale"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info(classOf[WordShingles], "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "word_shingles(text, n[, distinct])")
+        val distinct = args.length == 3 && lit[Boolean](args(2), "distinct")
+        WordShingles(args(0), intLit(args(1), "n"), distinct)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info(classOf[MinHashAgg], "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig(shingle, k)")
+        MinHashAgg(args(0), intLit(args(1), "k"))
+      }))
+  }
+}

@@ -32,6 +32,27 @@ object ScaleSmoke {
     time("lsh candidates")(
       println("candidates: " + graft.ext.DedupOps.lshCandidates(x10, "doc_id", "text").count()))
     time("simhash")(println("simhash: " + graft.ext.DedupOps.simhash(x10, "doc_id", "text").count()))
+    time("vocabulary top-50")(
+      println("vocab: " + graft.ext.Corpus.vocabulary(x10, "doc_id", "text", 50).count()))
+    time("tfidf top-3")(
+      println("tfidf rows: " + graft.ext.Corpus.tfidfTop(x10, "doc_id", "text", 3).count()))
+
+    // embeddings ×10: per-copy perturbation keeps copies near- but not
+    // exactly-collinear, so the LSH pair count grows output-proportionally
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val embX10 = (0 until 10).map { i =>
+      val pert = Array.tabulate(64)(d => (math.sin(i * 64 + d) * 0.01))
+      emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        zip_with(col("embedding"), typedLit(pert.toSeq),
+          (x, p) => (x + p).cast("float")).as("embedding"))
+    }.reduce(_ unionByName _)
+    embX10.cache(); println(s"vectors: ${embX10.count()}")
+    // scale-sized banding: 64 planes in 4×16-bit bands (the sf-test query's
+    // 16/4 demo parameters give only 16 buckets per band — at 20k vectors
+    // that regenerates ~n²/4 candidate pairs and the verify stage IS the n²)
+    time("embed neardup lsh")(
+      println("neardup pairs: " + graft.ext.Similarity.cosineNearDupLsh(
+        embX10, "vec_id", "embedding", 0.4, nPlanes = 64, rowsPerBand = 16).count()))
     spark.stop()
   }
 }

@@ -116,37 +116,37 @@ object Similarity {
       if ((d(0) & 1) == 0) 1 else -1
     }
 
-  /** Integer-quantized vector: floor(vᵢ·BitScale + 0.5) as int64 (exact
-    * IEEE ops) — the basis for order-independent signed sums.
-    */
-  private def quantized(vecCol: Column): Column =
-    transform(vecCol, x =>
-      floor(x.cast("double") * lit(BitScale.toDouble) + lit(0.5)).cast("long"))
-
   /** SimHash-for-embeddings banding: sign bit of ⟨v, plane_j⟩ per
     * hyperplane, grouped into bands of `rowsPerBand` bits →
     * (id, band_idx, band_key). Vectors at angle θ agree per bit with
     * probability 1 − θ/π, so near-dups collide in some band w.h.p.
+    *
+    * Each signed sum is the codegen'd [[graft.functions.DotProductScaled]]
+    * against a ±1 float plane literal — Σᵢ floor(vᵢ·pᵢ·BitScale + 0.5)
+    * as int64, exact IEEE ops, so the sign is order/engine-independent
+    * and the oracle embeds the identical formula. (The composable
+    * `aggregate(zip_with(...))` formulation is interpreted per element —
+    * 16 planes × dims lambda dispatches per row dominated the whole
+    * operator at the 10× smoke scale.)
     */
   def signBitBands(emb: DataFrame, idCol: String, vecCol: String,
                    planes: Array[Array[Int]], rowsPerBand: Int): DataFrame = {
-    // fail fast on a width mismatch: zip_with would null-pad, the signed
-    // sums would go NULL, every row would share one band key, and the
-    // candidate join would silently degenerate to the full cross product
+    // fail fast on a width mismatch: a null dot would otherwise fall to
+    // the otherwise("0") branch, every row would share one band key, and
+    // the candidate join would silently degenerate to a cross product
     val dims = planes.head.length
-    val guarded = when(size(col(vecCol)) === dims, quantized(col(vecCol)))
+    val guarded = when(size(col(vecCol)) === dims, col(vecCol))
       .otherwise(raise_error(concat(
         lit(s"signBitBands: embedding width != hyperplane width $dims (got "),
         size(col(vecCol)).cast("string"), lit(")"))))
-    val withIv = emb.select(col(idCol), guarded.as("iv"))
+    val withV = emb.select(col(idCol), guarded.as("__v"))
     val bits = planes.map { p =>
-      val signed = zip_with(col("iv"), typedLit(p.map(_.toLong).toSeq),
-        (x, c) => x * c)
-      when(aggregate(signed, lit(0L), (acc, x) => acc + x) >= 0, lit("1"))
-        .otherwise(lit("0"))
+      val dot = graft.functions.DotProductScaled.dotScaled(
+        col("__v"), typedLit(p.map(_.toFloat).toSeq), BitScale)
+      when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
     val bands = bits.grouped(rowsPerBand).map(g => concat(g: _*)).toSeq
-    withIv.select(col(idCol),
+    withV.select(col(idCol),
       posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
   }
 
@@ -187,6 +187,15 @@ object Similarity {
     * LSH recall (1 − (1 − p^r)^b, p = 1 − θ/π); both the bucketing and
     * the verification are cross-engine deterministic, so the oracle
     * reproduces the exact same pair set.
+    *
+    * SIZE THE BANDS TO THE CORPUS: a band key has `rowsPerBand` bits, so
+    * a band hashes into 2^rowsPerBand buckets and expected candidates
+    * grow as b·n²/2^r. The defaults (r=4 → 16 buckets) are demo-scale;
+    * at n = 20k they already regenerate ~n²/4 pairs (measured in the 10×
+    * smoke), and at 100 TB they'd be the job. Pick
+    * r ≳ log₂(n) − log₂(target bucket size) — e.g. r=16, b=4 (64 planes)
+    * holds buckets to ~n/65k — and accept the recall exponent p^r, which
+    * for true near-dups (p ≥ 0.9) stays useful across a few bands.
     */
   def cosineNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, nPlanes: Int = 16,

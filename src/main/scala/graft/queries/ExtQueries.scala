@@ -199,21 +199,22 @@ object ExtQueries {
     */
   private def signBitBandCtesSql: String = {
     val planes = Similarity.hyperplanes(NearDupPlanes, EmbDims)
+    // the same per-term formula DotProductScaled generates:
+    // floor((x · ±1) · BitScale + 0.5) summed as int64
     val bitExprs = planes.zipWithIndex.map { case (p, j) =>
       val lst = p.mkString("[", ",", "]")
-      s"CASE WHEN list_sum(list_transform(generate_series(1, $EmbDims), i -> iv[i] * ($lst)[i])) >= 0 THEN '1' ELSE '0' END AS b$j"
+      s"CASE WHEN list_sum(list_transform(generate_series(1, $EmbDims), " +
+        s"i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * (($lst)[i]) * ${Similarity.BitScale}.0 + 0.5) AS BIGINT))) >= 0 " +
+        s"THEN '1' ELSE '0' END AS b$j"
     }.mkString(",\n    ")
     val bandSelects = (0 until NearDupPlanes / NearDupRowsPerBand).map { bi =>
       val ks = (0 until NearDupRowsPerBand)
         .map(r => s"b${bi * NearDupRowsPerBand + r}").mkString(" || ")
       s"SELECT vec_id, $bi AS band_idx, $ks AS band_key FROM bits"
     }.mkString("\n  UNION ALL ")
-    s"""iv AS (SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.BitScale}.0 + 0.5) AS BIGINT)) AS iv
-       |  FROM embeddings),
-       |bits AS (SELECT vec_id,
+    s"""bits AS (SELECT vec_id,
        |    $bitExprs
-       |  FROM iv),
+       |  FROM embeddings),
        |bands AS (
        |  $bandSelects),
        |cand AS (

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface parity for the injected functions: same results as the
+  * Column-API entry points, through a session built with the extension.
+  */
+class GraftExtensionsSpec extends SparkSuite {
+
+  private def withExtSession[A](f: SparkSession => A): A = {
+    val base = spark // force the shared suite session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try f(ext)
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("dot_product_scaled is callable from SQL and matches the Column API") {
+    withExtSession { s =>
+      val r = s.sql(
+        """SELECT dot_product_scaled(array(float(1.0), float(2.0)),
+          |                          array(float(3.0), float(4.0)),
+          |                          1000000000000) AS d""".stripMargin)
+        .collect().head.getLong(0)
+      assert(r == 11L * 1000000000000L)
+      // null propagation on length mismatch, like zip_with
+      assert(s.sql(
+        "SELECT dot_product_scaled(array(float(1.0)), array(float(1.0), float(2.0)), 10)")
+        .collect().head.isNullAt(0))
+    }
+  }
+
+  test("word_shingles is callable from SQL with and without distinct") {
+    withExtSession { s =>
+      val r = s.sql("SELECT word_shingles('a b c d', 3) AS sh")
+        .collect().head.getSeq[String](0)
+      assert(r == Seq("a b c", "b c d"))
+      val d = s.sql("SELECT word_shingles('a b a b a b', 2, true) AS sh")
+        .collect().head.getSeq[String](0)
+      assert(d == Seq("a b", "b a"))
+    }
+  }
+
+  test("minhash_sig aggregate from SQL equals the min(md5) formulation") {
+    withExtSession { s =>
+      s.sql("SELECT explode(array('x y z', 'y z w', 'z w v')) AS shingle")
+        .createOrReplaceTempView("sh")
+      val row = s.sql(
+        """SELECT minhash_sig(shingle, 2) AS sig,
+          |       min(md5(concat('0|', shingle))) AS mh0,
+          |       min(md5(concat('1|', shingle))) AS mh1
+          |FROM sh""".stripMargin).collect().head
+      val sig = row.getSeq[String](0)
+      assert(sig == Seq(row.getString(1), row.getString(2)))
+    }
+  }
+}

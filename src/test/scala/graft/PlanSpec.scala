@@ -67,6 +67,25 @@ class PlanSpec extends SparkSuite {
       s"pruning lost through ts conversion: $rs")
   }
 
+  test("x_train_split / x_quality_filter: pure projections — zero exchanges") {
+    Seq("x_train_split", "x_quality_filter").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
+    }
+  }
+
+  test("x_vocab_topk: global top-k is TakeOrdered, never a full sort") {
+    val p = planOf("x_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degraded to sort:\n$p")
+    assert(p.contains("partial_"), "df aggregation lost map-side combine")
+  }
+
+  test("x_embed_neardup_lsh: candidate generation is an equi-join, not a cross product") {
+    val p = planOf("x_embed_neardup_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH banding degenerated to all-pairs:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot loop)") {
     Seq("q1_agg", "f1_range_filter", "p7_surrogate_key", "a1_hourly_pivot").foreach { q =>
       // AQE hides codegen stages until execution — run, then read the final plan

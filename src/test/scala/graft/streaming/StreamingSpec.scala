@@ -44,6 +44,39 @@ class StreamingSpec extends SparkSuite {
     assert(got.exists { case (w, k, n, a) => k == "a" && n == 2 && a == 2.0 })
   }
 
+  test("streaming first-wins dedup drops within-watermark duplicates across batches") {
+    val src = Files.createTempDirectory("graft_stream_dd_src").toString
+    val out = Files.createTempDirectory("graft_stream_dd_out").toString + "/deduped"
+    val ckpt = Files.createTempDirectory("graft_stream_dd_ckpt").toString
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src)
+      val q = StreamingDedup.firstWins(stream, Seq("key"), "ts", "2 hours")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    writeBatch(src, Seq(
+      ("2026-01-01 05:10:00", "a", 1.0), ("2026-01-01 05:20:00", "a", 2.0)))
+    runOnce()
+    // wave 2 re-sends key "a" (duplicate, still within watermark state)
+    // plus a new key "b"
+    writeBatch(src, Seq(
+      ("2026-01-01 05:30:00", "a", 3.0), ("2026-01-01 05:40:00", "b", 4.0)))
+    runOnce()
+
+    val rows = spark.read.parquet(out).as[(java.sql.Timestamp, String, Double)]
+      .collect().toSet
+    assert(rows == Set(
+      (java.sql.Timestamp.valueOf("2026-01-01 05:10:00"), "a", 1.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 05:40:00"), "b", 4.0)))
+  }
+
   test("foreachBatch mergeSink upserts micro-batches by key into parquet") {
     val src = Files.createTempDirectory("graft_stream_src2").toString
     val out = Files.createTempDirectory("graft_stream_out").toString + "/mart"
