@@ -71,6 +71,41 @@ object Corpus {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("score"))
   }
 
+  /** Deterministic stratified sample: k rows per stratum, chosen by
+    * md5-of-id order (engine-portable, reproducible at any parallelism —
+    * the `ORDER BY rand()` sample that isn't). One shuffle on the
+    * stratum key; the per-stratum window never materializes more than a
+    * partition's rows. Trailing id tie-break keeps the window total.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Train/test DECONTAMINATION: for each eval-split document, how many
+    * of its distinct word n-grams appear anywhere in the training split
+    * — the standard n-gram-overlap contamination check run before
+    * training on any scraped corpus. Returns (id, n_contaminated) for
+    * eval docs with at least one hit.
+    *
+    * Scale shape: the training side collapses to its distinct n-gram
+    * vocabulary FIRST (one keyed aggregation — at 100 TB this is the
+    * vocabulary table, not the corpus), then one inverted-index
+    * equi-join on the n-gram against the (much smaller) eval side and a
+    * count per eval doc. No cross product anywhere.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val trainVocab = DedupOps.shingleIndex(train, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    DedupOps.shingleIndex(eval, idCol, textCol, n)
+      .join(trainVocab, Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** Composite quality gate (the filter stage every pretraining corpus
     * runs): token-count band + stopword-ratio floor + language
     * requirement. Returns the PASSING docs with their metrics — one

@@ -123,6 +123,20 @@ object ExtQueries {
       Corpus.qualityFilter(Tables.documents(s, d), "doc_id", "text",
         Stopwords, 20, 80, 0.02, "en")),
 
+    // ---- deterministic stratified sample: 20 docs per language
+    "x_stratified_sample" -> ((s, d) =>
+      Corpus.stratifiedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", 20)),
+
+    // ---- train/test decontamination: eval docs sharing 5-grams with train
+    "x_decontaminate" -> ((s, d) => {
+      val withB = Corpus.assignSplit(Tables.documents(s, d), "doc_id")
+      Corpus.contamination(
+        withB.filter(col("bucket") < 204),
+        withB.filter(col("bucket") >= 230), "doc_id", "text", n = 5)
+    }),
+
     // ---- per-label centroids (tall form: label × dim → exact scaled
     //      mean). The k-means-update / class-prototype aggregation shape;
     //      posexplode keeps it one shuffle on (label, dim).
@@ -270,6 +284,26 @@ object ExtQueries {
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id, ${Corpus.splitBucketSql("doc_id")} AS bucket
          |      FROM documents)""".stripMargin,
+
+    "x_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY lang
+        |  ORDER BY md5(CAST(doc_id AS STRING)), doc_id) <= 20""".stripMargin,
+
+    "x_decontaminate" -> {
+      val cat = (0 until 5).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      s"""WITH b AS (SELECT doc_id, text, ${Corpus.splitBucketSql("doc_id")} AS bucket
+         |           FROM documents),
+         |toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS ws FROM b),
+         |sh5 AS (SELECT DISTINCT doc_id, bucket, $cat AS shingle
+         |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t),
+         |tv AS (SELECT DISTINCT shingle FROM sh5 WHERE bucket < 204)
+         |SELECT doc_id, count(*) AS n_contaminated
+         |FROM sh5 JOIN tv USING (shingle)
+         |WHERE bucket >= 230
+         |GROUP BY doc_id""".stripMargin
+    },
 
     "x_vocab_topk" ->
       """WITH tok AS (

@@ -95,6 +95,27 @@ class ExtSpec extends SparkSuite {
     assert(top(2L).contains("now"))
   }
 
+  test("stratifiedSample: exactly k per stratum, deterministic across runs") {
+    val df = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val a = Corpus.stratifiedSample(df, "stratum", "id", 5)
+      .as[(Long, String)].collect().toSet
+    val b = Corpus.stratifiedSample(df.orderBy(rand(7)), "stratum", "id", 5)
+      .as[(Long, String)].collect().toSet
+    assert(a == b) // md5 order, not arrival order
+    assert(a.groupBy(_._2).forall(_._2.size == 5))
+  }
+
+  test("contamination counts eval 5-gram overlap against the train vocabulary") {
+    val train = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "a b c d e x y z"),            // shares exactly "a b c d e"
+      (11L, "p q r s t u v w"),            // shares nothing
+      (12L, "a b c d e f g h")).toDF("doc_id", "text") // shares all 4 5-grams
+    val r = Corpus.contamination(train, eval, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(10L -> 1L, 12L -> 4L)) // doc 11 absent (no hits)
+  }
+
   test("qualityFilter applies token band + stop ratio + language gates") {
     val qdocs = Seq(
       (1L, "the cat sat on the mat and the dog is here today again ok fine"), // passes
