@@ -106,6 +106,28 @@ object Corpus {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Sequence PACKING index: assign documents (in deterministic id order
+    * within a shard) to fixed-capacity token bins — the
+    * concat-short-docs-into-training-windows step, computed as a pure
+    * prefix-sum so it distributes: pack_id = ⌊exclusive-prefix-token-sum
+    * / capacity⌋. A doc straddling a boundary stays in the earlier pack
+    * (real packers then split its tokens at write time; the INDEX is the
+    * distributed part). Window runs per shard — the global-order variant
+    * would serialize on one partition, which is exactly what sharding
+    * avoids at 100 TB. All-integer arithmetic, engine-exact.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, capacity: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(shardCol),
+        size(TextOps.tokens(col(textCol))).cast("bigint").as("n_tokens"))
+      .withColumn("__prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id",
+        floor(col("__prev").cast("double") / capacity).cast("bigint"))
+      .drop("__prev")
+  }
+
   /** Composite quality gate (the filter stage every pretraining corpus
     * runs): token-count band + stopword-ratio floor + language
     * requirement. Returns the PASSING docs with their metrics — one

@@ -137,6 +137,11 @@ object ExtQueries {
         withB.filter(col("bucket") >= 230), "doc_id", "text", n = 5)
     }),
 
+    // ---- sequence packing: per-language 512-token training bins
+    "x_pack_sequences" -> ((s, d) =>
+      Corpus.packSequences(Tables.documents(s, d), "doc_id", "text",
+        "lang", capacity = 512)),
+
     // ---- per-label centroids (tall form: label × dim → exact scaled
     //      mean). The k-means-update / class-prototype aggregation shape;
     //      posexplode keeps it one shuffle on (label, dim).
@@ -284,6 +289,19 @@ object ExtQueries {
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id, ${Corpus.splitBucketSql("doc_id")} AS bucket
          |      FROM documents)""".stripMargin,
+
+    "x_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor(CAST(prev AS DOUBLE) / 512) AS BIGINT) AS pack_id
+        |FROM p""".stripMargin,
 
     "x_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -116,6 +116,18 @@ class ExtSpec extends SparkSuite {
     assert(r == Map(10L -> 1L, 12L -> 4L)) // doc 11 absent (no hits)
   }
 
+  test("packSequences bins docs by exclusive prefix token sum per shard") {
+    val df = Seq(
+      (1L, "a", ("w " * 99).trim), (2L, "a", ("w " * 99).trim), // prev 0, 99
+      (3L, "a", ("w " * 99).trim),                              // prev 198
+      (4L, "a", ("w " * 20).trim),                              // prev 297 → pack 1
+      (5L, "b", ("w " * 10).trim))                              // own shard, pack 0
+      .toDF("doc_id", "shard", "text")
+    val r = Corpus.packSequences(df, "doc_id", "text", "shard", capacity = 250)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("qualityFilter applies token band + stop ratio + language gates") {
     val qdocs = Seq(
       (1L, "the cat sat on the mat and the dog is here today again ok fine"), // passes

@@ -63,6 +63,19 @@ class ClusteringSpec extends SparkSuite {
     assert(overlaps(un) > 0, s"unsorted write unexpectedly sorted: $un")
   }
 
+  test("day-partitioned mart reads prune partitions at the scan") {
+    val tmp = Files.createTempDirectory("graft_prune").toString
+    spark.range(100)
+      .select(($"id" % 5).cast("string").as("country_code"), $"id".as("v"),
+        to_date(concat(lit("2026-01-0"), ($"id" % 3 + 1).cast("string"))).as("__day"))
+      .write.partitionBy("__day").parquet(s"$tmp/mart")
+    val q = spark.read.parquet(s"$tmp/mart").filter($"__day" === "2026-01-02")
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("__day"), s"day filter not a partition filter:\n$scan")
+    assert(q.count() == 33)
+  }
+
   test("bronze clusterBy write keeps each partition file sorted on the cluster keys") {
     val tmp = Files.createTempDirectory("graft_cluster_bronze").toString
     val df = spark.range(1000).select(
