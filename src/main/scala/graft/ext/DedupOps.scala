@@ -178,6 +178,29 @@ object DedupOps {
     labels.select(col("doc_id"), col("label").as("keep_id"))
   }
 
+  /** Resolution with a QUALITY-AWARE keeper: real pipelines don't keep
+    * the min-id duplicate, they keep the best one (longest, highest
+    * quality score). Reuses [[resolveComponents]]'s min-label component
+    * ids, then picks argmax(score, tie → min id) per component with one
+    * window — components are tiny (near-dup clusters), so the window
+    * never sees more than a cluster. Returns (doc_id, keep_id) where
+    * keep_id is the component's best-scoring member.
+    */
+  def resolveKeepBest(pairs: DataFrame, scores: DataFrame, idCol: String,
+                      scoreCol: String, maxIterations: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = resolveComponents(pairs, maxIterations)
+      .select(col("doc_id"), col("keep_id").as("__comp"))
+    val scored = comp.join(
+      scores.select(col(idCol).as("doc_id"), col(scoreCol).as("__q")), Seq("doc_id"))
+    val w = Window.partitionBy(col("__comp"))
+      .orderBy(col("__q").desc, col("doc_id").asc)
+    val best = scored
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("__comp"), col("doc_id").as("keep_id"))
+    scored.join(best, Seq("__comp")).select(col("doc_id"), col("keep_id"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 32-bit SimHash per document over n-gram shingles: bit j of the

@@ -95,6 +95,16 @@ object ExtQueries {
         DedupOps.lshCandidates(Tables.documents(s, d), "doc_id", "text"))
     }),
 
+    // ---- dedup resolution with a quality-aware keeper (longest doc wins)
+    "x_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.resolveKeepBest(
+        DedupOps.lshCandidates(docs, "doc_id", "text"),
+        docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens")),
+        "doc_id", "n_tokens")
+    }),
+
     // ---- embedding-cosine near-dup: exact all-pairs baseline (O(n²))
     "x_embed_neardup" -> ((s, d) =>
       Similarity.cosineNearDupExact(Tables.embeddings(s, d), "vec_id",
@@ -183,6 +193,29 @@ object ExtQueries {
     val aggs = (0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
     s"""$shingleCte,
        |sig AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The MinHash→LSH→connected-components chain as DuckDB CTEs ending in
+    * `lab(doc_id, label)` — the recursive label closure equal to Spark's
+    * fixed-point min propagation. Shared by the resolution oracles.
+    */
+  private def resolutionLabCtesSql: String = {
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$minhashSigCte,
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |          UNION ALL SELECT doc_b, doc_a FROM cand),
+       |lab(doc_id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, l.label FROM edges e JOIN lab l ON l.doc_id = e.dst)""".stripMargin
   }
 
   private val annNormCte =
@@ -392,26 +425,20 @@ object ExtQueries {
 
     "x_simhash" -> DedupOps.simhashOracleSql("documents", "doc_id", "text"),
 
-    "x_dedup_resolution" -> {
-      val bandSelects = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM sig"
-      }.mkString("\n  UNION ALL ")
-      // recursive label closure = Spark's fixed-point min propagation
-      s"""WITH RECURSIVE $minhashSigCte,
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-         |          UNION ALL SELECT doc_b, doc_a FROM cand),
-         |lab(doc_id, label) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, l.label FROM edges e JOIN lab l ON l.doc_id = e.dst)
-         |SELECT doc_id, min(label) AS keep_id FROM lab GROUP BY doc_id""".stripMargin
-    },
+    "x_dedup_resolution" ->
+      s"""WITH RECURSIVE $resolutionLabCtesSql
+         |SELECT doc_id, min(label) AS keep_id FROM lab GROUP BY doc_id""".stripMargin,
+
+    "x_dedup_keep_best" ->
+      s"""WITH RECURSIVE $resolutionLabCtesSql,
+         |comp AS (SELECT doc_id, min(label) AS comp_id FROM lab GROUP BY doc_id),
+         |scored AS (SELECT c.doc_id, c.comp_id,
+         |             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS q
+         |           FROM comp c JOIN documents d USING (doc_id)),
+         |best AS (SELECT comp_id, doc_id AS keep_id FROM scored
+         |         QUALIFY row_number() OVER (
+         |           PARTITION BY comp_id ORDER BY q DESC, doc_id) = 1)
+         |SELECT s.doc_id, b.keep_id FROM scored s JOIN best b USING (comp_id)""".stripMargin,
 
     "x_embed_neardup" ->
       s"""WITH $annNormCte,

@@ -140,6 +140,17 @@ class ExtSpec extends SparkSuite {
     assert(r == Seq(1L))
   }
 
+  test("resolveKeepBest keeps the highest-quality member of each dup cluster") {
+    import org.apache.spark.sql.functions.{col => c}
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 7L), (8L, 4L), (9L, 4L))
+      .toDF("doc_id", "quality")
+    val r = DedupOps.resolveKeepBest(pairs, scores, "doc_id", "quality")
+      .as[(Long, Long)].collect().toMap
+    // cluster {1,2,3}: doc 2 has max quality; cluster {8,9}: tie → min id 8
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("langId picks marker-majority language deterministically") {
     val r = Seq(
       "the cat is on a roof and the dog is here",
