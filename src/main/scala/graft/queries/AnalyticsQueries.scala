@@ -141,6 +141,24 @@ object AnalyticsQueries {
           .as("revenue"))
     }),
 
+    // ---- TPC-H Q14 shape: fact×dim join + conditional-share aggregate
+    //      (part is the broadcast dim; one scan, one agg, zero fact shuffle)
+    "q14_promo_share" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-03-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(Tables(s, d, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          Numeric.scaledSum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0.0)), 4)
+            .as("economy_rev"),
+          Numeric.scaledSum(rev, 4).as("total_rev"))
+        .withColumn("economy_share",
+          Numeric.roundBin(col("economy_rev") / col("total_rev"), 6))
+    }),
+
     // ---- A7 freshness vs a pinned as-of (dataset ends 2024-01-30 → stale)
     "chk_freshness" -> ((s, d) => {
       Checks.freshness(Tables.events(s, d), "ts", 48,
@@ -278,6 +296,18 @@ object AnalyticsQueries {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name""".stripMargin,
+
+    "q14_promo_share" ->
+      s"""SELECT economy_rev, total_rev,
+         |  ${Numeric.roundBinSql("economy_rev / total_rev", 6)} AS economy_share
+         |FROM (
+         |  SELECT
+         |    ${Numeric.scaledSumSql(
+              "CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 4)} AS economy_rev,
+         |    ${Numeric.scaledSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS total_rev
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00')""".stripMargin,
 
     "chk_freshness" ->
       """SELECT max_loaded_at, age_hours FROM (
