@@ -145,7 +145,7 @@ object Similarity {
         col("__v"), typedLit(p.map(_.toFloat).toSeq), BitScale)
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
-    val bands = bits.grouped(rowsPerBand).map(g => concat(g: _*)).toSeq
+    val bands = bits.grouped(rowsPerBand).map(g => concat(g.toSeq: _*)).toSeq
     withV.select(col(idCol),
       posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
   }

@@ -180,7 +180,7 @@ object Gold {
   def finalizeMart(partials: DataFrame, pivots: Seq[PivotCol], keyName: String): DataFrame = {
     val display = pivots.map(p =>
       Numeric.roundBin(col(s"${p.name}__sum") / col(s"${p.name}__cnt"), p.scale).as(p.name))
-    withMartKey(partials.select(partials.columns.map(col) ++ display: _*), keyName)
+    withMartKey(partials.select(partials.columns.toSeq.map(col) ++ display: _*), keyName)
   }
 
   /** Incremental mart refresh (T2/F3/A6): keep only measurements at or
