@@ -36,6 +36,18 @@ object ScaleSmoke {
       println("vocab: " + graft.ext.Corpus.vocabulary(x10, "doc_id", "text", 50).count()))
     time("tfidf top-3")(
       println("tfidf rows: " + graft.ext.Corpus.tfidfTop(x10, "doc_id", "text", 3).count()))
+    time("decontaminate") {
+      val withB = graft.ext.Corpus.assignSplit(x10, "doc_id")
+      println("contaminated: " + graft.ext.Corpus.contamination(
+        withB.filter(col("bucket") < 204), withB.filter(col("bucket") >= 230),
+        "doc_id", "text", n = 5).count())
+    }
+    time("pack sequences") {
+      val sharded = x10.withColumn("shard", pmod(col("doc_id"), lit(64L)))
+      val packed = graft.ext.Corpus.packSequences(sharded, "doc_id", "text", "shard", 512)
+      println("max packs/shard: " + packed.groupBy(col("shard"))
+        .agg(max(col("pack_id")).as("m")).agg(max(col("m"))).collect().head.getLong(0))
+    }
 
     // embeddings ×10: per-copy perturbation keeps copies near- but not
     // exactly-collinear, so the LSH pair count grows output-proportionally

@@ -86,6 +86,13 @@ class PlanSpec extends SparkSuite {
       s"LSH banding degenerated to all-pairs:\n$p")
   }
 
+  test("q14_promo_share: part dim broadcasts; shipdate filter pushed to the fact scan") {
+    val p = planOf("q14_promo_share")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate not pushed:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot loop)") {
     Seq("q1_agg", "f1_range_filter", "p7_surrogate_key", "a1_hourly_pivot").foreach { q =>
       // AQE hides codegen stages until execution — run, then read the final plan
