@@ -77,4 +77,48 @@ class PropertiesSpec extends SparkSuite {
         once.collect().toSet == twice.collect().toSet
       }
     })
+
+  check("assignSplit is total, stable under growth, and partitioning-invariant",
+    Prop.forAll(Gen.resize(40, Gen.nonEmptyListOf(Gen.choose(0L, 100000L)))) { ids0 =>
+      val ids = ids0.distinct
+      val df = ids.toDF("doc_id")
+      val s = graft.ext.Corpus.assignSplit(df, "doc_id")
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .as[(Long, Long, String)].collect()
+      val asMap = s.map(r => r._1 -> r._3).toMap
+      val subset = graft.ext.Corpus.assignSplit(ids.take(5).toDF("doc_id"), "doc_id")
+        .select(col("doc_id"), col("split")).as[(Long, String)].collect()
+      s.forall(r => r._2 >= 0 && r._2 < 256) &&
+        s.forall(r => Set("train", "val", "test")(r._3)) &&
+        subset.forall { case (id, sp) => asMap(id) == sp }
+    })
+
+  check("packSequences: pack ids start at 0 and are non-decreasing in id order",
+    Prop.forAll(Gen.resize(30, Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 1000L), Gen.choose(1, 40))))) { raw =>
+      val docs = raw.distinctBy(_._1)
+        .map { case (id, n) => (id, id % 3, ("w " * n).trim) }
+      val df = docs.toDF("doc_id", "shard", "text")
+      val r = graft.ext.Corpus.packSequences(df, "doc_id", "text", "shard", 64)
+        .select(col("shard"), col("doc_id"), col("pack_id"))
+        .as[(Long, Long, Long)].collect()
+      r.groupBy(_._1).values.forall { g =>
+        val packs = g.sortBy(_._2).map(_._3)
+        packs.head == 0L && packs.zip(packs.tail).forall { case (a, b) => a <= b }
+      }
+    })
+
+  check("cosineNearDupLsh is a subset of the exact all-pairs result",
+    Prop.forAll(Gen.resize(12, Gen.nonEmptyListOf(
+      Gen.listOfN(8, Gen.choose(-0.5, 0.5))))) { vecs =>
+      val emb = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(x => (math.round(x * 100) / 100.0).toFloat).toArray) }
+        .toDF("vec_id", "embedding")
+      val exact = graft.ext.Similarity.cosineNearDupExact(emb, "vec_id", "embedding", 0.5)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      val lsh = graft.ext.Similarity.cosineNearDupLsh(emb, "vec_id", "embedding", 0.5,
+          nPlanes = 8, rowsPerBand = 2, dims = 8)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      lsh.subsetOf(exact)
+    })
 }
