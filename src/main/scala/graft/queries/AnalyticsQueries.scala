@@ -159,6 +159,14 @@ object AnalyticsQueries {
           Numeric.roundBin(col("economy_rev") / col("total_rev"), 6))
     }),
 
+    // ---- SCD-2 interval history over the event stream (W family):
+    //      per-user event_type change intervals, open interval NULL-ended
+    "w5_scd2_history" -> ((s, d) =>
+      graft.operators.Scd.type2History(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          col("ts"), col("event_id")),
+        Seq("user_id"), "ts", Seq("event_type"), col("event_id"))),
+
     // ---- A7 freshness vs a pinned as-of (dataset ends 2024-01-30 → stale)
     "chk_freshness" -> ((s, d) => {
       Checks.freshness(Tables.events(s, d), "ts", 48,
@@ -308,6 +316,21 @@ object AnalyticsQueries {
          |  FROM lineitem JOIN part ON l_partkey = p_partkey
          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |    AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00')""".stripMargin,
+
+    "w5_scd2_history" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, event_type, ts AS valid_from, event_id
+        |  FROM ordered
+        |  WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (
+        |    PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+        |FROM changes""".stripMargin,
 
     "chk_freshness" ->
       """SELECT max_loaded_at, age_hours FROM (

@@ -93,6 +93,11 @@ class PlanSpec extends SparkSuite {
       s"shipdate not pushed:\n$p")
   }
 
+  test("w5_scd2_history: both window passes share one key shuffle") {
+    val p = planOf("w5_scd2_history")
+    assert(countOccurrences(p, "Exchange") == 1, s"SCD-2 gained a shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot loop)") {
     Seq("q1_agg", "f1_range_filter", "p7_surrogate_key", "a1_hourly_pivot").foreach { q =>
       // AQE hides codegen stages until execution — run, then read the final plan

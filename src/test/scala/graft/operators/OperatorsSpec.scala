@@ -9,6 +9,31 @@ import graft.functions.{Keys, Numeric}
 class OperatorsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("SCD-2 history: change intervals, null-safe attr compare, open tail") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "u1", Some("A"), "2026-01-01 00:00:00"),
+      (2L, "u1", Some("A"), "2026-01-02 00:00:00"), // no change → folded
+      (3L, "u1", Some("B"), "2026-01-03 00:00:00"), // change
+      (4L, "u1", Some("A"), "2026-01-04 00:00:00"), // back to A = new interval
+      (5L, "u2", None,      "2026-01-01 00:00:00"), // NULL start
+      (6L, "u2", None,      "2026-01-02 00:00:00"), // NULL→NULL: no change
+      (7L, "u2", Some("C"), "2026-01-03 00:00:00")) // NULL→C: change
+      .toDF("id", "user", "attr", "ts_s")
+      .select(col("id"), col("user"), col("attr"),
+        col("ts_s").cast("timestamp").as("ts"))
+    val h = Scd.type2History(df, Seq("user"), "ts", Seq("attr"), col("id"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        r.getTimestamp(2).toString, Option(r.getTimestamp(3)).map(_.toString)))
+      .toSet
+    assert(h == Set(
+      ("u1", Some("A"), "2026-01-01 00:00:00.0", Some("2026-01-03 00:00:00.0")),
+      ("u1", Some("B"), "2026-01-03 00:00:00.0", Some("2026-01-04 00:00:00.0")),
+      ("u1", Some("A"), "2026-01-04 00:00:00.0", None),
+      ("u2", None,      "2026-01-01 00:00:00.0", Some("2026-01-03 00:00:00.0")),
+      ("u2", Some("C"), "2026-01-03 00:00:00.0", None)))
+  }
+
   test("latestWins keeps exactly the newest row per key, tie-broken by id") {
     val df = Seq(
       (1L, "a", 10, 1L), (2L, "a", 20, 1L), (3L, "a", 20, 1L), // key 1: ties on ord=20 → id 3
