@@ -87,13 +87,16 @@ object DedupOps {
   /** MinHash signature: k independent hash functions h_i(s) = md5("i|"+s);
     * the signature component is the lexicographic MIN over the document's
     * shingles — a single groupBy with k min-aggregates over the inverted
-    * index (map-side combining, one shuffle).
+    * index (map-side combining, one shuffle). The k hashes per shingle
+    * come from one native pass ([[graft.functions.MinHashHashes]] —
+    * byte-identical to k separate `min(md5(concat(...)))` chains, which
+    * each paid a digest + concat + hex allocation per shingle).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, n: Int = 3): DataFrame = {
     val sh = shingleIndex(docs, idCol, textCol, n)
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
+      .select(col(idCol), graft.functions.MinHashHashes.hashes(col("shingle"), k).as("hs"))
+    val aggs = (0 until k).map(i => min(element_at(col("hs"), i + 1)).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
