@@ -33,6 +33,9 @@ object Bench {
 
     // min of N reps per query: steadier numbers under ambient load
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // a failed query must not masquerade as a fast one — collect errors
+    // and surface them in the JSON so a regression is visible in the bench
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -40,15 +43,16 @@ object Bench {
         // projection to nothing, so expression-heavy scan queries would
         // time as bare scans; the noop sink materializes every column.
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => errors += name }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
