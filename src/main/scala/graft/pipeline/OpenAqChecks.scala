@@ -58,7 +58,10 @@ object OpenAqChecks {
     "mart_weather.location_id.relationships" ->
       Checks.relationships(weather, "location_id", dim, "location_id"))
 
-  /** src_openaq.yml freshness: warn 24h / error 48h on extracted_at. */
+  /** src_openaq.yml freshness: warn 24h / error 48h on extracted_at —
+    * both bands, as the reference declares them (src_openaq.yml:8-11).
+    */
   def freshness(raw: DataFrame, asOf: org.apache.spark.sql.Column): Seq[(String, DataFrame)] = Seq(
-    "source.freshness.error_48h" -> Checks.freshness(raw, "_audit_extracted_at", 48, asOf))
+    "source.freshness.warn_24h_error_48h" ->
+      Checks.freshnessLevels(raw, "_audit_extracted_at", 24, 48, asOf))
 }

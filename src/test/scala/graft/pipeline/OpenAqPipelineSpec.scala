@@ -125,6 +125,15 @@ class OpenAqPipelineSpec extends SparkSuite {
       .forall(_._2 == 0L))
   }
 
+  test("source freshness two-band check mirrors src_openaq.yml") {
+    val maxTs = rawMeas.agg(max($"_audit_extracted_at")).collect().head.getTimestamp(0)
+    def violations(hoursLater: Int): Long = Checks.run(OpenAqChecks.freshness(rawMeas,
+      lit(new java.sql.Timestamp(maxTs.getTime + hoursLater * 3600000L)))).head._2
+    assert(violations(10) == 0) // fresh
+    assert(violations(30) == 1) // warn band
+    assert(violations(50) == 1) // error band
+  }
+
   test("incremental refresh: boundary re-aggregates, late rows drop, replay idempotent") {
     // existing mart = run-1 measurements only (max hour = 05:00)
     val run1 = OpenAqPipeline.models(rawLoc,
