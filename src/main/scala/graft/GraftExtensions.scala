@@ -19,9 +19,11 @@ import graft.functions.{DotProductScaled, MinHashAgg, WordShingles}
   *    ([[graft.functions.MinHashAgg]])
   *
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
-  * or `SparkSession.builder().withExtensions(new GraftExtensions)` —
-  * the standard `SparkSessionExtensions` injection point (the same
-  * mechanism Delta/Iceberg use), chosen over `spark.udf.register`
+  * (a STATIC conf — it must be set before the SparkContext exists, i.e.
+  * at spark-submit/first-session time; on an already-running context use
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` instead).
+  * This is the standard `SparkSessionExtensions` injection point (the
+  * same mechanism Delta/Iceberg use), chosen over `spark.udf.register`
   * because these are Catalyst expressions: they keep codegen, constant
   * folding, and null-propagation instead of opaque UDF dispatch.
   */
