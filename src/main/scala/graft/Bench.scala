@@ -32,7 +32,9 @@ object Bench {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
     // min of N reps per query: steadier numbers under ambient load
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // (measured same-code totals swing 30.8-43.9 s with 2 reps; 3 reps
+    // tightens the min at ~1 min extra wall time for the whole suite)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // a failed query must not masquerade as a fast one — collect errors
     // and surface them in the JSON so a regression is visible in the bench
     val errors = scala.collection.mutable.LinkedHashSet[String]()
