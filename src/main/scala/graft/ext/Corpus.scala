@@ -73,16 +73,28 @@ object Corpus {
 
   /** Deterministic stratified sample: k rows per stratum, chosen by
     * md5-of-id order (engine-portable, reproducible at any parallelism —
-    * the `ORDER BY rand()` sample that isn't). One shuffle on the
-    * stratum key; the per-stratum window never materializes more than a
-    * partition's rows. Trailing id tie-break keeps the window total.
+    * the `ORDER BY rand()` sample that isn't). Trailing id tie-break
+    * keeps the order total.
+    *
+    * Two-phase exact top-k for skew safety: a single per-stratum window
+    * would serialize a dominant stratum onto one task (a corpus that is
+    * 90% one language puts 90% of 100 TB through one window). Phase 1
+    * ranks within (stratum, hash-salt bucket) — every bucket holds each
+    * stratum's true top-k candidates for its slice — phase 2 re-ranks
+    * the ≤ k·buckets survivors per stratum. Result identical to the
+    * one-window formulation (so the oracle stays the single QUALIFY),
+    * but no task ever sees more than a bucket's rows + k·buckets.
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
-                       k: Int): DataFrame = {
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
-      .drop("__rn")
+                       k: Int, buckets: Int = 32): DataFrame = {
+    val order = Seq(md5(col(idCol).cast("string")), col(idCol))
+    val w1 = Window
+      .partitionBy(col(stratumCol), pmod(xxhash64(col(idCol)), lit(buckets.toLong)))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col(stratumCol)).orderBy(order: _*)
+    df.withColumn("__rn1", row_number().over(w1)).filter(col("__rn1") <= k)
+      .withColumn("__rn2", row_number().over(w2)).filter(col("__rn2") <= k)
+      .drop("__rn1", "__rn2")
   }
 
   /** Train/test DECONTAMINATION: for each eval-split document, how many
