@@ -35,25 +35,29 @@ object Bench {
     // (measured same-code totals swing 30.8-43.9 s with 2 reps; 3 reps
     // tightens the min at ~1 min extra wall time for the whole suite)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    // a failed query must not masquerade as a fast one — collect errors
-    // and surface them in the JSON so a regression is visible in the bench
+    // a failed query must not masquerade as a fast one — collect errors,
+    // surface them in the JSON, and drop failed reps entirely: a failing
+    // rep's (fast) latency would otherwise shrink times.min and the total
     val errors = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink, not count(): under count() Catalyst prunes every
         // projection to nothing, so expression-heavy scan queries would
         // time as bare scans; the noop sink materializes every column.
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => errors += name }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => errors += name; None }
       }
-      name -> times.min
+      name -> times.minOption
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // errored-out queries print as null (JSON-safe) and are excluded
+    // from the total; the errors array is the visibility signal
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -31,6 +31,14 @@ object ScaleSmoke {
     }
     time("lsh candidates")(
       println("candidates: " + graft.ext.DedupOps.lshCandidates(x10, "doc_id", "text").count()))
+    time("dedup resolution") {
+      // convergence telemetry: rounds should stay ~log(component
+      // diameter) as data scales — a super-logarithmic count here is the
+      // early-warning signal for the iterative path
+      val (labels, rounds) = graft.ext.DedupOps.resolveComponentsCounted(
+        graft.ext.DedupOps.lshCandidates(x10, "doc_id", "text"))
+      println(s"resolved: ${labels.count()} labeled docs in $rounds rounds")
+    }
     time("simhash")(println("simhash: " + graft.ext.DedupOps.simhash(x10, "doc_id", "text").count()))
     time("vocabulary top-50")(
       println("vocab: " + graft.ext.Corpus.vocabulary(x10, "doc_id", "text", 50).count()))

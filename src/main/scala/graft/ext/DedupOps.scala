@@ -138,22 +138,36 @@ object DedupOps {
   }
 
   /** Dedup RESOLUTION: collapse candidate pairs into groups and pick a
-    * keeper — connected components by min-label propagation iterated TO A
-    * FIXED POINT (each node adopts the min label among itself and its
-    * neighbors; stop when a round changes no label, so a chained
-    * component A~B~C~… of any eccentricity resolves exactly — a fixed
-    * round count would silently return non-converged labels on long
-    * chains). Labels only ever decrease and are bounded below, so the
-    * fixed point is guaranteed; `maxIterations` is a runaway backstop,
-    * not a correctness parameter. Returns (doc_id, keep_id) for every
-    * doc appearing in a pair; keep_id = component minimum.
+    * keeper — connected components by min-label propagation WITH POINTER
+    * JUMPING, iterated TO A FIXED POINT. Each round every node first
+    * adopts the min label among itself and its neighbors, then shortcuts
+    * through its label's own label (l(v) ← l(l(v)), Shiloach–Vishkin
+    * style): the min label reaches distance-2^k nodes after ~k rounds, so
+    * a chain component converges in O(log diameter) rounds instead of the
+    * O(diameter) plain propagation needs — at corpus scale a pathological
+    * chained component costs ~40 rounds at n = 10¹², not 10¹². Labels
+    * only ever decrease and are bounded below, so the fixed point is
+    * guaranteed; `maxIterations` is a runaway backstop, not a correctness
+    * parameter. At the fixed point every edge's endpoints carry equal
+    * labels (each ≤ the other), i.e. keep_id = component minimum.
+    * Returns (doc_id, keep_id) for every doc appearing in a pair.
     *
-    * Scale note: each round is one join + one groupBy on the node id,
-    * with the convergence probe a cheap count over the checkpointed
+    * Scale note: each round is two keyed joins + one groupBy on the node
+    * id, with the convergence probe a cheap count over the checkpointed
     * round output; at real scale swap localCheckpoint for reliable
     * checkpointing, same loop.
     */
-  def resolveComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+  def resolveComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame =
+    resolveComponentsCounted(pairs, maxIterations)._1
+
+  /** [[resolveComponents]] plus the convergence telemetry a scale run
+    * needs: returns (labels, rounds actually executed). Rounds should
+    * grow ~log(component diameter); a super-logarithmic round count on a
+    * scale-up is the early-warning signal (asserted in ResolveSpec,
+    * logged by ScaleSmoke).
+    */
+  def resolveComponentsCounted(pairs: DataFrame,
+                               maxIterations: Int = 50): (DataFrame, Int) = {
     // materialize the edge list once and truncate label lineage per round —
     // otherwise every iteration's plan re-embeds the full upstream
     // candidate pipeline (~2× per round) and the final plan replays it
@@ -170,15 +184,27 @@ object DedupOps {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min(col("label")).as("nbr_label"))
+      // checkpointed: the jump self-joins stepped against itself, and an
+      // unmaterialized plan would recompute the neighbor-min join per side
       val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint(true)
-      converged = stepped.filter(col("label") < col("prev_label")).isEmpty
-      labels = stepped.select(col("doc_id"), col("label"))
+      // pointer jump: follow the adopted label to ITS label this round —
+      // labels are always node ids, so the lookup is a self-join; the
+      // left join + coalesce covers the component-min node, whose label
+      // (itself) is its own fixed point
+      val jumped = stepped.as("s")
+        .join(stepped.select(col("doc_id").as("label"), col("label").as("jmp")).as("j"),
+          Seq("label"), "left")
+        .select(col("doc_id"), col("prev_label"),
+          least(col("label"), coalesce(col("jmp"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = jumped.filter(col("label") < col("prev_label")).isEmpty
+      labels = jumped.select(col("doc_id"), col("label"))
       round += 1
     }
-    labels.select(col("doc_id"), col("label").as("keep_id"))
+    (labels.select(col("doc_id"), col("label").as("keep_id")), round)
   }
 
   /** Resolution with a QUALITY-AWARE keeper: real pipelines don't keep

@@ -28,7 +28,12 @@ case class MinHashHashes(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_hashes"
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // ThreadLocal, not a shared instance: Spark usually gives each task its
+  // own deserialized expression tree, but driver-side/local evaluation can
+  // evaluate one instance from several threads — a shared mutable digest
+  // would silently interleave reset/update/digest across them
+  @transient private lazy val md = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
   @transient private lazy val salts = Array.tabulate(k)(i => s"$i|".getBytes("UTF-8"))
   @transient private lazy val HexTable = "0123456789abcdef".getBytes
 
@@ -44,14 +49,15 @@ case class MinHashHashes(child: Expression, k: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
+    val digest = md.get()
     val shingle = input.asInstanceOf[UTF8String].getBytes
     val out = new Array[Any](k)
     var i = 0
     while (i < k) {
-      md.reset()
-      md.update(salts(i))
-      md.update(shingle)
-      out(i) = UTF8String.fromBytes(hex(md.digest()))
+      digest.reset()
+      digest.update(salts(i))
+      digest.update(shingle)
+      out(i) = UTF8String.fromBytes(hex(digest.digest()))
       i += 1
     }
     new GenericArrayData(out)

@@ -16,6 +16,12 @@ object ExtQueries {
   private val Stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
   private val AnnScale = Similarity.Scale
 
+  // capped-Jaccard parameters (shared by Spark query and oracle): the df
+  // cap is the 100 TB knob — sized so it actually excludes shingles on
+  // every testdata sf (max df is 7 at sf0.01, 25 at sf0.1)
+  private val JaccardDfCap = 5L
+  private val JaccardCappedThreshold = 0.05
+
   // embedding near-dup parameters (shared by Spark query and oracle)
   private val NearDupTau = 0.4
   private val NearDupPlanes = 16
@@ -61,6 +67,17 @@ object ExtQueries {
     "x_jaccard_pairs" -> ((s, d) =>
       DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.1)),
+
+    // ---- Jaccard with the hot-shingle df cap — the variant you'd run at
+    //      100 TB (join cost is Σ df², so one stopword-like shingle with
+    //      df=10⁶ alone costs 10¹² pair rows; the cap bounds every bucket).
+    //      Capped shingles don't count toward n_common → jaccard is an
+    //      under-estimate for boilerplate-heavy pairs, replicated exactly
+    //      in the oracle's HAVING df <= cap semi-join.
+    "x_jaccard_capped" -> ((s, d) =>
+      DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = JaccardCappedThreshold,
+        maxShingleDf = Some(JaccardDfCap))),
 
     // ---- MinHash signatures (8 hashes over 3-shingles)
     "x_minhash_sig" -> ((s, d) =>
@@ -406,6 +423,23 @@ object ExtQueries {
          |      JOIN sizes sa ON sa.doc_id = doc_a
          |      JOIN sizes sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, n_common, jaccard FROM j WHERE jaccard >= 0.1""".stripMargin,
+
+    "x_jaccard_capped" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle
+         |         HAVING count(*) <= $JaccardDfCap),
+         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b, n_common,
+         |        ${Numeric.roundBinSql("CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)", 4)} AS jaccard
+         |      FROM pairs
+         |      JOIN sizes sa ON sa.doc_id = doc_a
+         |      JOIN sizes sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, n_common, jaccard FROM j
+         |WHERE jaccard >= $JaccardCappedThreshold""".stripMargin,
 
     "x_minhash_sig" ->
       s"""WITH $minhashSigCte

@@ -43,6 +43,15 @@ object StreamingHourly {
     * At scale this is where a table format (Delta/Iceberg) would take
     * over MERGE + atomicity; the swap keeps the same contract on bare
     * parquet.
+    *
+    * MARKER/CHECKPOINT COUPLING: the `_applied_batch` marker is only
+    * meaningful relative to the streaming checkpoint that produced its
+    * batchIds. Deleting or relocating the checkpoint while keeping the
+    * mart restarts batchIds at 0, and every batch up to the stored marker
+    * would be skipped as a "replay" — silently dropping real data. Treat
+    * mart + checkpoint as one unit: wipe both or neither (same rule
+    * Delta's txn-id dedup has). See SEMANTICS.md "Streaming commit
+    * contract".
     */
   def mergeSink(outPath: String, keys: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession

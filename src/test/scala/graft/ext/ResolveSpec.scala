@@ -17,4 +17,24 @@ class ResolveSpec extends SparkSuite {
     val pairs = Seq((5L, 7L)).toDF("doc_a", "doc_b")
     assert(DedupOps.resolveComponents(pairs).count() == 2)
   }
+
+  test("pointer jumping: a 64-node chain converges in O(log n) rounds, not O(diameter)") {
+    // worst case for label propagation: one chain 1-2-…-64 (diameter 63).
+    // Plain neighbor-min moves the min one hop per round (63 rounds);
+    // with the l(l(v)) shortcut the reach doubles, so ~log2(63)+ε rounds.
+    // This is the guard that keeps scale-up runs honest about iteration
+    // growth: a super-logarithmic round count here is a regression.
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = DedupOps.resolveComponentsCounted(pairs)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == 64 && got.forall(_._2 == 1L))
+    assert(rounds <= 10, s"diameter-63 chain took $rounds rounds")
+  }
+
+  test("round telemetry: star graph converges in 2 rounds (1 step + 1 confirm)") {
+    val pairs = (2L to 9L).map(i => (1L, i)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = DedupOps.resolveComponentsCounted(pairs)
+    assert(labels.as[(Long, Long)].collect().forall(_._2 == 1L))
+    assert(rounds <= 2, s"star took $rounds rounds")
+  }
 }
