@@ -9,19 +9,25 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample stages.
   *
-  * The DECODE STEP IS A STUB — this container has no image/audio codecs,
-  * so `decodeHeaderStub` parses a deterministic fake format (12-byte
-  * header of 3 big-endian ints: width, height, channels; payload =
-  * pixel/sample bytes). Everything around it is the real Spark plumbing a
-  * production pipeline needs and is tested: the (content binary, meta
-  * struct) schema, `mapPartitions` batch shape (one decoder init per
-  * partition, the expensive part with a real codec), partitioning
+  * IMAGE decode is REAL: payloads whose magic bytes identify a JDK-decodable
+  * format (PNG/JPEG/GIF/BMP) go through `javax.imageio` — width, height,
+  * raster band count, and mean sample intensity come from actual pixel
+  * data. AUDIO/VIDEO decode remains a STUB (`decodeHeaderStub`: 12-byte
+  * header of 3 big-endian ints + payload bytes) because this container
+  * ships no audio/video codecs; the dispatch point (`imageFeatures`) and
+  * call-site shape are exactly where an FFmpeg-style codec would slot in.
+  * The surrounding Spark plumbing is the production shape and is tested:
+  * the (content binary, meta struct) schema, `mapPartitions` batch shape
+  * (per-partition decoder setup — here `ImageIO.setUseCache(false)`, with
+  * a real native codec the expensive context init), partitioning
   * guidance, and deterministic downstream features.
   *
   * Scale design: binary payloads dominate row size ⇒ repartition by a
   * size-balanced key before decode (`repartitionForDecode`), never
   * groupBy raw bytes, and keep features (small) separate from content
-  * (huge) so downstream joins move kilobytes not terabytes.
+  * (huge) so downstream joins move kilobytes not terabytes. ImageIO's
+  * default disk-backed stream cache is disabled per partition — one tmp
+  * file per decode would turn a CPU-bound stage IO-bound at scale.
   */
 object Multimodal {
 
@@ -31,14 +37,53 @@ object Multimodal {
                            mean_intensity: Double, content_hash: String)
   case class FrameSample(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
-  /** STUB decode (see object doc): header → (width, height, channels).
-    * A real implementation would hand `bytes` to an image codec here;
-    * the signature and call-site shape would not change.
+  /** STUB decode for non-image kinds (see object doc): header →
+    * (width, height, channels). A real audio/video implementation would
+    * hand `bytes` to a codec here; the signature and call-site shape
+    * would not change.
     */
   def decodeHeaderStub(bytes: Array[Byte]): (Int, Int, Int) = {
     require(bytes.length >= 12, s"media payload too short: ${bytes.length}")
     val bb = ByteBuffer.wrap(bytes)
     (bb.getInt(0), bb.getInt(4), bb.getInt(8))
+  }
+
+  /** Magic-byte sniff for the formats the JDK's ImageIO decodes out of
+    * the box. Sniffing (not the `kind`/`mime` columns) decides the decode
+    * path: metadata lies at corpus scale, leading bytes don't.
+    */
+  def isDecodableImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && {
+      val b = bytes
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) || // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') || // GIF
+      (b(0) == 'B' && b(1) == 'M') // BMP
+    }
+
+  /** REAL image decode via `javax.imageio`: (width, height, bands, mean
+    * sample intensity over every band of every pixel, 0–255). Fails
+    * loudly on bytes that sniffed as an image but don't decode —
+    * silently feature-ing garbage is how corrupt shards poison a
+    * training corpus.
+    */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"image-sniffed payload failed to decode (${bytes.length} bytes)")
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, bands, sum.toDouble / (w.toLong * h * bands))
   }
 
   /** Wrap raw binaries + metadata into the canonical media schema. */
@@ -55,20 +100,29 @@ object Multimodal {
     ds.repartition(partitions, col("media_id"))
 
   /** Decode + feature-extract, one partition at a time (`mapPartitions`
-    * so a real codec would be initialized once per partition, not per
-    * row). Features are deterministic: mean payload byte intensity +
-    * md5 content hash.
+    * so decoder setup happens once per partition, not per row). Real
+    * `ImageIO` decode for sniffed image formats; header-stub decode for
+    * everything else (audio/video/synthetic). Features are
+    * deterministic: mean sample/byte intensity + md5 content hash.
     */
   def imageFeatures(ds: Dataset[MediaFile]): Dataset[ImageFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
+      // per-partition decoder setup: no disk-backed ImageIO cache (one
+      // tmp file per decode would make this stage IO-bound at scale)
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
-        val (w, h, c) = decodeHeaderStub(m.content)
-        val payload = m.content.drop(12)
-        val mean =
-          if (payload.isEmpty) 0.0
-          else payload.map(b => (b & 0xff).toLong).sum.toDouble / payload.length
+        val (w, h, c, mean) =
+          if (isDecodableImage(m.content)) decodeImage(m.content)
+          else {
+            val (sw, sh, sc) = decodeHeaderStub(m.content)
+            val payload = m.content.drop(12)
+            val smean =
+              if (payload.isEmpty) 0.0
+              else payload.map(b => (b & 0xff).toLong).sum.toDouble / payload.length
+            (sw, sh, sc, smean)
+          }
         md.reset()
         val hash = md.digest(m.content).map("%02x".format(_)).mkString
         ImageFeatures(m.media_id, w, h, c, mean, hash)

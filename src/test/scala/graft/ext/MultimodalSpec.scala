@@ -30,6 +30,39 @@ class MultimodalSpec extends SparkSuite {
     assert(again == feats.view.mapValues(_.content_hash).toMap)
   }
 
+  test("imageFeatures decodes a REAL PNG via javax.imageio (width/height/bands/mean from pixels)") {
+    // 4x2 grayscale PNG, pixels 0,32,64,96 / 128,160,192,224 → mean 112
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.getRaster.setSample(x, y, 0, (y * 4 + x) * 32)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(isDecodableImage(png)) // sniffed as real image → ImageIO path
+
+    // rgb 1x1 red PNG: 3 bands, mean = (255+0+0)/3
+    val rgb = new java.awt.image.BufferedImage(1, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0xff0000)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos2)
+
+    val media = asMediaTable(spark, Seq(
+      MediaFile(1L, "image", png, MediaMeta("gray.png", "image/png", png.length.toLong)),
+      MediaFile(2L, "image", bos2.toByteArray,
+        MediaMeta("red.png", "image/png", bos2.size.toLong)),
+      // non-image payload in the same partition → stub path still works
+      fakeMedia(3L, "audio", 44100, 2, 16, Array[Byte](50, 70))))
+    val feats = imageFeatures(repartitionForDecode(media, 2))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 4 && feats(1L).height == 2 && feats(1L).channels == 1)
+    assert(feats(1L).mean_intensity == 112.0)
+    assert(feats(2L).width == 1 && feats(2L).height == 1 && feats(2L).channels == 3)
+    assert(feats(2L).mean_intensity == 85.0)
+    assert(feats(3L).width == 44100 && feats(3L).mean_intensity == 60.0)
+  }
+
   test("sampleFrames slices payload into stride-sampled frames") {
     val media = asMediaTable(spark, Seq(
       fakeMedia(7L, "video", 16, 16, 3, Array.tabulate[Byte](40)(_.toByte))))
