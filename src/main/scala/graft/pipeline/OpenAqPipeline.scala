@@ -60,17 +60,71 @@ object OpenAqPipeline {
       spark.read.parquet(s"$bronzeDir/raw_locations"),
       spark.read.parquet(s"$bronzeDir/raw_measurements"))
     m.dimLocations.write.mode("overwrite").parquet(s"$goldDir/dim_locations")
-    import org.apache.spark.sql.functions.{col, to_date}
-    // marts cluster on (country_code, location_id) within each day file
-    // (mart_location_air_quality.sql:9 cluster_by) — BI reads filtered on
-    // country/location then skip row groups instead of scanning the day
-    def writeMart(df: DataFrame, name: String): Unit =
-      df.withColumn("__day", to_date(col("measurement_hour_utc")))
-        .sortWithinPartitions(col("__day"), col("country_code"), col("location_id"))
-        .write.mode("overwrite").partitionBy("__day").parquet(s"$goldDir/$name")
-    writeMart(m.martAirQuality, "mart_location_air_quality")
-    writeMart(m.martWeather, "mart_location_weather")
+    writeMart(m.martAirQuality, s"$goldDir/mart_location_air_quality")
+    writeMart(m.martWeather, s"$goldDir/mart_location_weather")
     m
+  }
+
+  /** Full mart (re)write, day-partitioned. Marts cluster on
+    * (country_code, location_id) within each day file
+    * (mart_location_air_quality.sql:9 cluster_by) — BI reads filtered on
+    * country/location then skip row groups instead of scanning the day.
+    */
+  def writeMart(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, to_date}
+    df.withColumn("__day", to_date(col("measurement_hour_utc")))
+      .sortWithinPartitions(col("__day"), col("country_code"), col("location_id"))
+      .write.mode("overwrite").partitionBy("__day").parquet(path)
+  }
+
+  /** PARTITION-SCOPED incremental mart refresh — the write path that
+    * makes `Gold.incrementalRefresh` hold at 100×. A full-table
+    * overwrite per daily refresh rewrites the whole mart (years of
+    * days) to change one boundary day; here only the partitions the
+    * fresh slice touches are read, merged, and rewritten:
+    *
+    *  1. boundary = existing mart's max hour (same cut as
+    *     `Gold.incrementalRefresh`, F3 semantics: boundary hour
+    *     re-aggregates, strictly-late rows drop);
+    *  2. the re-pivoted fresh slice determines the touched day set —
+    *     for a daily T-1 run that is 1–2 partitions out of thousands;
+    *  3. only those days of the existing mart enter the merge (a
+    *     broadcast semi-join on the partition column — dynamic
+    *     partition pruning keeps the scan to the touched directories);
+    *  4. the merged slice is written with
+    *     `partitionOverwriteMode=dynamic`, which replaces exactly the
+    *     partitions present in the output and leaves every other day's
+    *     files untouched (asserted byte-identical in
+    *     IncrementalWriteSpec).
+    *
+    * The merged slice is localCheckpoint-materialized before the write:
+    * it is read from the same path it overwrites, and on bare parquet
+    * the materialization is what stands in for a table format's
+    * transactional MERGE (at real scale: reliable checkpoint or a
+    * staging dir + rename, same shape).
+    */
+  def refreshMart(spark: SparkSession, validMeasurements: DataFrame,
+                  sensorsEnriched: DataFrame, keyName: String,
+                  pivot: (DataFrame, DataFrame) => DataFrame,
+                  path: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, max, to_date}
+    val existing = spark.read.parquet(path)
+    val bound = existing.agg(max(col("measurement_hour_utc")).as("__bound"))
+    val fresh = validMeasurements
+      .crossJoin(broadcast(bound))
+      .filter(col("measured_from_utc") >= col("__bound"))
+      .drop("__bound")
+    val batch = pivot(fresh, sensorsEnriched)
+      .withColumn("__day", to_date(col("measurement_hour_utc")))
+    val touchedDays = batch.select(col("__day")).distinct()
+    val touchedExisting =
+      existing.join(broadcast(touchedDays), Seq("__day"), "left_semi")
+    graft.operators.Merge.upsert(touchedExisting, batch, Seq(keyName))
+      .sortWithinPartitions(col("__day"), col("country_code"), col("location_id"))
+      .localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__day").parquet(path)
   }
 
   /** Disaster recovery (dags/99): full-lake wildcard rescan, truncate
