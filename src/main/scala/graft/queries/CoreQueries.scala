@@ -184,6 +184,16 @@ object CoreQueries {
           col("n_events"), col("avg_value"))
     }),
 
+    // ---- T2/T3 as a DRIVER QUERY: the whole streaming chain (file
+    //      stream → watermarked hourly agg with algebraic running state →
+    //      update-mode keyed MERGE → AvailableNow drain) executes inside
+    //      the query fn and the committed mart is the result. scaledAvg
+    //      state makes it bit-identical to the batch oracle regardless of
+    //      micro-batch splits — streaming gets the same hash gate and
+    //      bench visibility as every batch operator.
+    "t2_streaming_merge" -> ((s, d) =>
+      graft.streaming.StreamingHourly.availableNowHourlyMart(s, d)),
+
     // ---- §7.3 flagship slice: extract → key → dedup → quality gate → hourly agg.
     //      Composed lazily so Catalyst fuses the whole medallion chain
     //      (view-inlining parity, SURVEY §3.2).
@@ -312,6 +322,13 @@ object CoreQueries {
     "t1_tumbling_window" ->
       s"""SELECT date_trunc('hour', ts) AS window_start,
          | date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+         | count(*) AS n_events, ${Numeric.scaledAvgSql("value")} AS avg_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // batch-equivalence IS the contract: the streaming chain must land on
+    // exactly the answer this batch SQL gives over the same events
+    "t2_streaming_merge" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          | count(*) AS n_events, ${Numeric.scaledAvgSql("value")} AS avg_value
          |FROM events GROUP BY 1, 2""".stripMargin,
 

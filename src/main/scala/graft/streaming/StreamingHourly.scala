@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.Merge
 
@@ -53,6 +54,60 @@ object StreamingHourly {
     * Delta's txn-id dedup has). See SEMANTICS.md "Streaming commit
     * contract".
     */
+  /** The full T1+T2+T3 chain run END-TO-END as one call, batch-parity
+    * deterministic: the events parquet becomes a file-stream source, the
+    * hourly aggregation keeps (scaled-integer sum, count) running state
+    * (`Numeric.scaledAvg` — order-independent, so the result is
+    * bit-identical to the batch/oracle answer no matter how the source
+    * splits into micro-batches), update-mode emission feeds
+    * [[mergeSink]]'s keyed upsert, and `Trigger.AvailableNow` drains the
+    * source and stops (T3's data-aware trigger). Returns the committed
+    * mart. Registered as driver query `t2_streaming_merge`, so the
+    * streaming path has the same oracle + bench visibility as every
+    * batch operator.
+    *
+    * Update-mode note: append mode would withhold every window newer
+    * than (max ts − watermark) — the final hours of a drained backlog
+    * never emit. Update mode re-emits a window's RUNNING aggregate
+    * whenever a batch changes it; the keyed upsert keeps the last
+    * (= complete) value, which is exactly MERGE-by-key semantics (T2).
+    *
+    * Each call uses a fresh work dir: checkpoint, marker, and mart are
+    * born and die together (see MARKER/CHECKPOINT COUPLING on
+    * [[mergeSink]]).
+    */
+  def availableNowHourlyMart(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_mart").toString
+    val mart = s"$work/mart"
+    // same nanos-ts handling as Tables.events, stream-side: schema from a
+    // cheap batch footer read, int64 nanos → micros timestamp projection
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob form, not the bare path: the file-stream source requires its
+    // base path to be a directory, and `events.parquet` is a single file
+    // in the driver testdata (a directory of parts in generated dirs —
+    // the glob handles both)
+    val src = s"$sfDir/{events.parquet}"
+    val events = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Numeric.scaledAvg(col("value")).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("avg_value"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$work/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(mergeSink(mart, Seq("window_start", "event_type")) _)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(mart)
+  }
+
   def mergeSink(outPath: String, keys: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val target = new Path(outPath)
