@@ -39,7 +39,12 @@ object Bench {
     // surface them in the JSON, and drop failed reps entirely: a failing
     // rep's (fast) latency would otherwise shrink times.min and the total
     val errors = scala.collection.mutable.LinkedHashSet[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 isolates queries for profiling runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink, not count(): under count() Catalyst prunes every
@@ -49,6 +54,14 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => errors += name; None }
+        finally {
+          // drop storage blocks a query left behind (e.g. the final
+          // round's checkpoint in the resolution loops): with a big heap
+          // the async ContextCleaner may never run, and accumulated dead
+          // blocks degrade every LATER query — cross-query contamination,
+          // not real per-query cost (measured 3-30× at sf1)
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        }
       }
       name -> times.minOption
     }

@@ -17,15 +17,15 @@ object TextOps {
   def tokens(c: Column): Column = split(c, " ")
 
   /** Word n-gram shingles: positions 1..len-n+1 joined with spaces.
-    * Empty array (not a descending-sequence artifact) when len < n.
+    * Empty array when len < n. Delegates to the native [[graft.functions.WordShingles]]
+    * expression: the equivalent higher-order-function formulation
+    * (transform(sequence…) over element_at(split…)) is interpreted, not
+    * codegen'd, and re-evaluates the split per element — ProfileScale
+    * measured it ~25× slower per row at 10× scale, while the native
+    * single-pass expression stays linear.
     */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(c: Column, n: Int): Column =
+    graft.functions.WordShingles.shingles(c, n)
 
   /** Count of tokens that are members of `set` (language markers,
     * stopwords). int64 for cross-engine hash parity.
