@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 implementation of the reference's paginated per-entity
+  * extractor (S4: `scripts/extract_measurements.py:66-147`; S5 point
+  * lookup is the one-page special case, `extract_openaq_locations.py:
+  * 37-69`), re-expressed Spark-first: instead of one Python process
+  * looping sensors serially, every entity id becomes an `InputPartition`,
+  * so a 1000-executor cluster fetches 1000 entities concurrently and the
+  * result lands directly in DataFrame land with no driver round-trip.
+  *
+  * Faithful S4 semantics, per entity:
+  *  - pages of `limit` records, `page++` until a short page;
+  *  - per-page micro-retries (`maxRetries`, default 3) with exponential
+  *    backoff `backoffMs·2^attempt` (the reference's 1 s/2 s/4 s with
+  *    backoffMs=1000);
+  *  - not-found → empty result for that entity (404 semantics, F7);
+  *  - exhausted retries → throw (FAIL LOUD: the task dies and Spark's
+  *    task retry takes the place of the Airflow task retry — silent
+  *    partial extraction is the one unacceptable outcome);
+  *  - in-flight first-wins dedup by a caller-chosen record key (the
+  *    reference dedups on "utcTime-value" while accumulating).
+  *
+  * Output schema: (entity_id BIGINT, record STRING) — raw per-record
+  * JSON, which flows into the existing bronze envelope parsing
+  * (`Schemas` + `from_json`) exactly like lake NDJSON lines.
+  *
+  * The transport is a [[PageClient]] loaded BY CLASS NAME on each
+  * executor (`client` option), because a connection/session must be
+  * constructed per task, never serialized from the driver. This sandbox
+  * ships [[FixturePageClient]] (directory-backed pages + scriptable
+  * transient failures); an HTTP client implementing the same 3-case
+  * contract would drop in without touching the operator.
+  */
+class PagedSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-paged"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    // normalize key case once: getTable properties keep caller casing,
+    // CaseInsensitiveStringMap lowercases — the scan builder sees one form
+    new PagedTable(properties.asScala.toMap.map { case (k, v) => (k.toLowerCase, v) })
+}
+
+object PagedSource {
+  val Schema: StructType = new StructType()
+    .add("entity_id", LongType, nullable = false)
+    .add("record", StringType, nullable = true)
+}
+
+private[sources] class PagedTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-paged(${props.getOrElse("path", "")})"
+  override def schema(): StructType = PagedSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(props ++ options.asScala)
+}
+
+private[sources] class PagedScanBuilder(props: Map[String, String])
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = PagedSource.Schema
+  override def toBatch: Batch = this
+
+  private def conf = PagedConf(
+    clientClass = props.getOrElse("client",
+      sys.error("graft-paged requires a 'client' option (PageClient class name)")),
+    clientPath = props.getOrElse("path", ""),
+    limit = props.getOrElse("limit", "1000").toInt,
+    maxRetries = props.getOrElse("maxretries", "3").toInt,
+    backoffMs = props.getOrElse("backoffms", "1000").toLong,
+    maxPages = props.getOrElse("maxpages", "0").toInt, // 0 = unbounded
+    dedupKey = props.getOrElse("dedupkey", ""))
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ids = props.getOrElse("entityids",
+      sys.error("graft-paged requires 'entityIds' (comma-separated)"))
+      .split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toArray
+    // one partition per entity: fetch parallelism == entity count, the
+    // whole point of pushing extraction into the engine
+    ids.map(id => EntityPartition(id, conf): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory
+}
+
+private[sources] case class PagedConf(clientClass: String, clientPath: String,
+                                      limit: Int, maxRetries: Int, backoffMs: Long,
+                                      maxPages: Int, dedupKey: String)
+
+private[sources] case class EntityPartition(entityId: Long, conf: PagedConf)
+    extends InputPartition
+
+private[sources] class PagedReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PagedPartitionReader(partition.asInstanceOf[EntityPartition])
+}
+
+private[sources] class PagedPartitionReader(part: EntityPartition)
+    extends PartitionReader[InternalRow] {
+  private val conf = part.conf
+  // per-task client construction — the "session per worker" a real
+  // transport needs; reflective so the driver never serializes one
+  private val client = Class.forName(conf.clientClass)
+    .getDeclaredConstructor().newInstance().asInstanceOf[PageClient]
+  client.open(conf.clientPath)
+
+  private val seen = scala.collection.mutable.HashSet[String]()
+  private var page = 1
+  private var exhausted = false
+  private var buffer: Iterator[String] = Iterator.empty
+  private var current: String = _
+
+  /** One page with the reference's micro-retry loop: attempt up to
+    * maxRetries, sleeping backoffMs·2^attempt between failures, then
+    * fail the TASK (not silently the page).
+    */
+  private def fetchPageWithRetry(): Seq[String] = {
+    var attempt = 0
+    while (true) {
+      client.fetch(part.entityId, page, conf.limit) match {
+        case PageOk(records) => return records
+        case PageNotFound    => exhausted = true; return Nil // 404 → no data
+        case PageError(msg) =>
+          attempt += 1
+          if (attempt >= conf.maxRetries)
+            throw new RuntimeException(
+              s"graft-paged: exhausted $attempt retries for entity " +
+                s"${part.entityId} page $page ($msg) — failing task to " +
+                "prevent silent partial extraction")
+          Thread.sleep(conf.backoffMs << (attempt - 1)) // 1x, 2x, 4x …
+      }
+    }
+    Nil // unreachable
+  }
+
+  private def advancePage(): Unit = {
+    if (exhausted) return
+    val records = fetchPageWithRetry()
+    if (records.length < conf.limit) exhausted = true // short page → last
+    // point-lookup mode (S5): maxPages=1 + limit=1 is exactly the
+    // reference's "unwrap results[0]"
+    if (conf.maxPages > 0 && page >= conf.maxPages) exhausted = true
+    page += 1
+    // in-flight first-wins dedup by caller key (reference: "utc-value");
+    // empty dedupKey keeps every record
+    val fresh =
+      if (conf.dedupKey.isEmpty) records
+      else records.filter(r => seen.add(RecordKey.eval(conf.dedupKey, r)))
+    buffer = fresh.iterator
+  }
+
+  override def next(): Boolean = {
+    while (!buffer.hasNext && !exhausted) advancePage()
+    if (buffer.hasNext) { current = buffer.next(); true }
+    else false
+  }
+
+  override def get(): InternalRow =
+    InternalRow(part.entityId, UTF8String.fromString(current))
+
+  override def close(): Unit = client.close()
+}
