@@ -133,6 +133,16 @@ object ExtQueries {
       Similarity.cosineNearDupLsh(Tables.embeddings(s, d), "vec_id",
         "embedding", NearDupTau, NearDupPlanes, NearDupRowsPerBand, EmbDims)),
 
+    // ---- the SCALE-SIZED banding (64 planes, 16-bit bands — the
+    //      configuration SEMANTICS.md's sizing rule prescribes for real
+    //      corpora, where the demo parameters above degenerate toward
+    //      n²/16 candidates). Oracle-checked with the same generated
+    //      hyperplane literals; recall is lower by design (16 matching
+    //      sign bits per band) — that's the quadratic-vs-recall dial.
+    "x_embed_neardup_lsh_scale" -> ((s, d) =>
+      Similarity.cosineNearDupLsh(Tables.embeddings(s, d), "vec_id",
+        "embedding", NearDupTau, nPlanes = 64, rowsPerBand = 16, dims = EmbDims)),
+
     // ---- deterministic 80/10/10 train/val/test split by md5 bucket
     "x_train_split" -> ((s, d) =>
       Corpus.assignSplit(Tables.documents(s, d).select(col("doc_id")), "doc_id")),
@@ -264,10 +274,15 @@ object ExtQueries {
 
   /** Sign-bit LSH banding as DuckDB CTEs — the hyperplanes are the same
     * MD5-parity literals [[Similarity.hyperplanes]] builds (embedded
-    * verbatim), so bucketing is bit-identical cross-engine.
+    * verbatim), so bucketing is bit-identical cross-engine. Parameterized
+    * by (nPlanes, rowsPerBand): the demo config (16, 4) and the scale
+    * config (64, 16) share this one generator.
     */
-  private def signBitBandCtesSql: String = {
-    val planes = Similarity.hyperplanes(NearDupPlanes, EmbDims)
+  private def signBitBandCtesSql: String =
+    signBitBandCtesSqlFor(NearDupPlanes, NearDupRowsPerBand)
+
+  private def signBitBandCtesSqlFor(nPlanes: Int, rowsPerBand: Int): String = {
+    val planes = Similarity.hyperplanes(nPlanes, EmbDims)
     // the same per-term formula DotProductScaled generates:
     // floor((x · ±1) · BitScale + 0.5) summed as int64
     val bitExprs = planes.zipWithIndex.map { case (p, j) =>
@@ -276,9 +291,9 @@ object ExtQueries {
         s"i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * (($lst)[i]) * ${Similarity.BitScale}.0 + 0.5) AS BIGINT))) >= 0 " +
         s"THEN '1' ELSE '0' END AS b$j"
     }.mkString(",\n    ")
-    val bandSelects = (0 until NearDupPlanes / NearDupRowsPerBand).map { bi =>
-      val ks = (0 until NearDupRowsPerBand)
-        .map(r => s"b${bi * NearDupRowsPerBand + r}").mkString(" || ")
+    val bandSelects = (0 until nPlanes / rowsPerBand).map { bi =>
+      val ks = (0 until rowsPerBand)
+        .map(r => s"b${bi * rowsPerBand + r}").mkString(" || ")
       s"SELECT vec_id, $bi AS band_idx, $ks AS band_key FROM bits"
     }.mkString("\n  UNION ALL ")
     s"""bits AS (SELECT vec_id,
@@ -481,6 +496,12 @@ object ExtQueries {
     "x_embed_neardup_lsh" ->
       s"""WITH $annNormCte,
          |$signBitBandCtesSql,
+         |${pairCosineSql(
+           "cand c JOIN nrm a ON a.vec_id = c.vec_a JOIN nrm b ON b.vec_id = c.vec_b")}""".stripMargin,
+
+    "x_embed_neardup_lsh_scale" ->
+      s"""WITH $annNormCte,
+         |${signBitBandCtesSqlFor(64, 16)},
          |${pairCosineSql(
            "cand c JOIN nrm a ON a.vec_id = c.vec_a JOIN nrm b ON b.vec_id = c.vec_b")}""".stripMargin,
 

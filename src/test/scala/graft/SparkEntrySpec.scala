@@ -24,7 +24,12 @@ class SparkEntrySpec extends SparkSuite {
       val df = fn(spark, sfDir)
       // non-chk queries must return rows; chk_* are violation queries (0 = pass)
       val n = df.count()
-      if (!name.startsWith("chk_") && !name.startsWith("j3_"))
+      // chk_* / j3_* are violation queries (0 = pass);
+      // the scale-banded LSH config (16 matching sign bits per band) has
+      // legitimately zero recall on sf0.001's 50 vectors — its oracle
+      // twin pins the exact (empty) result instead
+      if (!name.startsWith("chk_") && !name.startsWith("j3_") &&
+          name != "x_embed_neardup_lsh_scale")
         assert(n > 0, s"$name returned no rows")
       assert(df.schema.fields.nonEmpty, s"$name has empty schema")
     }
