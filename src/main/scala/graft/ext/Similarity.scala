@@ -95,6 +95,104 @@ object Similarity {
     topK(scored, k, Seq("query_id", "neighbor_id", "bucket", "cos_sim"))
   }
 
+  // ------------------------------------------------------------- real IVF
+
+  /** Centroid component quantum for the k-means update: 10⁻⁶. Component
+    * averages are computed as exact scaled-integer sums (`scaledAvg`
+    * scheme), so centroids are bit-identical at any parallelism and in
+    * any engine — which is what makes a LEARNED index oracle-checkable.
+    */
+  val IvfScale = 6
+
+  /** One Lloyd assignment pass: nearest centroid by squared euclidean
+    * distance, computed as scaled-integer `‖c‖² − 2⟨x,c⟩` (the ‖x‖² term
+    * is constant per row and drops out of the argmin). All-integer ⇒ the
+    * argmin (tie → smallest cluster id, via lexicographic struct-min) is
+    * deterministic. Centroids are broadcast — the corpus is scanned once,
+    * never shuffled; the groupBy is on the row id.
+    */
+  private def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
+    val c = centroids.select(col("cluster_id"), col("cvec"),
+      norm2Scaled(col("cvec")).as("c_n2s"))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(c))
+      .withColumn("dist_s", col("c_n2s") - lit(2L) * dotScaled(col(vecCol), col("cvec")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist_s"), col("cluster_id"))).as("m"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol), col("m.cluster_id").as("cluster_id"))
+  }
+
+  /** Centroid update: per-(cluster, dimension) order-independent scaled
+    * average, reassembled into a float vector (double→float rounding is
+    * IEEE-defined, mirrored by CAST(… AS REAL) in the oracle). The only
+    * shuffle is the (cluster, dim) groupBy — k·dims groups.
+    */
+  private def ivfUpdate(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned.select(col("cluster_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(Numeric.scaledAvg(col("v").cast("double"), IvfScale).as("cv"))
+      .groupBy(col("cluster_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .select(col("cluster_id"),
+        transform(col("pairs"), p => p.getField("cv").cast("float")).as("cvec"))
+
+  /** IVF index build: `iterations` full Lloyd rounds from a deterministic
+    * seed (the vectors of the `nClusters` smallest ids — expressible
+    * identically in any engine, unlike random init). Fixed iteration
+    * count, not convergence-tested: an ANN index needs a GOOD partition,
+    * not the k-means optimum, and a fixed count keeps the result a pure
+    * function of the data. Returns (cluster_id, cvec) centroids.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nClusters: Int, iterations: Int): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+    var cents = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(nClusters)
+      .select((row_number().over(w) - 1).as("cluster_id"), col(vecCol).as("cvec"))
+    (1 to iterations).foreach { _ =>
+      cents = ivfUpdate(ivfAssign(corpus, cents, idCol, vecCol), vecCol)
+    }
+    cents
+  }
+
+  /** IVF search: assign the corpus to its learned cells (the inverted
+    * lists), probe each query's `nProbe` nearest cells, exact-score only
+    * the listed vectors, take cosine top-k. The candidate join is an
+    * equi-join on cluster_id with the probe table broadcast — at 100 TB
+    * the inverted lists are written `partitionBy(cluster_id)` once and
+    * every query batch prunes to nProbe/nClusters of the corpus at the
+    * parquet scan, the same pruning this plan does in memory.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, nClusters: Int = 4, iterations: Int = 2,
+              nProbe: Int = 2, k: Int = 3): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nClusters, iterations)
+      .localCheckpoint(true) // tiny model table; stop re-deriving k-means per use
+    val lists = ivfAssign(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col("cluster_id"), norm2Scaled(col(vecCol)).as("c_n2"))
+    val c = cents.select(col("cluster_id"), col("cvec"),
+      norm2Scaled(col("cvec")).as("c_n2s"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_s"), col("cluster_id"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        norm2Scaled(col(vecCol)).as("q_n2"))
+      .crossJoin(broadcast(c))
+      .withColumn("dist_s", col("c_n2s") - lit(2L) * dotScaled(col("q_vec"), col("cvec")))
+      .withColumn("__rn", row_number().over(probeW)).filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("q_n2"),
+        col("cluster_id").as("p_cluster"))
+    val scored = lists.join(broadcast(probes),
+        col("cluster_id") === col("p_cluster") &&
+          col("neighbor_id") =!= col("query_id"))
+      .drop("p_cluster")
+      .withColumn("cos_sim",
+        cosineFromScaled(dotScaled(col("q_vec"), col("c_vec")), col("q_n2"), col("c_n2")))
+    topK(scored, k, Seq("query_id", "neighbor_id", "cluster_id", "cos_sim"))
+  }
+
   // -------------------------------------------- embedding-cosine near-dup
 
   /** Per-component scale for sign-bit quantization: |v| < 1 ⇒ per-term

@@ -98,6 +98,18 @@ object ExtQueries {
         "vec_id", "embedding", k = 5)
     }),
 
+    // ---- REAL learned IVF: deterministic fixed-iteration k-means
+    //      (order-independent scaled-integer numerics make the LEARNED
+    //      index itself oracle-checkable), then nProbe-cell search. The
+    //      label-bucketed variant below is the precomputed-partition
+    //      shape; this one builds its own cells.
+    "x_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", nClusters = 4, iterations = 2, nProbe = 2, k = 3)
+        .withColumn("cluster_id", col("cluster_id").cast("bigint"))
+    }),
+
     // ---- bucket-pruned cosine top-3 within the query's label bucket
     "x_ann_bucketed" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -307,6 +319,58 @@ object ExtQueries {
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id)""".stripMargin
   }
 
+  /** The LEARNED-IVF chain as DuckDB CTEs: fixed-iteration Lloyd k-means
+    * (seed = vectors of the k smallest ids; scaled-integer distances and
+    * scaled-average centroid updates — every step order-independent, so
+    * a learned index is hash-comparable cross-engine), then nProbe-cell
+    * search. Iterations are UNROLLED (c0 → asg1 → c1 → asg2 → c2): a
+    * fixed count is part of the operator's determinism contract.
+    */
+  private def ivfCtesSql(nClusters: Int, iterations: Int, nProbe: Int, topK: Int): String = {
+    val f = math.pow(10, Similarity.IvfScale.toDouble).toLong
+    // dist_s(e, c) = Σ floor(c_i²·S + .5) − 2·Σ floor(e_i·c_i·S + .5)
+    def distCte(name: String, fromCents: String, vecs: String, vecFilter: String) =
+      s"""$name AS (
+         |  SELECT e.vec_id, c.cluster_id,
+         |    sum(CAST(floor(CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)
+         |      - 2 * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dist_s
+         |  FROM $vecs e, $fromCents c,
+         |    LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) t
+         |  $vecFilter
+         |  GROUP BY e.vec_id, c.cluster_id)""".stripMargin
+    def asgCte(name: String, dist: String) =
+      s"""$name AS (SELECT vec_id, cluster_id FROM $dist
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist_s, cluster_id) = 1)""".stripMargin
+    def updCte(name: String, asg: String) =
+      s"""$name AS (
+         |  SELECT cluster_id, list(CAST(cv AS REAL) ORDER BY dim) AS cvec FROM (
+         |    SELECT a.cluster_id, i AS dim,
+         |      floor(CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * $f + 0.5) AS BIGINT)) AS DOUBLE)
+         |        / count(*) + 0.5) / $f AS cv
+         |    FROM $asg a JOIN embeddings e USING (vec_id),
+         |      LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) t
+         |    GROUP BY a.cluster_id, i)
+         |  GROUP BY cluster_id)""".stripMargin
+    val iterCtes = (1 to iterations).map { it =>
+      s"""${distCte(s"d$it", s"c${it - 1}", "embeddings", "")},
+         |${asgCte(s"asg$it", s"d$it")},
+         |${updCte(s"c$it", s"asg$it")}""".stripMargin
+    }.mkString(",\n")
+    val fin = s"c$iterations"
+    s"""c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, embedding AS cvec
+       |  FROM embeddings ORDER BY vec_id LIMIT $nClusters),
+       |$iterCtes,
+       |${distCte("qd", fin, "embeddings", "WHERE e.vec_id < 10")},
+       |probe AS (SELECT vec_id AS query_id, cluster_id FROM qd
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist_s, cluster_id) <= $nProbe),
+       |${distCte("ld", fin, "embeddings", "")},
+       |${asgCte("lists", "ld")},
+       |cand AS (
+       |  SELECT p.query_id, l.vec_id AS neighbor_id, CAST(l.cluster_id AS BIGINT) AS cluster_id
+       |  FROM probe p JOIN lists l ON l.cluster_id = p.cluster_id AND l.vec_id <> p.query_id)""".stripMargin
+  }
+
   private def annCosSql(extraJoin: String, extraCol: String, k: Int): String =
     s"""WITH $annNormCte,
        |scored AS (
@@ -506,6 +570,25 @@ object ExtQueries {
            "cand c JOIN nrm a ON a.vec_id = c.vec_a JOIN nrm b ON b.vec_id = c.vec_b")}""".stripMargin,
 
     "x_ann_cosine" -> annCosSql("", "", 5),
+
+    "x_ann_ivf" ->
+      s"""WITH $annNormCte,
+         |${ivfCtesSql(4, 2, 2, 3)},
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id, c.cluster_id,
+         |    sum(CAST(floor(CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dot_s,
+         |    max(q.n2) AS q_n2, max(n.n2) AS c_n2
+         |  FROM cand c JOIN nrm q ON q.vec_id = c.query_id
+         |    JOIN nrm n ON n.vec_id = c.neighbor_id,
+         |    LATERAL (SELECT unnest(generate_series(1, len(q.embedding))) AS i) t
+         |  GROUP BY ALL),
+         |cos AS (SELECT query_id, neighbor_id, cluster_id,
+         |    ${Numeric.roundBinSql(
+              s"(CAST(dot_s AS DOUBLE) / $AnnScale) / " +
+              s"(sqrt(CAST(q_n2 AS DOUBLE) / $AnnScale) * sqrt(CAST(c_n2 AS DOUBLE) / $AnnScale))", 6)} AS cos_sim
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cluster_id, cos_sim FROM cos
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= 3""".stripMargin,
 
     "x_ann_bucketed" -> annCosSql(" AND c.label = q.label", ", c.label AS bucket", 3),
 

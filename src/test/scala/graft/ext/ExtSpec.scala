@@ -197,6 +197,44 @@ class ExtSpec extends SparkSuite {
     assert(ex.getMessage.contains("width"))
   }
 
+  test("ivfCentroids separates two obvious clusters deterministically") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)), (5L, Array(0.0f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", nClusters = 2, iterations = 2)
+      .orderBy("cluster_id").as[(Int, Array[Float])].collect()
+    assert(cents.length == 2)
+    // one centroid near (0.9, 0.03), the other near (0.03, 0.9): each
+    // dominates its own axis. Seeded from ids 0 and 1 (both x-cluster),
+    // Lloyd still splits the axes within two rounds.
+    val byX = cents.sortBy(-_._2(0))
+    assert(byX(0)._2(0) > 0.5f && byX(0)._2(1) < 0.3f)
+    assert(byX(1)._2(0) < 0.3f && byX(1)._2(1) > 0.5f)
+    // bit-identical across runs (scaled-integer numerics)
+    val again = Similarity.ivfCentroids(emb, "vec_id", "embedding", 2, 2)
+      .orderBy("cluster_id").as[(Int, Array[Float])].collect()
+    assert(cents.map(_._2.toSeq).toSeq == again.map(_._2.toSeq).toSeq)
+  }
+
+  test("ivfTopK with full probe equals brute force; nProbe=1 prunes to one cell") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)), (5L, Array(0.0f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0)
+    val full = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        nClusters = 2, iterations = 2, nProbe = 2, k = 3)
+      .select("neighbor_id", "cos_sim").as[(Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+      .select("neighbor_id", "cos_sim").as[(Long, Double)].collect().toSet
+    assert(full == brute) // probing every cell recovers exact search
+    val pruned = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        nClusters = 2, iterations = 2, nProbe = 1, k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(pruned == Set(1L, 2L)) // only the query's own cell is searched
+  }
+
   test("bucketedTopK only searches the query's bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 0),
