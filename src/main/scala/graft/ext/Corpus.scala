@@ -159,4 +159,52 @@ object Corpus {
         col("stop_ratio") >= minStopRatio &&
         col("lang_pred") === requiredLang)
   }
+
+  /** Portable SQL for the md5 byte at `pos` (0-based) of an id — the
+    * [[splitBucketSql]] nibble trick generalized; identical text runs in
+    * Spark and DuckDB.
+    */
+  def hashByteSql(idExpr: String, pos: Int): String = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5(CAST($idExpr AS STRING)), ${2 * pos + i}, 1)) - 1)"
+    s"(${nib(1)} * 16 + ${nib(2)})"
+  }
+
+  /** The Efraimidis–Spirakis exponential-race key for weighted sampling
+    * as portable SQL: key = −ln(u)/w with u a 32-bit md5-derived
+    * uniform in (0,1). The doc with the SMALLEST key wins a race whose
+    * win probability is proportional to its weight — so `ORDER BY key
+    * LIMIT k` is a weight-proportional sample without replacement
+    * (Efraimidis & Spirakis 2006, via the exponential formulation:
+    * −ln(u)/w ~ Exp(w)).
+    *
+    * Determinism: u is pure integer hashing (identical text both
+    * engines); the single ln + divide are ≤1-ulp libm calls absorbed by
+    * [[Numeric.roundBinSql]] at 9 decimals with an id tie-break — the
+    * same accepted-risk pattern as the cosine rounding. No random(),
+    * so the sample is reproducible at any parallelism and re-drawable
+    * per `seedExpr` (salt the id to draw a different sample).
+    */
+  def esKeySql(idExpr: String, weightExpr: String): String = {
+    // bytes cast to BIGINT before the place-value multiply: 255·2^24
+    // overflows INT32 under ANSI arithmetic
+    val u32 = (0 to 3)
+      .map(p => s"CAST(${hashByteSql(idExpr, p)} AS BIGINT) * ${1L << (8 * (3 - p))}")
+      .mkString(" + ")
+    val u = s"(CAST($u32 AS DOUBLE) + 0.5) / 4294967296.0"
+    Numeric.roundBinSql(s"-ln($u) / CAST($weightExpr AS DOUBLE)", 9)
+  }
+
+  /** Weighted sample without replacement: the `k` docs winning the E–S
+    * race. One TakeOrderedAndProject — no full sort, no shuffle of the
+    * losers; at 100 TB each partition keeps its local top-k and only
+    * k-sized heads move.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame =
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol),
+        expr(esKeySql(idCol, weightCol)).as("es_key"))
+      .orderBy(col("es_key").asc, col(idCol).asc)
+      .limit(k)
 }

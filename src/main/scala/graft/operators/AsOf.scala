@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series as-of join — for each left row, the single nearest right
+  * row at-or-before (backward) / at-or-after (forward) its timestamp on
+  * the same keys, optionally bounded by a tolerance.
+  *
+  * Spark has no native as-of join; the naive encoding (non-equi join on
+  * `r.ts <= l.ts` + keep-latest window) degenerates to a per-key
+  * cartesian product — O(n·m) pairs per key before the window prunes
+  * them. This implementation is the scale-correct shape: UNION both
+  * sides tagged with a side marker, ONE shuffle+sort on (keys, time,
+  * side, tie), and a running `last(..., ignoreNulls)` window that
+  * carries the most recent right payload forward onto each left row.
+  * Cost is O((n+m)·log(n+m)) per key group — the same single
+  * sort-exchange a groupBy would pay, with no pair blowup, no skew
+  * amplification beyond the key's own row count, and AQE-splittable
+  * like any other sort partition.
+  *
+  * Determinism: right rows sharing an identical (keys, time) are
+  * resolved by `rightTieBreak` — backward takes the LARGEST tie value
+  * (the last one the running window sees), forward the SMALLEST; both
+  * match the natural `ORDER BY t DESC/ASC, tie DESC/ASC LIMIT 1`
+  * reading of "the" as-of row, so the result is reproducible at any
+  * parallelism and oracle-comparable cross-engine.
+  *
+  * Tolerance: a match farther than `toleranceUs` microseconds is nulled
+  * AFTER selection. For as-of semantics this equals filtering before
+  * selection: any right row other than the nearest is strictly farther
+  * away on the same side, so if the nearest violates the tolerance all
+  * of them do.
+  */
+object AsOf {
+
+  /** Backward as-of join (the common "latest value as of event time").
+    *
+    * @param rightCols right payload columns to carry (emitted under
+    *                  their own names — caller pre-renames collisions)
+    * @param rightTieBreak column ordering right rows within an identical
+    *                      (keys, time); the largest wins
+    * @param toleranceUs max allowed `leftTime - rightTime` in
+    *                    microseconds; farther matches become NULL
+    * @return all left columns + rightCols + `asof_lag_us` (BIGINT µs
+    *         from matched right row to the left row; NULL if no match)
+    */
+  def joinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   rightCols: Seq[String], rightTieBreak: String,
+                   toleranceUs: Option[Long] = None): DataFrame =
+    joinImpl(left, right, keys, leftTime, rightTime, rightCols,
+      rightTieBreak, toleranceUs, forward = false)
+
+  /** Forward as-of join: nearest right row at-or-after the left time
+    * (`asof_lag_us` = rightTime − leftTime ≥ 0). Ties break to the
+    * SMALLEST `rightTieBreak`.
+    */
+  def joinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  rightCols: Seq[String], rightTieBreak: String,
+                  toleranceUs: Option[Long] = None): DataFrame =
+    joinImpl(left, right, keys, leftTime, rightTime, rightCols,
+      rightTieBreak, toleranceUs, forward = true)
+
+  private def joinImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       rightCols: Seq[String], rightTieBreak: String,
+                       toleranceUs: Option[Long], forward: Boolean): DataFrame = {
+    require(rightCols.nonEmpty, "asof join needs at least one right payload column")
+    val payload = struct(
+      (col(rightTime).as("__rt") +: rightCols.map(col)): _*)
+    // Backward: rights sort BEFORE lefts at an equal timestamp so an
+    // exactly-equal right is inside the running frame (inclusive match);
+    // forward mirrors that with rights AFTER lefts and a following frame.
+    val (rSide, lSide) = if (forward) (1, 0) else (0, 1)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(rSide).as("__side"),
+        col(rightTieBreak).as("__tie"), payload.as("__r")): _*)
+    val l = left.withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(lSide))
+    val w0 = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+    val matched =
+      if (forward)
+        first(col("__r"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("__r"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val lagUs =
+      if (forward) unix_micros(col("__m.__rt")) - unix_micros(col(leftTime))
+      else unix_micros(col(leftTime)) - unix_micros(col("__m.__rt"))
+    // `asof_lag_us IS NOT NULL` doubles as the null-time guard: a NULL
+    // left or right timestamp yields a NULL lag, so null-timed rows can
+    // never produce (or be) a match — they surface as unmatched lefts.
+    val inTol = toleranceUs match {
+      case Some(t) => col("asof_lag_us").isNotNull && col("asof_lag_us") <= t
+      case None    => col("asof_lag_us").isNotNull
+    }
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", matched)
+      .filter(col("__side") === lSide)
+      .withColumn("asof_lag_us", lagUs)
+      .select(
+        left.columns.map(col) ++
+          rightCols.map(c => when(inTol, col(s"__m.$c")).as(c)) :+
+          when(inTol, col("asof_lag_us")).as("asof_lag_us"): _*)
+  }
+}

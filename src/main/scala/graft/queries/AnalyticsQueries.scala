@@ -207,6 +207,39 @@ object AnalyticsQueries {
         "user_id", "ts", "event_id", gapMinutes = 720)
     }),
 
+    // ---- backward as-of join: each view matched to the user's latest
+    //      at-or-before click within 6h — union+window single-sort plan
+    //      (operators/AsOf), NOT a per-key cartesian non-equi join
+    "x_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value").as("click_value"))
+      graft.operators.AsOf.joinBackward(views, clicks, Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("click_id", "click_value"), rightTieBreak = "click_id",
+          toleranceUs = Some(6L * 3600 * 1000000))
+        .select("event_id", "user_id", "click_id", "click_value", "asof_lag_us")
+    }),
+
+    // ---- point-in-interval range join: each error event located in its
+    //      containing session window — bucket-grid equi-join
+    //      (operators/RangeJoin), not a per-key all-pairs inequality join
+    "x_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sessions = graft.ext.Sessionize.sessionStats(ev,
+        "user_id", "ts", "event_id", gapMinutes = 720)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      graft.operators.RangeJoin.pointInInterval(errors, sessions,
+          Seq("user_id"), pointTs = "ts",
+          startCol = "session_start", endCol = "session_end",
+          bucketWidthUs = 86400L * 1000000) // 1-day grid ≈ session span scale
+        .select("event_id", "user_id", "session_seq", "n_events")
+    }),
+
     // ---- null-safe equality, guarded division, null-propagating concat
     "p_null_safety" -> ((s, d) => {
       val k = get_json_object(col("props"), "$.k").cast("bigint")
@@ -219,7 +252,47 @@ object AnalyticsQueries {
     })
   )
 
+  /** 12h-gap sessions over `events` as a DuckDB CTE chain ending in
+    * `sess(user_id, session_seq, session_start, session_end, n_events)`
+    * — shared by the w4_sessionize and x_range_join oracles so the
+    * interval definition can't drift between them.
+    */
+  private val sessionsCteSql: String =
+    """g AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 43200.0
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_seq
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, session_seq, min(ts) AS session_start,
+      |         max(ts) AS session_end, count(*) AS n_events
+      |  FROM s GROUP BY user_id, session_seq)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+
+    // The oracle states as-of declaratively (nearest-per-left via
+    // QUALIFY over a non-equi join — fine at oracle scale, the exact
+    // shape AsOf.scala exists to avoid at engine scale). Tolerance sits
+    // inside the join predicate; for as-of that's equivalent to the
+    // engine's select-nearest-then-null-if-far, since every non-nearest
+    // candidate is strictly farther on the same side.
+    "x_asof_join" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.event_id, v.user_id, c.click_id, c.click_value,
+        |  epoch_us(v.ts) - epoch_us(c.ts) AS asof_lag_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id AND c.ts <= v.ts
+        |  AND epoch_us(v.ts) - epoch_us(c.ts) <= 21600000000
+        |QUALIFY row_number() OVER (PARTITION BY v.event_id
+        |  ORDER BY c.ts DESC, c.click_id DESC) = 1""".stripMargin,
 
     "p_scalar_suite" ->
       """SELECT event_id,
@@ -363,21 +436,16 @@ object AnalyticsQueries {
          |FROM events GROUP BY event_type""".stripMargin,
 
     "w4_sessionize" ->
-      """WITH g AS (
-        |  SELECT user_id, ts, event_id,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 43200.0
-        |             THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS session_seq
-        |  FROM g)
-        |SELECT user_id, session_seq, min(ts) AS session_start,
-        |       max(ts) AS session_end, count(*) AS n_events
-        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+      s"""WITH $sessionsCteSql
+         |SELECT * FROM sess""".stripMargin,
+
+    "x_range_join" ->
+      s"""WITH $sessionsCteSql
+         |SELECT e.event_id, e.user_id, s.session_seq, s.n_events
+         |FROM events e JOIN sess s
+         |  ON e.user_id = s.user_id
+         |  AND e.ts BETWEEN s.session_start AND s.session_end
+         |WHERE e.event_type = 'error'""".stripMargin,
 
     "p_null_safety" ->
       """SELECT event_id,

@@ -178,6 +178,13 @@ object ExtQueries {
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         "lang", "doc_id", 20)),
 
+    // ---- weighted sample: 50 docs, win probability ∝ n_chars
+    //      (Efraimidis–Spirakis exponential race on a deterministic key)
+    "x_weighted_sample" -> ((s, d) =>
+      Corpus.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", 50)),
+
     // ---- train/test decontamination: eval docs sharing 5-grams with train
     "x_decontaminate" -> ((s, d) => {
       val withB = Corpus.assignSplit(Tables.documents(s, d), "doc_id")
@@ -437,6 +444,13 @@ object ExtQueries {
         |QUALIFY row_number() OVER (
         |  PARTITION BY lang
         |  ORDER BY md5(CAST(doc_id AS STRING)), doc_id) <= 20""".stripMargin,
+
+    // esKeySql emits IDENTICAL text for both engines — the oracle and the
+    // Spark expression are one definition by construction
+    "x_weighted_sample" ->
+      s"""SELECT doc_id, n_chars, ${Corpus.esKeySql("doc_id", "n_chars")} AS es_key
+         |FROM documents WHERE n_chars > 0
+         |ORDER BY es_key ASC, doc_id ASC LIMIT 50""".stripMargin,
 
     "x_decontaminate" -> {
       val cat = (0 until 5).map(k => s"ws[i+$k]").mkString(" || ' ' || ")

@@ -197,6 +197,28 @@ class ExtSpec extends SparkSuite {
     assert(ex.getMessage.contains("width"))
   }
 
+  test("weightedSample: weight-proportional, deterministic, zero-weight excluded") {
+    val pool = (0L until 100L).map(i => (i, 10000L)) ++
+      (100L until 200L).map(i => (i, 1L)) :+ (999L, 0L)
+    val df = pool.toDF("doc_id", "w")
+    val s1 = Corpus.weightedSample(df, "doc_id", "w", 50)
+      .select("doc_id").as[Long].collect().toSeq
+    val s2 = Corpus.weightedSample(df, "doc_id", "w", 50)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1 == s2)                       // reproducible at any parallelism
+    assert(!s1.contains(999L))             // zero weight can't win a race
+    // Exp(10000) races beat Exp(1) races w.p. 10000/10001: the fixed
+    // hash draw puts (nearly) all 50 winners in the heavy class
+    assert(s1.count(_ < 100L) >= 45)
+  }
+
+  test("weightedSample plan is a TakeOrdered, not a full sort") {
+    val df = (0L until 100L).map(i => (i, i + 1)).toDF("doc_id", "w")
+    val plan = Corpus.weightedSample(df, "doc_id", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("ivfCentroids separates two obvious clusters deterministically") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.0f)),
