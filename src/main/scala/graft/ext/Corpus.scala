@@ -97,6 +97,30 @@ object Corpus {
       .drop("__rn1", "__rn2")
   }
 
+  /** Domain-MIXTURE sampling: per-stratum quotas (the "20% code, 30%
+    * web, …" data-mixing step every pretraining run tunes), drawn in
+    * deterministic md5-of-id order like [[stratifiedSample]] — a
+    * stratum's draw is stable under growth of OTHER strata, so remixing
+    * one domain never reshuffles the rest. Same two-phase skew-safe
+    * top-k (phase 1 caps at the max quota per salt bucket; phase 2
+    * applies each stratum's own quota).
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+                    quotas: Map[String, Int], defaultQuota: Int,
+                    buckets: Int = 32): DataFrame = {
+    require(quotas.nonEmpty && (quotas.values.min >= 0) && defaultQuota >= 0)
+    val kMax = (quotas.values.toSeq :+ defaultQuota).max
+    val quota = coalesce(element_at(typedLit(quotas), col(stratumCol)), lit(defaultQuota))
+    val order = Seq(md5(col(idCol).cast("string")), col(idCol))
+    val w1 = Window
+      .partitionBy(col(stratumCol), pmod(xxhash64(col(idCol)), lit(buckets.toLong)))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col(stratumCol)).orderBy(order: _*)
+    df.withColumn("__rn1", row_number().over(w1)).filter(col("__rn1") <= kMax)
+      .withColumn("__rn2", row_number().over(w2)).filter(col("__rn2") <= quota)
+      .drop("__rn1", "__rn2")
+  }
+
   /** Train/test DECONTAMINATION: for each eval-split document, how many
     * of its distinct word n-grams appear anywhere in the training split
     * — the standard n-gram-overlap contamination check run before

@@ -68,4 +68,15 @@ object TextOps {
   /** Exact total character count of all tokens (int64). */
   def tokenCharSum(c: Column): Column =
     aggregate(transform(tokens(c), t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+
+  /** Repeated-element ratio of an array: 1 − |distinct|/|all| — the
+    * Gopher-class intra-document repetition signal (duplicate token /
+    * duplicate n-gram fraction). Per-row projection, so the whole
+    * quality pass is map-only at any scale; the single division is an
+    * exact IEEE op, identical cross-engine. Caller filters empty arrays
+    * (0/0) first.
+    */
+  def dupRatio(arr: Column): Column =
+    graft.functions.Numeric.roundBin(
+      lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr).cast("double"), 6)
 }

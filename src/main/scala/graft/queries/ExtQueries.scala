@@ -23,6 +23,9 @@ object ExtQueries {
   private val JaccardCappedThreshold = 0.05
 
   // embedding near-dup parameters (shared by Spark query and oracle)
+  // domain-mixture quotas: named sources oversampled, the long tail at 2
+  private val MixQuotas = Map("src0" -> 15, "src1" -> 10, "src2" -> 5)
+  private val MixDefaultQuota = 2
   private val NearDupTau = 0.4
   private val NearDupPlanes = 16
   private val NearDupRowsPerBand = 4
@@ -184,6 +187,23 @@ object ExtQueries {
       Corpus.weightedSample(
         Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", 50)),
+
+    // ---- domain-mixture sampling: per-source quotas, growth-stable draw
+    "x_mixture_sample" -> ((s, d) =>
+      Corpus.mixtureSample(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "source", "doc_id", MixQuotas, defaultQuota = MixDefaultQuota)),
+
+    // ---- intra-doc repetition signals (Gopher-style quality pass):
+    //      duplicate-token and duplicate-3-gram fractions, map-only
+    "x_repetition" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+          size(toks).cast("bigint").as("n_tokens"),
+          TextOps.dupRatio(toks).as("dup_token_ratio"),
+          TextOps.dupRatio(TextOps.shingles(col("text"), 3)).as("dup_3gram_ratio"))
+        .filter(col("n_tokens") >= 3)
+    }),
 
     // ---- train/test decontamination: eval docs sharing 5-grams with train
     "x_decontaminate" -> ((s, d) => {
@@ -451,6 +471,28 @@ object ExtQueries {
       s"""SELECT doc_id, n_chars, ${Corpus.esKeySql("doc_id", "n_chars")} AS es_key
          |FROM documents WHERE n_chars > 0
          |ORDER BY es_key ASC, doc_id ASC LIMIT 50""".stripMargin,
+
+    // the CASE chain is generated from the same MixQuotas map the Spark
+    // query passes to mixtureSample — one quota definition
+    "x_mixture_sample" -> {
+      val cases = MixQuotas.toSeq.sortBy(_._1)
+        .map { case (s, q) => s"WHEN '$s' THEN $q" }.mkString(" ")
+      s"""SELECT doc_id, source FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY source
+         |  ORDER BY md5(CAST(doc_id AS STRING)), doc_id)
+         |  <= CASE source $cases ELSE $MixDefaultQuota END""".stripMargin
+    },
+
+    "x_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |s AS (SELECT doc_id, ws,
+         |  list_transform(generate_series(1, len(ws) - 2),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+         |  FROM t)
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  ${Numeric.roundBinSql("1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)", 6)} AS dup_token_ratio,
+         |  ${Numeric.roundBinSql("1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)", 6)} AS dup_3gram_ratio
+         |FROM s WHERE len(ws) >= 3""".stripMargin,
 
     "x_decontaminate" -> {
       val cat = (0 until 5).map(k => s"ws[i+$k]").mkString(" || ' ' || ")

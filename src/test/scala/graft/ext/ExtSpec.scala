@@ -197,6 +197,36 @@ class ExtSpec extends SparkSuite {
     assert(ex.getMessage.contains("width"))
   }
 
+  test("mixtureSample honors per-stratum quotas and stays stable under other-strata growth") {
+    val df = (0L until 90L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val r = Corpus.mixtureSample(df, "source", "doc_id",
+      Map("src0" -> 5, "src1" -> 2), defaultQuota = 1)
+    val counts = r.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("src0" -> 5L, "src1" -> 2L, "src2" -> 1L))
+    // doubling src2 must not change which src0/src1 docs are drawn
+    val grown = df.union((1000L until 1030L).map(i => (i, "src2")).toDF("doc_id", "source"))
+    val before = r.filter($"source" =!= "src2").select("doc_id").as[Long].collect().toSet
+    val after = Corpus.mixtureSample(grown, "source", "doc_id",
+        Map("src0" -> 5, "src1" -> 2), defaultQuota = 1)
+      .filter($"source" =!= "src2").select("doc_id").as[Long].collect().toSet
+    assert(before == after)
+  }
+
+  test("dupRatio flags repeated tokens and n-grams") {
+    val d = Seq(
+      (1L, "a b c d e f"),            // all distinct
+      (2L, "spam spam spam spam"),    // heavy repetition
+      (3L, "x y x y x y")             // repeated bigram structure
+    ).toDF("doc_id", "text")
+    val r = d.select($"doc_id",
+        TextOps.dupRatio(TextOps.tokens($"text")).as("tok"),
+        TextOps.dupRatio(TextOps.shingles($"text", 3)).as("tri"))
+      .as[(Long, Double, Double)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r(1L) == ((0.0, 0.0)))
+    assert(r(2L)._1 == 0.75 && r(2L)._2 == 0.5) // 1 distinct of 4; 1 of 2
+    assert(r(3L)._1 > 0.6 && r(3L)._2 == 0.5)   // x/y only; 2 distinct of 4
+  }
+
   test("weightedSample: weight-proportional, deterministic, zero-weight excluded") {
     val pool = (0L until 100L).map(i => (i, 10000L)) ++
       (100L until 200L).map(i => (i, 1L)) :+ (999L, 0L)
