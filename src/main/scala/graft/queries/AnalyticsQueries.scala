@@ -240,6 +240,53 @@ object AnalyticsQueries {
         .select("event_id", "user_id", "session_seq", "n_events")
     }),
 
+    // ---- z-order (Morton) values: the multi-dim clustering-on-write key
+    //      (Delta/Iceberg OPTIMIZE ZORDER BY) — exact int64 bit ops,
+    //      identical cross-engine; layout effect pinned in ZOrderSpec
+    "x_zorder" -> ((s, d) => {
+      val b = floor(col("value") * 100).cast("long")
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        b.cast("bigint").as("v100"),
+        graft.functions.ZOrder.zValue(col("user_id"), b).as("z_value"))
+    }),
+
+    // ---- unpivot/melt: the wide hourly pivot back to long form; null
+    //      combos filtered so Spark's null-keeping unpivot and a direct
+    //      long-form aggregation agree
+    "x_unpivot" -> ((s, d) => {
+      val wide = Tables.events(s, d).groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "error"))
+        .agg(Numeric.scaledAvg(col("value")))
+      wide.unpivot(Array(col("user_id")),
+          Array(col("click"), col("view"), col("error")), "event_type", "avg_v")
+        .filter(col("avg_v").isNotNull)
+    }),
+
+    // ---- event-time RANGE frame: per-user rolling 1h sum — frame bounds
+    //      on exact epoch-micros, sum as order-independent scaled ints
+    "w6_rolling_time" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000, Window.currentRow)
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        (sum(floor(col("value") * 100 + lit(0.5)).cast("long")).over(w)
+          .cast("double") / 100.0).as("rolling_1h_sum"))
+    }),
+
+    // ---- ANALYZE-style column stats (min/max/nulls/ndv per column) —
+    //      one pass over the fact table, one row out per column
+    "x_table_stats" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def statsFor(c: String) = li.agg(
+        lit(c).as("col_name"),
+        min(col(c)).cast("double").as("min_v"),
+        max(col(c)).cast("double").as("max_v"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        count_distinct(col(c)).as("ndv"))
+      statsFor("l_orderkey").unionByName(statsFor("l_quantity"))
+        .unionByName(statsFor("l_linenumber"))
+    }),
+
     // ---- null-safe equality, guarded division, null-propagating concat
     "p_null_safety" -> ((s, d) => {
       val k = get_json_object(col("props"), "$.k").cast("bigint")
@@ -276,6 +323,37 @@ object AnalyticsQueries {
       |  FROM s GROUP BY user_id, session_seq)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+
+    "x_zorder" -> graft.functions.ZOrder.zValueSqlOver(
+      """(SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS v100,
+        |  user_id AS __a, CAST(floor(value * 100) AS BIGINT) AS __b
+        |  FROM events)""".stripMargin,
+      Seq("event_id", "user_id", "v100")),
+
+    // the direct long-form aggregation — equal to unpivot(pivot(.))
+    // once null combos are dropped on the Spark side
+    "x_unpivot" ->
+      s"""SELECT user_id, event_type, ${Numeric.scaledAvgSql("value")} AS avg_v
+         |FROM events WHERE event_type IN ('click', 'view', 'error')
+         |GROUP BY user_id, event_type""".stripMargin,
+
+    "w6_rolling_time" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+        |    AS rolling_1h_sum
+        |FROM events""".stripMargin,
+
+    "x_table_stats" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_quantity", "l_linenumber").map(one).mkString("\nUNION ALL\n")
+    },
 
     // The oracle states as-of declaratively (nearest-per-left via
     // QUALIFY over a non-equi join — fine at oracle scale, the exact
