@@ -66,12 +66,20 @@ object Bench {
       name -> times.minOption
     }
     // errored-out queries print as null (JSON-safe) and are excluded
-    // from the total; the errors array is the visibility signal
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
+    // from the total; the errors array is the visibility signal.
+    // Millisecond precision, deliberately: the harness keeps only a
+    // 2000-char tail of stdout, and full-precision doubles pushed the
+    // line past it at ~70 queries (BENCH_r03/r04 "parsed": null) —
+    // sub-ms digits are noise at these runtimes anyway.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    require(line.length <= 1850,
+      s"bench JSON line ${line.length} chars — would overflow the driver's 2000-char tail; shorten")
+    println(line)
     spark.stop()
   }
 }

@@ -86,12 +86,15 @@ object MakeScale {
     }
 
     replicate("embeddings") { (df, i) =>
-      // deterministic per-(copy, dim) nudge ≤0.01 — copies stay near
-      // their original direction but are not exactly collinear
-      val pert = Array.tabulate(64)(d => math.sin(i * 64.0 + d) * 0.01)
-      offset(df, Seq("vec_id"), i).withColumn("embedding",
-        zip_with(col("embedding"), typedLit(pert.toSeq),
-          (x, p) => (x + p).cast("float")))
+      if (i == 0) df // copy 0 stays byte-identical to the base corpus,
+      else {        // mirroring the documents branch — 1x-vs-10x runs compare like-for-like
+        // deterministic per-(copy, dim) nudge ≤0.01 — copies stay near
+        // their original direction but are not exactly collinear
+        val pert = Array.tabulate(64)(d => math.sin(i * 64.0 + d) * 0.01)
+        offset(df, Seq("vec_id"), i).withColumn("embedding",
+          zip_with(col("embedding"), typedLit(pert.toSeq),
+            (x, p) => (x + p).cast("float")))
+      }
     }
 
     spark.stop()

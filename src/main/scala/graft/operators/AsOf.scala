@@ -75,7 +75,16 @@ object AsOf {
     // exactly-equal right is inside the running frame (inclusive match);
     // forward mirrors that with rights AFTER lefts and a following frame.
     val (rSide, lSide) = if (forward) (1, 0) else (0, 1)
-    val r = right.select(
+    // NULL-key semantics: Window.partitionBy groups NULLs together, which
+    // would let a NULL-keyed left row match a NULL-keyed right row —
+    // diverging from SQL equi-join (NULL never equals NULL). Dropping
+    // null-keyed RIGHT rows restores it exactly: they can match no left
+    // row in SQL, and null-keyed left rows then sit in a partition with
+    // no rights → emitted unmatched, as a LEFT JOIN would.
+    val matchableRight =
+      if (keys.isEmpty) right
+      else right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    val r = matchableRight.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(rSide).as("__side"),
         col(rightTieBreak).as("__tie"), payload.as("__r")): _*)

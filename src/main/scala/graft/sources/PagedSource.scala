@@ -125,9 +125,10 @@ private[sources] class PagedPartitionReader(part: EntityPartition)
   private var buffer: Iterator[String] = Iterator.empty
   private var current: String = _
 
-  /** One page with the reference's micro-retry loop: attempt up to
-    * maxRetries, sleeping backoffMs·2^attempt between failures, then
-    * fail the TASK (not silently the page).
+  /** One page with the reference's micro-retry loop: one initial attempt
+    * plus up to maxRetries RETRIES, sleeping backoffMs·2^(retry-1) before
+    * each retry (default 3 → the reference's 1×/2×/4× backoff ladder),
+    * then fail the TASK (not silently the page).
     */
   private def fetchPageWithRetry(): Seq[String] = {
     var attempt = 0
@@ -137,9 +138,9 @@ private[sources] class PagedPartitionReader(part: EntityPartition)
         case PageNotFound    => exhausted = true; return Nil // 404 → no data
         case PageError(msg) =>
           attempt += 1
-          if (attempt >= conf.maxRetries)
+          if (attempt > conf.maxRetries)
             throw new RuntimeException(
-              s"graft-paged: exhausted $attempt retries for entity " +
+              s"graft-paged: exhausted ${conf.maxRetries} retries for entity " +
                 s"${part.entityId} page $page ($msg) — failing task to " +
                 "prevent silent partial extraction")
           Thread.sleep(conf.backoffMs << (attempt - 1)) // 1x, 2x, 4x …

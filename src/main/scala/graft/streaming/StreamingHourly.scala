@@ -76,7 +76,8 @@ object StreamingHourly {
     * born and die together (see MARKER/CHECKPOINT COUPLING on
     * [[mergeSink]]).
     */
-  def availableNowHourlyMart(spark: SparkSession, sfDir: String): DataFrame = {
+  def availableNowHourlyMart(spark: SparkSession, sfDir: String,
+                             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_mart").toString
     val mart = s"$work/mart"
     // same nanos-ts handling as Tables.events, stream-side: schema from a
@@ -87,12 +88,25 @@ object StreamingHourly {
     // in the driver testdata (a directory of parts in generated dirs —
     // the glob handles both)
     val src = s"$sfDir/{events.parquet}"
-    val events = spark.readStream
+    val reader = spark.readStream
       .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+    // AvailableNow honors rate limits: maxFilesPerTrigger splits the
+    // drain into real micro-batches (the spec uses this to prove
+    // batch-split independence)
+    val events = maxFilesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n))
       .parquet(src)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // NO watermark: update mode doesn't require one for aggregation, and
+    // this is a bounded AvailableNow drain — state dies with the run. A
+    // watermark here would silently DROP any row arriving in a later
+    // micro-batch with event time older than (max seen ts − delay); the
+    // driver testdata happens to fit one batch, but under
+    // maxFilesPerTrigger or a many-part source each part spans the full
+    // time range and rows would vanish. Unbounded state is the correct
+    // trade for a finite drain; the indefinitely-running form with a
+    // late-data bound is [[hourlyAgg]].
     val agg = events
-      .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         graft.functions.Numeric.scaledAvg(col("value")).as("avg_value"))

@@ -72,6 +72,24 @@ class AsOfSpec extends SparkSuite {
     assert(r(4L) == (4L, None, None))                  // nothing after 10:30
   }
 
+  test("NULL keys never match — SQL equi-join semantics, left rows kept") {
+    val nullTrades = Seq(
+      (10L, Some(1L), ts("2024-01-01 10:00:04")), // normal match
+      (11L, None, ts("2024-01-01 10:00:04"))      // NULL key → unmatched, kept
+    ).toDF("t_id", "key", "ts")
+    val nullQuotes = Seq(
+      (300L, Some(1L), ts("2024-01-01 10:00:00"), 10.0),
+      (301L, None, ts("2024-01-01 10:00:00"), 66.6) // NULL key → matches nobody
+    ).toDF("q_id", "key", "ts", "px")
+    val r = AsOf.joinBackward(nullTrades, nullQuotes, Seq("key"), "ts", "ts",
+        Seq("q_id", "px"), rightTieBreak = "q_id")
+      .select("t_id", "q_id", "px").as[(Long, Option[Long], Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r(10L) == (10L, Some(300L), Some(10.0)))
+    assert(r(11L) == (11L, None, None)) // NOT matched to the NULL-keyed quote
+    assert(r.size == 2)
+  }
+
   test("matches the naive non-equi join + keep-nearest window on real data") {
     val ev = graft.Tables.events(spark, sfDir)
     val views = ev.filter($"event_type" === "view").select("event_id", "user_id", "ts")

@@ -77,6 +77,36 @@ class StreamingSpec extends SparkSuite {
       (java.sql.Timestamp.valueOf("2026-01-01 05:40:00"), "b", 4.0)))
   }
 
+  test("availableNow mart is batch-identical even when the drain splits into micro-batches") {
+    // Three part files, EACH spanning the same hours: with
+    // maxFilesPerTrigger=1, micro-batch 2+ carries rows whose event time
+    // is older than everything batch 1 saw — the rows a watermark would
+    // silently drop (round-4 ADVICE). The drain must still equal batch.
+    val sfDir = Files.createTempDirectory("graft_stream_split").toString
+    val evDir = s"$sfDir/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def nanos(h: Int, m: Int): Long =
+      (java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00").getTime * 1000L) * 1000L
+    for (part <- 0 until 3) {
+      Seq.tabulate(8)(i => (nanos(i % 4, 10 + part * 7), s"type_${i / 4}", part * 10.0 + i))
+        .toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(evDir)
+    }
+    val mart = StreamingHourly
+      .availableNowHourlyMart(spark, sfDir, maxFilesPerTrigger = Some(1))
+      .select("window_start", "event_type", "n_events", "avg_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = spark.read.parquet(evDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Numeric.scaledAvg(col("value")).as("avg_value"))
+      .select(col("w.start"), col("event_type"), col("n_events"), col("avg_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(mart == batch)
+    assert(mart.size == 8) // 4 hours x 2 event types, every part represented
+  }
+
   test("foreachBatch mergeSink upserts micro-batches by key into parquet") {
     val src = Files.createTempDirectory("graft_stream_src2").toString
     val out = Files.createTempDirectory("graft_stream_out").toString + "/mart"
