@@ -67,17 +67,23 @@ object Bench {
     }
     // errored-out queries print as null (JSON-safe) and are excluded
     // from the total; the errors array is the visibility signal.
-    // Millisecond precision, deliberately: the harness keeps only a
-    // 2000-char tail of stdout, and full-precision doubles pushed the
-    // line past it at ~70 queries (BENCH_r03/r04 "parsed": null) —
-    // sub-ms digits are noise at these runtimes anyway.
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Centisecond precision with trailing zeros stripped, deliberately:
+    // the harness keeps only a 2000-char tail of stdout, and
+    // full-precision doubles pushed the line past it at ~70 queries
+    // (BENCH_r03/r04 "parsed": null) — sub-10ms digits are noise at
+    // these runtimes anyway.
+    def fmt(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t + "0" else t
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    require(line.length <= 1850,
+    val sfLabel = sfDir.split('/').last
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfLabel"}"""
+    require(line.length <= 1900,
       s"bench JSON line ${line.length} chars — would overflow the driver's 2000-char tail; shorten")
     println(line)
     spark.stop()
