@@ -142,6 +142,38 @@ object Corpus {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** [[contamination]]'s mirror at production scale: which TRAINING
+    * documents contain eval-set n-grams (the docs a pipeline actually
+    * drops), with a Bloom-filter prefilter so the decision never shuffles
+    * the big side. Returns (id, n_contaminated) for train docs sharing ≥1
+    * distinct n-gram with the eval split — EXACT results: the Bloom pass
+    * only prunes, the equi-join on survivors confirms.
+    *
+    * Scale shape: the eval vocabulary (small side) is aggregated
+    * distributed, then compressed to a fixed-size Bloom bit array built
+    * by a treeAggregate — the driver holds one filter, never the vocab
+    * rows. The 100 TB train scan probes it map-side
+    * ([[graft.functions.BloomMightContain]], codegen'd), so ~(1 − fpp) of
+    * train shingles die before the exchange; only the ~fpp false
+    * positives plus true hits reach the exact join. With a plain
+    * broadcast-hash semi-join the full eval vocab must fit executor
+    * memory as a hash relation (~50 bytes/entry); the Bloom form needs
+    * ~1.2 bytes/entry at 1% fpp — the difference between "broadcast 10⁸
+    * n-grams" failing and working.
+    */
+  def contaminatedTrainDocs(train: DataFrame, eval: DataFrame, idCol: String,
+                            textCol: String, n: Int,
+                            fpp: Double = 0.01): DataFrame = {
+    val evalVocab = DedupOps.shingleIndex(eval, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val bloom = evalVocab.stat.bloomFilter(
+      "shingle", math.max(evalVocab.count(), 1L), fpp)
+    DedupOps.shingleIndex(train, idCol, textCol, n)
+      .filter(graft.functions.BloomMightContain.mightContain(col("shingle"), bloom))
+      .join(evalVocab, Seq("shingle")) // exact confirm: bloom FPs die here
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** Sequence PACKING index: assign documents (in deterministic id order
     * within a shard) to fixed-capacity token bins — the
     * concat-short-docs-into-training-windows step, computed as a pure

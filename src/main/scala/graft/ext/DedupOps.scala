@@ -138,6 +138,50 @@ object DedupOps {
       .distinct()
   }
 
+  /** Duplicated-SPAN extraction — the substring-level dedup primitive
+    * (the ExactSubstr idea from Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", at n-gram granularity): find
+    * maximal runs of consecutive word positions whose n-gram occurs in
+    * ≥ `minDocs` distinct documents. Doc-level dedup misses boilerplate
+    * (headers, license blocks, navigation chrome) pasted into otherwise
+    * unique documents; span-level finds exactly those regions, and a
+    * downstream pass can cut them while keeping the document.
+    *
+    * Emits (doc_id, span_start, span_end, n_words, n_grams): 0-based
+    * inclusive word positions; a run of k consecutive duplicated n-grams
+    * covers k + n − 1 words.
+    *
+    * Scale shape: document frequency is one keyed aggregation over
+    * (doc, shingle-hash) with map-side combining; marking is a semi-join
+    * on the 8-byte hash (membership only — no df² pair blowup, hot
+    * boilerplate shingles cost df rows, not df²); island-merging is a
+    * per-document window (documents are bounded, the partition key is
+    * doc_id). Three shuffles total, none quadratic in anything.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 3, minDocs: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.select(col(idCol),
+        posexplode(graft.functions.WordShingles.shingles(col(textCol), n))
+          .as(Seq("pos", "shingle")))
+      .select(col(idCol), col("pos").cast("bigint").as("pos"),
+        xxhash64(col("shingle")).as("sh"))
+    val dup = pos.select(col(idCol), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs).select(col("sh"))
+    // pos is unique per doc, so the semi-join output needs no distinct
+    val marked = pos.join(dup, Seq("sh"), "left_semi")
+    // gaps-and-islands: consecutive positions share (pos − row_number)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    marked.withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_words"), col("n_grams"))
+  }
+
   /** Dedup RESOLUTION: collapse candidate pairs into groups and pick a
     * keeper — connected components by min-label propagation WITH POINTER
     * JUMPING, iterated TO A FIXED POINT. Each round every node first

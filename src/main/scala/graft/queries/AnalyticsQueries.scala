@@ -273,6 +273,19 @@ object AnalyticsQueries {
           .cast("double") / 100.0).as("rolling_1h_sum"))
     }),
 
+    // ---- SLIDING (overlapping) windows: 1-hour span every 15 minutes —
+    //      the hopping-window aggregation Structured Streaming shares
+    //      with batch. Each event lands in exactly 4 windows; the explode
+    //      is Spark-internal (window() expands before the single keyed
+    //      shuffle on (window, event_type)).
+    "w7_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Numeric.scaledAvg(col("value")).as("avg_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("avg_value"))),
+
     // ---- ANALYZE-style column stats (min/max/nulls/ndv per column) —
     //      one pass over the fact table, one row out per column
     "x_table_stats" -> ((s, d) => {
@@ -344,6 +357,19 @@ object AnalyticsQueries {
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
         |    AS rolling_1h_sum
         |FROM events""".stripMargin,
+
+    // every event belongs to the 4 hour-long windows starting at its
+    // 15-min bucket minus k·15min, k = 0..3 — the epoch-aligned expansion
+    // window() performs internally
+    "w7_sliding_window" ->
+      s"""WITH w AS (SELECT date_trunc('hour', ts)
+         |    + (CAST(floor(extract(minute FROM ts) / 15) AS INTEGER) * INTERVAL 15 MINUTE)
+         |    AS b15, event_type, value FROM events),
+         |x AS (SELECT b15 - k * INTERVAL 15 MINUTE AS window_start, event_type, value
+         |      FROM w, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) t)
+         |SELECT window_start, event_type, count(*) AS n_events,
+         |  ${Numeric.scaledAvgSql("value")} AS avg_value
+         |FROM x GROUP BY 1, 2""".stripMargin,
 
     "x_table_stats" -> {
       def one(c: String) =

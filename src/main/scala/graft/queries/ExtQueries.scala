@@ -213,6 +213,21 @@ object ExtQueries {
         withB.filter(col("bucket") >= 230), "doc_id", "text", n = 5)
     }),
 
+    // ---- contaminated TRAIN docs via Bloom-prefiltered membership —
+    //      the direction a pipeline actually drops; exact results, the
+    //      bloom only prunes the big-side scan before the confirm join
+    "x_contaminated_train" -> ((s, d) => {
+      val withB = Corpus.assignSplit(Tables.documents(s, d), "doc_id")
+      Corpus.contaminatedTrainDocs(
+        withB.filter(col("bucket") < 204),
+        withB.filter(col("bucket") >= 230), "doc_id", "text", n = 5)
+    }),
+
+    // ---- duplicated-span extraction: maximal runs of cross-doc 3-grams
+    //      (substring-level dedup primitive, Lee et al. 2022 shape)
+    "x_dup_spans" -> ((s, d) =>
+      DedupOps.dupSpans(Tables.documents(s, d), "doc_id", "text", n = 3)),
+
     // ---- sequence packing: per-language 512-token training bins
     "x_pack_sequences" -> ((s, d) =>
       Corpus.packSequences(Tables.documents(s, d), "doc_id", "text",
@@ -507,6 +522,37 @@ object ExtQueries {
          |WHERE bucket >= 230
          |GROUP BY doc_id""".stripMargin
     },
+
+    // mirror of x_decontaminate with the splits swapped — the bloom is
+    // invisible to the oracle because it only ever prunes
+    "x_contaminated_train" -> {
+      val cat = (0 until 5).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      s"""WITH b AS (SELECT doc_id, text, ${Corpus.splitBucketSql("doc_id")} AS bucket
+         |           FROM documents),
+         |toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS ws FROM b),
+         |sh5 AS (SELECT DISTINCT doc_id, bucket, $cat AS shingle
+         |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t),
+         |ev AS (SELECT DISTINCT shingle FROM sh5 WHERE bucket >= 230)
+         |SELECT doc_id, count(*) AS n_contaminated
+         |FROM sh5 JOIN ev USING (shingle)
+         |WHERE bucket < 204
+         |GROUP BY doc_id""".stripMargin
+    },
+
+    "x_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pos AS (SELECT doc_id, i - 1 AS pos,
+        |          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t),
+        |dup AS (SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM pos)
+        |        GROUP BY shingle HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, pos FROM pos JOIN dup USING (shingle)),
+        |g AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM d)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end,
+        |  max(pos) + 2 - min(pos) + 1 AS n_words, count(*) AS n_grams
+        |FROM g GROUP BY doc_id, grp""".stripMargin,
 
     "x_vocab_topk" ->
       """WITH tok AS (
