@@ -77,14 +77,30 @@ object Bench {
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t + "0" else t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
-      .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val sfLabel = sfDir.split('/').last
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfLabel"}"""
-    require(line.length <= 1900,
-      s"bench JSON line ${line.length} chars — would overflow the driver's 2000-char tail; shorten")
+    def render(es: Seq[(String, Option[Double])], omitted: Int): String = {
+      val qs = es.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"errors":$errs,"sf":"$sfLabel"}"""
+    }
+    // full-precision sidecar: the complete per-query record lives in the
+    // repo regardless of what fits on the stdout line
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
+        .mkString(s"""{"total":$total,"sf":"$sfLabel","queries":{""", ",", "}}\n")
+        .getBytes("UTF-8"))
+    // if the line would overflow the tail window, shed the CHEAPEST
+    // entries (least informative per char) and say how many were dropped
+    var kept = results
+    var line = render(kept, 0)
+    while (line.length > 1900 && kept.exists(_._2.isDefined)) {
+      val cheapest = kept.filter(_._2.isDefined).minBy(_._2.get)._1
+      kept = kept.filterNot(_._1 == cheapest)
+      line = render(kept, results.size - kept.size)
+    }
     println(line)
     spark.stop()
   }

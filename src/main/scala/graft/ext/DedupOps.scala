@@ -182,6 +182,88 @@ object DedupOps {
         (col("span_end") - col("span_start") + 1).as("n_words"), col("n_grams"))
   }
 
+  /** Substring-level corpus REWRITE — [[dupSpans]] taken to its
+    * conclusion: cut duplicated spans out of every document EXCEPT the
+    * first occurrence (per duplicated n-gram, the minimum doc_id among
+    * its sharers keeps it), and reassemble the surviving words. This is
+    * the C4/RefinedWeb-style "remove duplicated substrings, keep one
+    * copy" pass: document-level dedup would either keep the boilerplate
+    * everywhere or drop whole documents that are mostly unique.
+    *
+    * Returns every input document as (doc_id, clean_text,
+    * n_removed_words); untouched docs pass through with n_removed = 0,
+    * fully-duplicated docs come back with clean_text = ''.
+    *
+    * Scale shape: one aggregation over distinct (doc, shingle) computes
+    * df + keeper together; removal marking is the same membership join
+    * as [[dupSpans]]; reassembly is a per-document sort of the surviving
+    * words (array_sort over a collected struct — bounded by document
+    * size, the partition key is doc_id). Deterministic everywhere: no
+    * window over floats, no collect_list order dependence (sorted before
+    * join).
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, minDocs: Long = 2): DataFrame = {
+    val pos = docs.select(col(idCol),
+        posexplode(graft.functions.WordShingles.shingles(col(textCol), n))
+          .as(Seq("pos", "shingle")))
+      .select(col(idCol), col("pos").cast("bigint").as("pos"),
+        xxhash64(col("shingle")).as("sh"))
+    // df (distinct docs) and keeper (min doc) in ONE keyed aggregation
+    val stats = pos.select(col(idCol), col("sh")).distinct()
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("__df"), min(col(idCol)).as("__keeper"))
+      .filter(col("__df") >= minDocs)
+    val removedPos = pos.join(stats, Seq("sh"))
+      .filter(col(idCol) =!= col("__keeper"))
+      .select(col(idCol), col("pos"))
+    // each removed n-gram start covers its n words
+    val covered = removedPos
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
+      .distinct()
+    val words = docs.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("wpos", "word")))
+      .select(col(idCol), col("wpos").cast("bigint").as("wpos"), col("word"))
+    val kept = words.join(covered, Seq(idCol, "wpos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("wpos"), col("word")))),
+          x => x.getField("word")), " ").as("clean_text"),
+        count(lit(1)).as("__n_kept"))
+    docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast("bigint").as("__n_words"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__n_words") - coalesce(col("__n_kept"), lit(0L))).as("n_removed_words"))
+  }
+
+  /** INCREMENTAL near-dup candidates: a fresh batch probed against the
+    * standing corpus SIGNATURE INDEX — the shape a daily 100 TB pipeline
+    * actually runs. The corpus side arrives as stored MinHash signatures
+    * ([[minhashSignatures]] output, (id, mh0..mh{k-1})), so the nightly
+    * cost is O(|new batch|) shingling + one band equi-join against the
+    * index; the corpus text is never re-shingled and corpus×corpus pairs
+    * are never re-derived. New-vs-new pairs are deliberately excluded
+    * here (run [[lshCandidates]] over the batch for those — it's
+    * batch-sized, not corpus-sized).
+    *
+    * Returns distinct (doc_new, doc_corpus). Caller guarantees the two
+    * id spaces are disjoint (they are, in an append-only corpus).
+    */
+  def lshCandidatesIncremental(corpusSigs: DataFrame, fresh: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int = 8, rowsPerBand: Int = 2,
+                               n: Int = 3): DataFrame = {
+    val freshBands = lshBands(minhashSignatures(fresh, idCol, textCol, k, n),
+      idCol, k, rowsPerBand)
+    val corpusBands = lshBands(corpusSigs, idCol, k, rowsPerBand)
+    freshBands.as("a").join(corpusBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key"))
+      .select(col(s"a.$idCol").as("doc_new"), col(s"b.$idCol").as("doc_corpus"))
+      .distinct()
+  }
+
   /** Dedup RESOLUTION: collapse candidate pairs into groups and pick a
     * keeper — connected components by min-label propagation WITH POINTER
     * JUMPING, iterated TO A FIXED POINT. Each round every node first

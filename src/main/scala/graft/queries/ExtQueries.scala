@@ -228,6 +228,21 @@ object ExtQueries {
     "x_dup_spans" -> ((s, d) =>
       DedupOps.dupSpans(Tables.documents(s, d), "doc_id", "text", n = 3)),
 
+    // ---- substring-level rewrite: cut duplicated spans, keep the first
+    //      occurrence, reassemble the corpus
+    "x_span_dedup" -> ((s, d) =>
+      DedupOps.removeDupSpans(Tables.documents(s, d), "doc_id", "text", n = 3)),
+
+    // ---- incremental dedup: fresh batch vs the standing signature index
+    //      (corpus text never re-shingled, corpus pairs never re-derived)
+    "x_incremental_dedup" -> ((s, d) => {
+      val withB = Corpus.assignSplit(Tables.documents(s, d), "doc_id")
+      val corpusSigs = DedupOps.minhashSignatures(
+        withB.filter(col("bucket") < 204), "doc_id", "text")
+      DedupOps.lshCandidatesIncremental(corpusSigs,
+        withB.filter(col("bucket") >= 204), "doc_id", "text")
+    }),
+
     // ---- sequence packing: per-language 512-token training bins
     "x_pack_sequences" -> ((s, d) =>
       Corpus.packSequences(Tables.documents(s, d), "doc_id", "text",
@@ -553,6 +568,50 @@ object ExtQueries {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end,
         |  max(pos) + 2 - min(pos) + 1 AS n_words, count(*) AS n_grams
         |FROM g GROUP BY doc_id, grp""".stripMargin,
+
+    "x_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pos AS (SELECT doc_id, i - 1 AS pos,
+        |          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t),
+        |stats AS (SELECT shingle, count(DISTINCT doc_id) AS df, min(doc_id) AS keeper
+        |          FROM pos GROUP BY shingle),
+        |rem AS (SELECT doc_id, pos FROM pos JOIN stats USING (shingle)
+        |        WHERE df >= 2 AND doc_id <> keeper),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS wpos
+        |        FROM rem, LATERAL (SELECT unnest(generate_series(0, 2)) AS j) t),
+        |words AS (SELECT doc_id, i - 1 AS wpos, ws[i] AS word
+        |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t),
+        |kept AS (SELECT w.doc_id, w.wpos, w.word FROM words w
+        |         ANTI JOIN cov c ON w.doc_id = c.doc_id AND w.wpos = c.wpos),
+        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS clean_text,
+        |          count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT)
+        |    AS n_removed_words
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // band join constrained to (fresh x corpus) — the incremental probe;
+    // signature CTEs are split-tagged so both sides share one definition
+    "x_incremental_dedup" -> {
+      val aggs = (0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, bucket, $b AS band_idx, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH b AS (SELECT doc_id, text, ${Corpus.splitBucketSql("doc_id")} AS bucket
+         |           FROM documents),
+         |toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS ws FROM b),
+         |sh AS (SELECT DISTINCT doc_id, bucket,
+         |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t),
+         |sig AS (SELECT doc_id, bucket, $aggs FROM sh GROUP BY doc_id, bucket),
+         |bands AS (
+         |  $bandSelects)
+         |SELECT DISTINCT a.doc_id AS doc_new, c.doc_id AS doc_corpus
+         |FROM bands a JOIN bands c
+         |  ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+         |WHERE a.bucket >= 204 AND c.bucket < 204""".stripMargin
+    },
 
     "x_vocab_topk" ->
       """WITH tok AS (

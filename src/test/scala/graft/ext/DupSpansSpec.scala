@@ -54,6 +54,52 @@ class DupSpansSpec extends SparkSuite {
     assert(DedupOps.dupSpans(docs, "doc_id", "text", n = 3, minDocs = 4).count() == 0)
   }
 
+  test("span removal keeps the first occurrence, cuts the rest, passes unique docs through") {
+    val docs = Seq(
+      (1L, "a b q w e r t y c d"), // keeper of "q w e r t y" (min doc_id)
+      (2L, "m n q w e r t y o p"), // loses the 6 shared words
+      (3L, "nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val r = DedupOps.removeDupSpans(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == (1L, "a b q w e r t y c d", 0L)) // keeper: untouched
+    assert(r(2L) == (2L, "m n o p", 6L))             // span cut, rest reassembled
+    assert(r(3L) == (3L, "nothing shared here at all", 0L))
+    assert(r.size == 3) // every input doc comes back
+  }
+
+  test("a fully-duplicated non-keeper doc comes back empty, not missing") {
+    val docs = Seq(
+      (5L, "x y z w"),
+      (9L, "x y z w") // every trigram shared, doc 9 is never the keeper
+    ).toDF("doc_id", "text")
+    val r = DedupOps.removeDupSpans(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(5L) == (5L, "x y z w", 0L))
+    assert(r(9L) == (9L, "", 4L))
+  }
+
+  test("incremental candidates equal the cross-split subset of the full LSH join") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val withB = Corpus.assignSplit(docs, "doc_id")
+    val corpus = withB.filter($"bucket" < 204)
+    val fresh = withB.filter($"bucket" >= 204)
+    val corpusSigs = DedupOps.minhashSignatures(corpus, "doc_id", "text")
+    val got = DedupOps.lshCandidatesIncremental(corpusSigs, fresh, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    // reference: the FULL all-pairs LSH run, restricted to pairs that
+    // straddle the split (order-normalized to (fresh, corpus))
+    val freshIds = fresh.select($"doc_id").as[Long].collect().toSet
+    val full = DedupOps.lshCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        if (freshIds(a) && !freshIds(b)) Some((a, b))
+        else if (freshIds(b) && !freshIds(a)) Some((b, a))
+        else None
+      }.toSet
+    assert(got == full && got.nonEmpty)
+  }
+
   test("agrees with an independent brute-force formulation on real data") {
     val docs = graft.Tables.documents(spark, sfDir).limit(200)
     val got = DedupOps.dupSpans(docs, "doc_id", "text")
