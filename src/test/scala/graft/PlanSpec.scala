@@ -98,6 +98,53 @@ class PlanSpec extends SparkSuite {
     assert(countOccurrences(p, "Exchange") == 1, s"SCD-2 gained a shuffle:\n$p")
   }
 
+  test("x_dup_spans / x_span_dedup: membership joins only — no pair-enumerating join") {
+    // the df-filter must stay a semi/equi join on the shingle hash; a
+    // regression to cross/nested-loop would reintroduce the df² blowup
+    Seq("x_dup_spans", "x_span_dedup").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to all-pairs:\n$p")
+    }
+  }
+
+  test("x_contaminated_train: a bloom probe sits directly on a scan, below any exchange") {
+    // map-side pruning is the operator's whole point: at least one
+    // bloom_might_contain Filter must have a FileScan in its subtree and
+    // NO shuffle between them — i.e. it prunes before rows ever move
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val root: SparkPlan =
+      SparkEntry.queries("x_contaminated_train")(spark, sfDir)
+        .queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+    val probes = root.collect {
+      case f: FilterExec
+        if f.condition.exists(_.isInstanceOf[graft.functions.BloomMightContain]) => f
+    }
+    assert(probes.nonEmpty, s"bloom probe missing:\n$root")
+    assert(probes.exists { f =>
+      f.collect { case e: ShuffleExchangeLike => e }.isEmpty &&
+        f.collect { case s: FileSourceScanExec => s }.nonEmpty
+    }, s"no map-side bloom probe over a scan:\n$root")
+  }
+
+  test("x_incremental_dedup: band probe is an equi-join, not a cross product") {
+    val p = planOf("x_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental band join degenerated to all-pairs:\n$p")
+  }
+
+  test("w7_sliding_window: window expansion stays below a single aggregation shuffle") {
+    val p = planOf("w7_sliding_window")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"sliding window gained a shuffle:\n$p")
+    assert(p.contains("partial_"), "lost map-side combine under the expand")
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot loop)") {
     Seq("q1_agg", "f1_range_filter", "p7_surrogate_key", "a1_hourly_pivot").foreach { q =>
       // AQE hides codegen stages until execution — run, then read the final plan
