@@ -307,4 +307,32 @@ object Similarity {
       .distinct()
     scoredPairs(emb, idCol, vecCol, cand).filter(col("cos_sim") >= lit(threshold))
   }
+
+  /** Per-vector symmetric int8 quantization — the vector-index
+    * compression step (4× over float32) every embedding store at corpus
+    * scale runs before serving ANN: q_i = round(v_i · 127 / max|v|).
+    *
+    * Map-only (zero shuffles; at 100 TB this is a pure scan-rewrite).
+    * The quantized vector is emitted as a comma-joined string rather
+    * than an array so the cross-engine hash compare sees one scalar.
+    *
+    * Determinism: a single shared IEEE expression tree per element —
+    * double-cast, multiply, divide, floor(x + 0.5) — is bit-identical in
+    * Spark and DuckDB (scalar ops, no accumulation order); max|v| is an
+    * exact fold (max has no rounding). floor(x+0.5), not round(): the
+    * engines' round() half-even policies differ ([[graft.functions.Numeric]]).
+    * All-zero vectors quantize to all-zero (scale guard), not NaN.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    emb.select(col(idCol), col(vecCol), maxAbs.as("max_abs"))
+      .select(col(idCol), col("max_abs"),
+        when(col("max_abs") === 0.0d,
+          array_join(transform(col(vecCol), _ => lit(0L).cast("string")), ","))
+          .otherwise(array_join(transform(col(vecCol), x =>
+            floor(x.cast("double") * 127.0d / col("max_abs") + 0.5d)
+              .cast("bigint").cast("string")), ","))
+          .as("q_csv"))
+  }
 }

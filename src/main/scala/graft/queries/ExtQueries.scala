@@ -248,6 +248,24 @@ object ExtQueries {
       Corpus.packSequences(Tables.documents(s, d), "doc_id", "text",
         "lang", capacity = 512)),
 
+    // ---- int8 symmetric quantization (vector-index compression): pure
+    //      scan rewrite, zero shuffles
+    "x_embed_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")),
+
+    // ---- dedup summary report: cluster count/size stats over the
+    //      LSH → connected-components output (the "what did dedup buy us"
+    //      number every corpus run reports)
+    "x_dedup_report" -> ((s, d) => {
+      val comp = DedupOps.resolveComponents(
+        DedupOps.lshCandidates(Tables.documents(s, d), "doc_id", "text"))
+      comp.groupBy(col("keep_id")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs_in_clusters"),
+          max(col("sz")).as("max_cluster"),
+          (sum(col("sz")) - count(lit(1))).as("n_removable"))
+    }),
+
     // ---- per-label centroids (tall form: label × dim → exact scaled
     //      mean). The k-means-update / class-prototype aggregation shape;
     //      posexplode keeps it one shuffle on (label, dim).
@@ -702,6 +720,30 @@ object ExtQueries {
     "x_dedup_resolution" ->
       s"""WITH RECURSIVE $resolutionLabCtesSql
          |SELECT doc_id, min(label) AS keep_id FROM lab GROUP BY doc_id""".stripMargin,
+
+    // DuckDB sums BIGINT into HUGEINT — cast back so schemas align
+    "x_dedup_report" ->
+      s"""WITH RECURSIVE $resolutionLabCtesSql,
+         |comp AS (SELECT doc_id, min(label) AS keep_id FROM lab GROUP BY doc_id),
+         |cl AS (SELECT keep_id, count(*) AS sz FROM comp GROUP BY keep_id)
+         |SELECT count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs_in_clusters,
+         |  max(sz) AS max_cluster,
+         |  CAST(sum(sz) - count(*) AS BIGINT) AS n_removable
+         |FROM cl""".stripMargin,
+
+    "x_embed_quantize" ->
+      """SELECT vec_id,
+        |  list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+        |    AS max_abs,
+        |  CASE WHEN list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') = 0.0
+        |    THEN array_to_string(list_transform(embedding, x -> CAST(0 AS BIGINT)), ',')
+        |    ELSE array_to_string(list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 127.0
+        |        / list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max')
+        |        + 0.5) AS BIGINT)), ',')
+        |  END AS q_csv
+        |FROM embeddings""".stripMargin,
 
     "x_dedup_keep_best" ->
       s"""WITH RECURSIVE $resolutionLabCtesSql,
