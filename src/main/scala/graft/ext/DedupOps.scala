@@ -390,6 +390,43 @@ object DedupOps {
       .select(col(idCol), expr(combine).cast("bigint").as("simhash"))
   }
 
+  /** SimHash near-dup PAIRS within a hamming radius (the Manku et al.
+    * 2007 web-dedup scheme): split each 32-bit fingerprint into `nBands`
+    * contiguous bands; by pigeonhole, two fingerprints within hamming
+    * distance < nBands agree exactly on at least one band, so the
+    * band equi-join has EXACT recall for `radius < nBands` — the rare
+    * LSH construction with no recall loss at all. Candidates are then
+    * verified with `bit_count(xor)`.
+    *
+    * Complements MinHash: one 8-byte fingerprint per doc (vs k
+    * signature columns), radius semantics instead of jaccard-threshold
+    * semantics, and all-integer — bit-identical in any engine.
+    *
+    * Scale shape: band join cost is Σ per-bucket size² over 2^(32/nBands)
+    * buckets per band; at 4 bands that's 256 buckets — fine to ~10⁶ docs
+    * per partition-sized slice, and the band width/count trade is the
+    * standard knob beyond that (64-bit simhash, 6 bands of ~11 bits).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, radius: Int = 3, nBands: Int = 4): DataFrame = {
+    require(radius < nBands,
+      s"pigeonhole guarantee needs radius < nBands (got $radius >= $nBands)")
+    val w = 32 / nBands
+    val sh = simhash(docs, idCol, textCol, n)
+    val bands = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("simhash"), b * w).bitwiseAND(lit((1L << w) - 1))): _*))
+        .as(Seq("band_idx", "band_key")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        expr(s"CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
+
   /** DuckDB oracle twin of [[simhash]] (generated, same bit formulas). */
   def simhashOracleSql(table: String, idCol: String, textCol: String): String = {
     val nibbles = (0 until 8)

@@ -94,6 +94,11 @@ object ExtQueries {
     "x_simhash" -> ((s, d) =>
       DedupOps.simhash(Tables.documents(s, d), "doc_id", "text")),
 
+    // ---- simhash hamming-radius pairs: band join with EXACT recall for
+    //      radius < nBands (pigeonhole), integer verify
+    "x_simhash_pairs" -> ((s, d) =>
+      DedupOps.simhashPairs(Tables.documents(s, d), "doc_id", "text")),
+
     // ---- brute-force cosine top-5 (queries: vec_id < 10)
     "x_ann_cosine" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -716,6 +721,15 @@ object ExtQueries {
     },
 
     "x_simhash" -> DedupOps.simhashOracleSql("documents", "doc_id", "text"),
+
+    // brute-force all-pairs hamming — equals the banded join exactly
+    // because radius 3 < 4 bands (pigeonhole), and everything is integer
+    "x_simhash_pairs" ->
+      s"""WITH sh AS (${DedupOps.simhashOracleSql("documents", "doc_id", "text")})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "x_dedup_resolution" ->
       s"""WITH RECURSIVE $resolutionLabCtesSql

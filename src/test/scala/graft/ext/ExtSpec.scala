@@ -62,6 +62,25 @@ class ExtSpec extends SparkSuite {
     assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
   }
 
+  test("simhashPairs equals brute-force hamming pairs on real data (exact recall)") {
+    val corpus = graft.Tables.documents(spark, sfDir)
+    val got = DedupOps.simhashPairs(corpus, "doc_id", "text", radius = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val sigs = DedupOps.simhash(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == brute && got.nonEmpty) // pigeonhole: radius 3 < 4 bands loses nothing
+  }
+
+  test("simhashPairs rejects a radius the banding cannot guarantee") {
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashPairs(docs, "doc_id", "text", radius = 4, nBands = 4)
+    }
+  }
+
   test("assignSplit: deterministic, stable under corpus growth, ~80/10/10") {
     val small = (1L to 200L).toDF("doc_id")
     val big = (1L to 2000L).toDF("doc_id")
