@@ -90,6 +90,21 @@ object ExtQueries {
     "x_lsh_candidates" -> ((s, d) =>
       DedupOps.lshCandidates(Tables.documents(s, d), "doc_id", "text")),
 
+    // ---- LSH recall report: what fraction of TRUE near-dup pairs
+    //      (jaccard >= 0.1) the banding surfaces — the number that says
+    //      whether the band sizing is safe to ship. One row.
+    "x_lsh_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val truth = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.1)
+        .select(col("doc_a"), col("doc_b"))
+      val hit = truth.join(DedupOps.lshCandidates(docs, "doc_id", "text"),
+        Seq("doc_a", "doc_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_true"), col("n_hit"),
+          Numeric.roundBin(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
+    }),
+
     // ---- 32-bit SimHash fingerprints
     "x_simhash" -> ((s, d) =>
       DedupOps.simhash(Tables.documents(s, d), "doc_id", "text")),
@@ -718,6 +733,39 @@ object ExtQueries {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    // truth = the x_jaccard_pairs oracle; candidates = the
+    // x_lsh_candidates oracle; recall = semi-join count ratio
+    "x_lsh_recall" -> {
+      val aggs = (0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    ${Numeric.roundBinSql("CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)", 4)} AS jaccard
+         |  FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+         |             JOIN sizes sb ON sb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.1),
+         |sig AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |              AND a.doc_id < b.doc_id),
+         |hit AS (SELECT t.doc_a, t.doc_b FROM truth t
+         |        SEMI JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+         |SELECT (SELECT count(*) FROM truth) AS n_true,
+         |  (SELECT count(*) FROM hit) AS n_hit,
+         |  ${Numeric.roundBinSql(
+              "CAST((SELECT count(*) FROM hit) AS DOUBLE) / (SELECT count(*) FROM truth)", 4)} AS recall""".stripMargin
     },
 
     "x_simhash" -> DedupOps.simhashOracleSql("documents", "doc_id", "text"),
