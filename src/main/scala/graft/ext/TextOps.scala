@@ -69,6 +69,44 @@ object TextOps {
   def tokenCharSum(c: Column): Column =
     aggregate(transform(tokens(c), t => length(t).cast("long")), lit(0L), (a, x) => a + x)
 
+  /** PII patterns, applied in this order: email first (so the phone rule
+    * never sees digits inside an address), then NANP-shaped phone
+    * numbers, then dotted-quad IPv4. Dotted 3-3-4 digit runs are claimed
+    * by the phone rule before the IP rule can see them — the standard
+    * ambiguity, resolved deterministically by pass order. Patterns use
+    * only the regex subset with identical semantics in Java regex and
+    * RE2 (character classes, bounded repeats, alternation — no
+    * backreferences or lookaround), so the DuckDB oracle runs the same
+    * pattern text verbatim.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "(\\+1[ .-])?(\\([0-9]{3}\\)|[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}", "<PHONE>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
+
+  /** Redact all PII patterns, sequentially. Pure per-row projection —
+    * map-only at any scale, no UDF (regexp_replace is codegen'd).
+    */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, pat, token)) =>
+      regexp_replace(acc, pat, token)
+    }
+
+  /** Per-kind redaction counts measured the way redaction applies them:
+    * each pattern counts on the text with all EARLIER patterns already
+    * replaced (replacement tokens contain no digits, so they are inert
+    * to later patterns). Returns (kind → count Column, fullyRedacted).
+    */
+  def piiCounts(c: Column): (Seq[(String, Column)], Column) = {
+    val (countsRev, redacted) =
+      PiiPatterns.foldLeft((List.empty[(String, Column)], c)) {
+        case ((acc, cur), (kind, pat, token)) =>
+          ((kind -> regexp_count(cur, lit(pat)).cast("bigint")) :: acc,
+            regexp_replace(cur, pat, token))
+      }
+    (countsRev.reverse, redacted)
+  }
+
   /** Repeated-element ratio of an array: 1 − |distinct|/|all| — the
     * Gopher-class intra-document repetition signal (duplicate token /
     * duplicate n-gram fraction). Per-row projection, so the whole

@@ -225,6 +225,26 @@ object ExtQueries {
         .filter(col("n_tokens") >= 3)
     }),
 
+    // ---- PII redaction: emails / phones / IPv4 → placeholder tokens,
+    //      with per-kind counts measured pass-by-pass. The corpus is
+    //      synthetic word salad, so a deterministic contact line derived
+    //      from doc_id is appended first — every row then exercises all
+    //      three patterns, and the oracle appends the same line. Pure
+    //      map-only projection (regexp_replace is codegen'd): the 100 TB
+    //      cost is one scan, zero shuffles.
+    "x_pii_redact" -> ((s, d) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or +1 555-123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.2."), (col("doc_id") % 256).cast("string"), lit(".9"))
+      val (counts, redacted) = TextOps.piiCounts(aug)
+      Tables.documents(s, d).select(
+        col("doc_id") +:
+          counts.map { case (kind, c) => c.as(s"n_$kind") } :+
+          redacted.as("clean_text"): _*)
+    }),
+
     // ---- train/test decontamination: eval docs sharing 5-grams with train
     "x_decontaminate" -> ((s, d) => {
       val withB = Corpus.assignSplit(Tables.documents(s, d), "doc_id")
@@ -561,6 +581,29 @@ object ExtQueries {
          |  ${Numeric.roundBinSql("1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)", 6)} AS dup_token_ratio,
          |  ${Numeric.roundBinSql("1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)", 6)} AS dup_3gram_ratio
          |FROM s WHERE len(ws) >= 3""".stripMargin,
+
+    // the pattern text is TextOps.PiiPatterns verbatim (RE2 ∩ Java-regex
+    // subset); counts are pass-by-pass, mirroring piiCounts
+    "x_pii_redact" -> {
+      val Seq((k0, p0, r0), (k1, p1, r1), (k2, p2, r2)) = TextOps.PiiPatterns
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@mail.example.org or +1 555-123-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.9' AS t0
+         |  FROM documents),
+         |r AS (SELECT doc_id, t0,
+         |    regexp_replace(t0, '$p0', '$r0', 'g') AS t1,
+         |    regexp_replace(regexp_replace(t0, '$p0', '$r0', 'g'),
+         |                   '$p1', '$r1', 'g') AS t2
+         |  FROM aug)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t0, '$p0')) AS BIGINT) AS n_$k0,
+         |  CAST(len(regexp_extract_all(t1, '$p1')) AS BIGINT) AS n_$k1,
+         |  CAST(len(regexp_extract_all(t2, '$p2')) AS BIGINT) AS n_$k2,
+         |  regexp_replace(t2, '$p2', '$r2', 'g') AS clean_text
+         |FROM r""".stripMargin
+    },
 
     "x_decontaminate" -> {
       val cat = (0 until 5).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
