@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductScaled, MinHashAgg, WordShingles}
+import graft.functions.{DotProductScaled, MinHashAgg, MisraGries, WordShingles}
 
 /** Session extension registering graft's native Catalyst expressions as
   * SQL functions, so the pure-SQL surface (`spark.sql`, thrift/connect
@@ -64,6 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "minhash_sig(shingle, k)")
         MinHashAgg(args(0), intLit(args(1), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      info(classOf[MisraGries], "misra_gries"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "misra_gries(item, capacity)")
+        MisraGries(args(0), intLit(args(1), "capacity"))
       }))
   }
 }

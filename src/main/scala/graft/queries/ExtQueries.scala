@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.{Corpus, DedupOps, Similarity, TextOps}
-import graft.functions.Numeric
+import graft.functions.{MisraGries, Numeric}
 
 /** Training-data-pipeline operators (beyond the reference): text
   * analysis, document dedup (exact / n-gram Jaccard / MinHash+LSH /
@@ -223,6 +223,24 @@ object ExtQueries {
           TextOps.dupRatio(toks).as("dup_token_ratio"),
           TextOps.dupRatio(TextOps.shingles(col("text"), 3)).as("dup_3gram_ratio"))
         .filter(col("n_tokens") >= 3)
+    }),
+
+    // ---- heavy hitters: tokens above the 1/64 frequency threshold via
+    //      a Misra–Gries sketch. The sketch caps aggregation state at
+    //      `capacity` counters per partial no matter how many distinct
+    //      tokens stream through — at 100 TB the shuffle carries one
+    //      ≤256-entry map per partition instead of the token stream an
+    //      exact GROUP BY would move. capacity (256) ≥ the corpus
+    //      vocabulary here, so counts are exact and oracle-checkable;
+    //      the approximate regime's N/(k+1) error bound is spec-tested.
+    "x_heavy_hitters" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      tok.agg(MisraGries.misraGries(col("token"), 256).as("mg"),
+          count(lit(1)).as("total"))
+        .select(explode(col("mg")).as(Seq("token", "cnt")), col("total"))
+        .filter(col("cnt") * 64 > col("total"))
+        .select(col("token"), col("cnt"))
     }),
 
     // ---- PII redaction: emails / phones / IPv4 → placeholder tokens,
@@ -581,6 +599,15 @@ object ExtQueries {
          |  ${Numeric.roundBinSql("1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)", 6)} AS dup_token_ratio,
          |  ${Numeric.roundBinSql("1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)", 6)} AS dup_3gram_ratio
          |FROM s WHERE len(ws) >= 3""".stripMargin,
+
+    // exact counts (capacity ≥ vocabulary, see the query comment), so the
+    // oracle is the plain exact GROUP BY with the same 1/64 threshold
+    "x_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |            FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+        |SELECT token, cnt FROM c
+        |WHERE cnt * 64 > (SELECT count(*) FROM tok)""".stripMargin,
 
     // the pattern text is TextOps.PiiPatterns verbatim (RE2 ∩ Java-regex
     // subset); counts are pass-by-pass, mirroring piiCounts

@@ -65,4 +65,15 @@ class GraftExtensionsSpec extends SparkSuite {
       assert(sig == Seq(row.getString(1), row.getString(2)))
     }
   }
+
+  test("misra_gries aggregate from SQL is exact when capacity covers the items") {
+    withExtSession { s =>
+      val m = s.sql(
+        """SELECT misra_gries(CAST(id % 3 AS STRING), 8) AS mg
+          |FROM range(0, 30)""".stripMargin)
+        .selectExpr("explode(mg) AS (k, v)")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m == Map("0" -> 10L, "1" -> 10L, "2" -> 10L))
+    }
+  }
 }
