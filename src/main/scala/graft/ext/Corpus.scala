@@ -71,6 +71,34 @@ object Corpus {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("score"))
   }
 
+  /** Per-document mean token rarity: avg over the doc's tokens of
+    * N_total/count(token) — inverse unigram frequency, the log-free
+    * surprisal proxy (CCNet-style LM quality scoring without the libm
+    * `ln` whose last ulp differs across engines; each rarity is ONE
+    * exact IEEE division and the mean is the order-independent
+    * scaled-integer average). High score = rare-token-heavy doc.
+    *
+    * Plan shape: unigram counts are a groupBy over the token stream
+    * (map-side partials reduce it to one row per distinct token per
+    * partition), then joined BROADCAST back to the stream — the token
+    * stream itself never shuffles, and the only full shuffle is the
+    * final per-doc groupBy. Word-level vocabularies are ~10⁶–10⁷ rows
+    * even at corpus scale (Heaps' law), well inside broadcast range; for
+    * an unbounded key space (e.g. raw n-grams) drop the broadcast hint
+    * and let AQE pick the exchange.
+    */
+  def rarityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("n_total"))
+    toks.join(broadcast(freq), Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        Numeric.scaledAvg(col("n_total").cast("double") / col("cnt"), 4)
+          .as("mean_rarity"))
+  }
+
   /** Deterministic stratified sample: k rows per stratum, chosen by
     * md5-of-id order (engine-portable, reproducible at any parallelism —
     * the `ORDER BY rand()` sample that isn't). Trailing id tie-break

@@ -225,6 +225,11 @@ object ExtQueries {
         .filter(col("n_tokens") >= 3)
     }),
 
+    // ---- mean token rarity: inverse-unigram-frequency quality score
+    //      (the log-free surprisal proxy; see Corpus.rarityScore)
+    "x_token_rarity" -> ((s, d) =>
+      Corpus.rarityScore(Tables.documents(s, d), "doc_id", "text")),
+
     // ---- heavy hitters: tokens above the 1/64 frequency threshold via
     //      a Misra–Gries sketch. The sketch caps aggregation state at
     //      `capacity` counters per partial no matter how many distinct
@@ -599,6 +604,16 @@ object ExtQueries {
          |  ${Numeric.roundBinSql("1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)", 6)} AS dup_token_ratio,
          |  ${Numeric.roundBinSql("1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)", 6)} AS dup_3gram_ratio
          |FROM s WHERE len(ws) >= 3""".stripMargin,
+
+    "x_token_rarity" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |              FROM documents),
+         |freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+         |tot AS (SELECT sum(cnt) AS n_total FROM freq)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  ${Numeric.scaledAvgSql("CAST(n_total AS DOUBLE) / cnt", 4)} AS mean_rarity
+         |FROM toks JOIN freq USING (token), tot
+         |GROUP BY doc_id""".stripMargin,
 
     // exact counts (capacity ≥ vocabulary, see the query comment), so the
     // oracle is the plain exact GROUP BY with the same 1/64 threshold

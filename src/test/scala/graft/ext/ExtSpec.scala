@@ -231,6 +231,21 @@ class ExtSpec extends SparkSuite {
     assert(before == after)
   }
 
+  test("rarityScore: rare-token docs score high, common-token docs score 1-ish") {
+    // corpus of 10 tokens total: "common" ×8, "rare" ×1, "unique" ×1
+    val d = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common common"),
+      (3L, "rare unique")
+    ).toDF("doc_id", "text")
+    val r = Corpus.rarityScore(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    // doc 1/2: every token has cnt=8, rarity 10/8 = 1.25
+    assert(r(1L) == ((4L, 1.25)) && r(2L) == ((4L, 1.25)))
+    // doc 3: two tokens with cnt=1, rarity 10/1 = 10 each
+    assert(r(3L) == ((2L, 10.0)))
+  }
+
   test("dupRatio flags repeated tokens and n-grams") {
     val d = Seq(
       (1L, "a b c d e f"),            // all distinct
