@@ -97,10 +97,14 @@ object ExtQueries {
       val docs = Tables.documents(s, d)
       val truth = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.1)
         .select(col("doc_a"), col("doc_b"))
-      val hit = truth.join(DedupOps.lshCandidates(docs, "doc_id", "text"),
-        Seq("doc_a", "doc_b"), "left_semi")
-      truth.agg(count(lit(1)).as("n_true"))
-        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      // single pass: a left join with a match flag references the truth
+      // subplan ONCE — the semi-join + separate-count formulation would
+      // evaluate the exact-jaccard computation twice (Catalyst doesn't
+      // dedupe common subplans), doubling the dominant cost at scale
+      val flagged = truth.join(
+        DedupOps.lshCandidates(docs, "doc_id", "text").withColumn("__hit", lit(1)),
+        Seq("doc_a", "doc_b"), "left")
+      flagged.agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_hit"))
         .select(col("n_true"), col("n_hit"),
           Numeric.roundBin(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
     }),

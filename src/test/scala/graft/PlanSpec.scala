@@ -145,6 +145,27 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_"), "lost map-side combine under the expand")
   }
 
+  test("x_pii_redact: pure projection — zero exchanges, redaction stays in codegen") {
+    val p = planOf("x_pii_redact")
+    assert(countOccurrences(p, "Exchange") == 0, s"shuffle in a map-only op:\n$p")
+    // "*(n) Project" is the WholeStageCodegen marker in executedPlan text
+    assert(p.contains("*(1) Project"), s"projection left codegen:\n$p")
+  }
+
+  test("x_heavy_hitters: sketch partials reduce before the single agg exchange") {
+    val p = planOf("x_heavy_hitters")
+    // one exchange for the global sketch merge, one for the count —
+    // both carry ≤ capacity-sized partials, never the token stream
+    assert(p.contains("ObjectHashAggregate"), s"MG should use object agg:\n$p")
+    assert(p.contains("partial_misra_gries"), s"no map-side partial:\n$p")
+  }
+
+  test("x_token_rarity: unigram table broadcasts — the token stream never shuffles pre-join") {
+    val p = planOf("x_token_rarity")
+    assert(p.contains("BroadcastHashJoin"), s"freq join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream shuffled for the join:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot loop)") {
     Seq("q1_agg", "f1_range_filter", "p7_surrogate_key", "a1_hourly_pivot").foreach { q =>
       // AQE hides codegen stages until execution — run, then read the final plan
