@@ -112,6 +112,13 @@ object Corpus {
     * the ≤ k·buckets survivors per stratum. Result identical to the
     * one-window formulation (so the oracle stays the single QUALIFY),
     * but no task ever sees more than a bucket's rows + k·buckets.
+    *
+    * Note: Spark ≥3.5 infers a map-side partial `WindowGroupLimit` from
+    * the plain `row_number() <= k` filter (pinned in PlanSpec on
+    * x_tfidf_top), which bounds the shuffled rows to k per key per map
+    * task — the single-window form is scale-safe on modern Spark. The
+    * explicit two-phase remains for rank patterns the inference doesn't
+    * cover and as the engine-independent statement of the technique.
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        k: Int, buckets: Int = 32): DataFrame = {

@@ -323,6 +323,44 @@ object Similarity {
     * engines' round() half-even policies differ ([[graft.functions.Numeric]]).
     * All-zero vectors quantize to all-zero (scale guard), not NaN.
     */
+  /** Embedding-space outlier detection: vectors whose cosine to their
+    * LABEL centroid falls below `tau` — the mislabeled/contaminated-
+    * cluster pass of embedding-based curation (and the residual check an
+    * IVF index runs after assignment). Everything is the tall
+    * (id, label, dim, v) formulation with scaled-integer sums, so the
+    * centroid, the norms, and the cosine are order-independent and
+    * bit-identical cross-engine.
+    *
+    * Plan shape: two keyed shuffles — (label, dim) for the centroid and
+    * (id) for the per-vector reduction; the centroid table (labels ×
+    * dims rows) broadcasts back, so the exploded vector stream is never
+    * shuffled for the join. Linear in corpus size at any scale.
+    */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, tau: Double): DataFrame = {
+    val tall = emb
+      .select(col(idCol), col(labelCol).cast("bigint").as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col(idCol), col("label"),
+        (col("dim") + 1).cast("bigint").as("dim"), col("v").cast("double").as("v"))
+    val cent = tall.groupBy(col("label"), col("dim"))
+      .agg(Numeric.scaledAvg(col("v"), 6).as("c"))
+    val c2 = cent.groupBy(col("label"))
+      .agg(sum(floor(col("c") * col("c") * lit(Scale.toDouble) + lit(0.5d))
+        .cast("bigint")).as("c2_s"))
+    val d = tall.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col(idCol), col("label"))
+      .agg(
+        sum(floor(col("v") * col("c") * lit(Scale.toDouble) + lit(0.5d))
+          .cast("bigint")).as("dot_s"),
+        sum(floor(col("v") * col("v") * lit(Scale.toDouble) + lit(0.5d))
+          .cast("bigint")).as("v2_s"))
+    d.join(broadcast(c2), Seq("label"))
+      .select(col(idCol), col("label"),
+        cosineFromScaled(col("dot_s"), col("v2_s"), col("c2_s")).as("cos_c"))
+      .filter(col("cos_c") < tau)
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val maxAbs = aggregate(col(vecCol), lit(0.0d),
       (acc, x) => greatest(acc, abs(x.cast("double"))))

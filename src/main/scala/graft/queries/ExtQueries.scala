@@ -30,6 +30,9 @@ object ExtQueries {
   private val NearDupPlanes = 16
   private val NearDupRowsPerBand = 4
   private val EmbDims = 64
+  // centroid-outlier threshold: flags vectors not positively aligned
+  // with their label centroid (~10% of the synthetic corpus)
+  private val OutlierTau = 0.0
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -333,6 +336,13 @@ object ExtQueries {
           (sum(col("sz")) - count(lit(1))).as("n_removable"))
     }),
 
+    // ---- embedding-space outliers: cosine-to-label-centroid below τ —
+    //      the mislabeled/contaminated-cluster curation pass (see
+    //      Similarity.centroidOutliers for the plan shape)
+    "x_embed_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", OutlierTau)),
+
     // ---- per-label centroids (tall form: label × dim → exact scaled
     //      mean). The k-means-update / class-prototype aggregation shape;
     //      posexplode keeps it one shuffle on (label, dim).
@@ -608,6 +618,33 @@ object ExtQueries {
          |  ${Numeric.roundBinSql("1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)", 6)} AS dup_token_ratio,
          |  ${Numeric.roundBinSql("1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)", 6)} AS dup_3gram_ratio
          |FROM s WHERE len(ws) >= 3""".stripMargin,
+
+    // tall scaled-integer formulation, mirroring centroidOutliers
+    // term-for-term (scaledAvg centroid, int64 dot/norm sums, one IEEE
+    // division + sqrt — both correctly rounded, so identical cross-engine)
+    "x_embed_outliers" ->
+      s"""WITH tall AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim,
+         |         CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+         |cent AS (SELECT label, dim, ${Numeric.scaledAvgSql("v", 6)} AS c
+         |         FROM tall GROUP BY label, dim),
+         |c2 AS (SELECT label,
+         |         sum(CAST(floor(c * c * $AnnScale + 0.5) AS BIGINT)) AS c2_s
+         |       FROM cent GROUP BY label),
+         |d AS (SELECT t.vec_id, t.label,
+         |        sum(CAST(floor(t.v * c.c * $AnnScale + 0.5) AS BIGINT)) AS dot_s,
+         |        sum(CAST(floor(t.v * t.v * $AnnScale + 0.5) AS BIGINT)) AS v2_s
+         |      FROM tall t JOIN cent c ON t.label = c.label AND t.dim = c.dim
+         |      GROUP BY t.vec_id, t.label)
+         |SELECT vec_id, label, cos_c FROM (
+         |  SELECT d.vec_id, d.label,
+         |    ${Numeric.roundBinSql(
+              s"(CAST(dot_s AS DOUBLE) / $AnnScale) / " +
+              s"(sqrt(CAST(v2_s AS DOUBLE) / $AnnScale) * sqrt(CAST(c2_s AS DOUBLE) / $AnnScale))", 6)} AS cos_c
+         |  FROM d JOIN c2 USING (label))
+         |WHERE cos_c < $OutlierTau""".stripMargin,
 
     "x_token_rarity" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

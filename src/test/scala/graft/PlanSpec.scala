@@ -166,6 +166,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"token stream shuffled for the join:\n$p")
   }
 
+  test("x_tfidf_top: rank filter becomes a map-side partial WindowGroupLimit") {
+    // Spark ≥3.5 infers a WindowGroupLimit from row_number() <= k and
+    // places a Partial instance BELOW the exchange — each map task
+    // forwards at most k rows per key, so per-key top-k never shuffles
+    // the full stream. This is the native form of the manual two-phase
+    // trick; pin it so a formulation change doesn't silently lose it.
+    val p = planOf("x_tfidf_top")
+    assert(p.contains("WindowGroupLimit"), s"no group-limit inferred:\n$p")
+    assert(p.contains("Partial"), s"group limit not pushed below the exchange:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot loop)") {
     Seq("q1_agg", "f1_range_filter", "p7_surrogate_key", "a1_hourly_pivot").foreach { q =>
       // AQE hides codegen stages until execution — run, then read the final plan

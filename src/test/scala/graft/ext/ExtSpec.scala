@@ -231,6 +231,20 @@ class ExtSpec extends SparkSuite {
     assert(before == after)
   }
 
+  test("centroidOutliers flags the vector opposing its label centroid, not the aligned ones") {
+    val vs = Seq(
+      (1L, 0, Array(1.0f, 0.1f, 0.0f)),
+      (2L, 0, Array(0.9f, 0.0f, 0.1f)),
+      (3L, 0, Array(1.0f, 0.0f, 0.1f)),
+      (4L, 0, Array(-1.0f, 0.0f, 0.0f)), // opposes the label-0 centroid
+      (5L, 1, Array(0.0f, 1.0f, 0.0f)),
+      (6L, 1, Array(0.0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidOutliers(vs, "vec_id", "embedding", "label", 0.0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(out == Set(4L))
+  }
+
   test("rarityScore: rare-token docs score high, common-token docs score 1-ish") {
     // corpus of 10 tokens total: "common" ×8, "rare" ×1, "unique" ×1
     val d = Seq(
