@@ -231,6 +231,27 @@ object Corpus {
       .drop("__prev")
   }
 
+  /** Materialize the packing plan into actual training shards: join the
+    * [[packSequences]] assignment back to the text and concatenate each
+    * bin's documents in doc-id order. `collect_list` order is
+    * execution-dependent, so the documents are collected as (id, text)
+    * structs and `array_sort`ed before joining — deterministic at any
+    * parallelism (struct ordering leads with the unique id). One shuffle
+    * on (shard, pack_id); a bin holds ≤ capacity tokens by construction,
+    * so per-group state is bounded — the groupBy never sees more than
+    * one training sequence's worth of text.
+    */
+  def assemblePacks(docs: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, capacity: Long): DataFrame =
+    packSequences(docs, idCol, textCol, shardCol, capacity)
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col(shardCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol).as("i"), col(textCol).as("t")))),
+          s => s.getField("t")), " ").as("pack_text"))
+
   /** Composite quality gate (the filter stage every pretraining corpus
     * runs): token-count band + stopword-ratio floor + language
     * requirement. Returns the PASSING docs with their metrics — one

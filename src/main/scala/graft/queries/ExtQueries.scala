@@ -318,6 +318,12 @@ object ExtQueries {
       Corpus.packSequences(Tables.documents(s, d), "doc_id", "text",
         "lang", capacity = 512)),
 
+    // ---- pack assembly: the packing plan materialized into shards —
+    //      each 512-token bin's docs concatenated in doc-id order
+    "x_pack_assemble" -> ((s, d) =>
+      Corpus.assemblePacks(Tables.documents(s, d), "doc_id", "text",
+        "lang", capacity = 512)),
+
     // ---- int8 symmetric quantization (vector-index compression): pure
     //      scan rewrite, zero shuffles
     "x_embed_quantize" -> ((s, d) =>
@@ -583,6 +589,23 @@ object ExtQueries {
         |SELECT doc_id, lang, n_tokens,
         |  CAST(floor(CAST(prev AS DOUBLE) / 512) AS BIGINT) AS pack_id
         |FROM p""".stripMargin,
+
+    "x_pack_assemble" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, text, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM t),
+        |b AS (SELECT doc_id, lang, text, n_tokens,
+        |    CAST(floor(CAST(prev AS DOUBLE) / 512) AS BIGINT) AS pack_id
+        |  FROM p)
+        |SELECT lang, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  string_agg(text, ' ' ORDER BY doc_id) AS pack_text
+        |FROM b GROUP BY lang, pack_id""".stripMargin,
 
     "x_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

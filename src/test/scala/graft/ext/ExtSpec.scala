@@ -231,6 +231,23 @@ class ExtSpec extends SparkSuite {
     assert(before == after)
   }
 
+  test("assemblePacks concatenates each bin in doc-id order at any parallelism") {
+    // shard s: docs of 3 tokens each, capacity 6 → bins {1,2}, {3,4}, {5}
+    val docs = Seq(
+      (1L, "s", "a b c"), (2L, "s", "d e f"), (3L, "s", "g h i"),
+      (4L, "s", "j k l"), (5L, "s", "m n o")
+    ).toDF("doc_id", "lang", "text")
+    for (p <- Seq(1, 7)) {
+      val r = Corpus.assemblePacks(docs.repartition(p), "doc_id", "text", "lang", 6L)
+        .orderBy("pack_id")
+        .as[(String, Long, Long, Long, String)].collect().toSeq
+      assert(r == Seq(
+        ("s", 0L, 2L, 6L, "a b c d e f"),
+        ("s", 1L, 2L, 6L, "g h i j k l"),
+        ("s", 2L, 1L, 3L, "m n o")))
+    }
+  }
+
   test("centroidOutliers flags the vector opposing its label centroid, not the aligned ones") {
     val vs = Seq(
       (1L, 0, Array(1.0f, 0.1f, 0.0f)),
