@@ -231,6 +231,31 @@ object Corpus {
       .drop("__prev")
   }
 
+  /** Split documents into fixed-size token chunks with overlap — the
+    * embedding/RAG-pipeline splitter. Chunk i covers token positions
+    * [i·step, i·step + chunkTokens) with step = chunkTokens − overlap;
+    * every token is in at least one chunk and consecutive chunks share
+    * `overlap` tokens. Pure per-row generate-and-explode projection:
+    * map-only at any scale, output ∝ input · chunk/(chunk−overlap).
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = TextOps.tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(step)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(col(idCol), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(size(col("__toks")) - col("__start"), lit(chunkTokens))
+          .cast("bigint").as("n_tokens"))
+  }
+
   /** Materialize the packing plan into actual training shards: join the
     * [[packSequences]] assignment back to the text and concatenate each
     * bin's documents in doc-id order. `collect_list` order is

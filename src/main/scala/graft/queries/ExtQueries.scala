@@ -318,6 +318,12 @@ object ExtQueries {
       Corpus.packSequences(Tables.documents(s, d), "doc_id", "text",
         "lang", capacity = 512)),
 
+    // ---- overlapping token chunks (embedding/RAG splitter): 32-token
+    //      windows advancing by 24, map-only generate-and-explode
+    "x_chunk_docs" -> ((s, d) =>
+      Corpus.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)),
+
     // ---- pack assembly: the packing plan materialized into shards —
     //      each 512-token bin's docs concatenated in doc-id order
     "x_pack_assemble" -> ((s, d) =>
@@ -589,6 +595,18 @@ object ExtQueries {
         |SELECT doc_id, lang, n_tokens,
         |  CAST(floor(CAST(prev AS DOUBLE) / 512) AS BIGINT) AS pack_id
         |FROM p""".stripMargin,
+
+    // chunk i = tokens[i*24+1 .. i*24+32] (1-based list_slice, clamped);
+    // starts from generate_series with the same step
+    "x_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, i AS chunk_idx, i * 24 AS s
+        |      FROM t, LATERAL (SELECT unnest(generate_series(0,
+        |        CAST(floor(CAST(greatest(len(ws) - 1, 0) AS DOUBLE) / 24) AS BIGINT))) AS i) g)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(ws, s + 1, least(s + 32, len(ws))), ' ') AS chunk_text,
+        |  CAST(least(len(ws) - s, 32) AS BIGINT) AS n_tokens
+        |FROM c""".stripMargin,
 
     "x_pack_assemble" ->
       """WITH t AS (SELECT doc_id, lang, text,

@@ -231,6 +231,22 @@ class ExtSpec extends SparkSuite {
     assert(before == after)
   }
 
+  test("chunkDocs: overlapping windows cover every token; short docs give one chunk") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b")                            // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val r = Corpus.chunkDocs(docs, "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(r == Set(
+      (1L, 0L, "t0 t1 t2 t3", 4L),
+      (1L, 1L, "t2 t3 t4 t5", 4L),
+      (1L, 2L, "t4 t5 t6 t7", 4L),
+      (1L, 3L, "t6 t7 t8 t9", 4L),
+      (1L, 4L, "t8 t9", 2L), // tail chunk, clamped
+      (2L, 0L, "a b", 2L)))
+  }
+
   test("assemblePacks concatenates each bin in doc-id order at any parallelism") {
     // shard s: docs of 3 tokens each, capacity 6 → bins {1,2}, {3,4}, {5}
     val docs = Seq(
