@@ -85,6 +85,43 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Containment pairs: |A∩B| / |A| ≥ threshold — the ASYMMETRIC overlap
+    * measure. Jaccard misses a small document wholly contained in a much
+    * larger one (the union term swamps the intersection); containment is
+    * the quote/excerpt/subset-duplication detector. Emitted per directed
+    * pair with doc_a as the contained side. Same inverted-index join and
+    * cost model as [[jaccardPairs]] (Σ df², cap with `maxShingleDf` at
+    * corpus scale); both directions come from the one undirected join.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5,
+                       maxShingleDf: Option[Long] = None): DataFrame = {
+    val sh0 = shingleIndexHashed(docs, idCol, textCol, n)
+    val sizes = sh0.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val sh = maxShingleDf match {
+      case None => sh0
+      case Some(cap) =>
+        val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select(col("shingle"))
+        sh0.join(rare, Seq("shingle"), "left_semi")
+    }
+    val undirected = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("u"), col(s"b.$idCol").as("v"))
+      .agg(count(lit(1)).as("n_common"))
+    // both directions from the single undirected pair row
+    val directed = undirected
+      .select(col("u").as("doc_a"), col("v").as("doc_b"), col("n_common"))
+      .union(undirected
+        .select(col("v").as("doc_a"), col("u").as("doc_b"), col("n_common")))
+    directed
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .withColumn("containment",
+        Numeric.roundBin(col("n_common").cast("double") / col("n_a"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
+  }
+
   /** MinHash signature: k independent hash functions h_i(s) = md5("i|"+s);
     * the signature component is the lexicographic MIN over the document's
     * shingles — a single groupBy with k min-aggregates over the inverted

@@ -85,6 +85,13 @@ object ExtQueries {
         n = 3, threshold = JaccardCappedThreshold,
         maxShingleDf = Some(JaccardDfCap))),
 
+    // ---- containment (asymmetric jaccard): |A∩B|/|A| — catches a small
+    //      doc wholly quoted inside a large one, which jaccard's union
+    //      term swamps; doc_a is the contained side
+    "x_containment_pairs" -> ((s, d) =>
+      DedupOps.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+
     // ---- MinHash signatures (8 hashes over 3-shingles)
     "x_minhash_sig" -> ((s, d) =>
       DedupOps.minhashSignatures(Tables.documents(s, d), "doc_id", "text")),
@@ -868,6 +875,20 @@ object ExtQueries {
          |      JOIN sizes sa ON sa.doc_id = doc_a
          |      JOIN sizes sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, n_common, jaccard FROM j WHERE jaccard >= 0.1""".stripMargin,
+
+    "x_containment_pairs" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS n_common
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |directed AS (SELECT u AS doc_a, v AS doc_b, n_common FROM pairs
+         |             UNION ALL SELECT v, u, n_common FROM pairs),
+         |c AS (SELECT doc_a, doc_b, n_common,
+         |        ${Numeric.roundBinSql("CAST(n_common AS DOUBLE) / sa.n_sh", 4)} AS containment
+         |      FROM directed JOIN sizes sa ON sa.doc_id = doc_a)
+         |SELECT doc_a, doc_b, n_common, containment FROM c
+         |WHERE containment >= 0.5""".stripMargin,
 
     "x_jaccard_capped" ->
       s"""WITH $shingleCte,

@@ -231,6 +231,20 @@ class ExtSpec extends SparkSuite {
     assert(before == after)
   }
 
+  test("containmentPairs catches a quoted doc that jaccard misses, directed") {
+    val docs = Seq(
+      (1L, "q w e r t"), // 3 trigrams, all inside doc 2
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 q w e r t y1 y2 y3 y4 y5 y6 y7 y8 y9")
+    ).toDF("doc_id", "text")
+    // jaccard is low: 3 common / (3 + 21 - 3) = 0.14 — under a 0.5 gate
+    val j = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    assert(j.count() == 0)
+    // containment of doc 1 in doc 2 is exactly 1.0; the reverse is small
+    val c = DedupOps.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(c == Seq((1L, 2L, 3L, 1.0)))
+  }
+
   test("chunkDocs: overlapping windows cover every token; short docs give one chunk") {
     val docs = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
