@@ -69,6 +69,14 @@ object AnalyticsQueries {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
     }),
 
+    // ---- CUBE: all 4 grouping combinations in one pass (Expand below
+    //      a single agg shuffle — same plan family as rollup)
+    "a10_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+    }),
+
     // ---- INTERSECT / EXCEPT
     "u2_intersect" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -437,6 +445,10 @@ object AnalyticsQueries {
     "a8_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "a10_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "u2_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
