@@ -362,6 +362,30 @@ object ExtQueries {
       Similarity.centroidOutliers(Tables.embeddings(s, d), "vec_id",
         "embedding", "label", OutlierTau)),
 
+    // ---- the CURATION PIPELINE end-to-end, as one declarative plan:
+    //      quality gate → PII redaction → exact dedup (first wins) →
+    //      train/val/test split → sequence packing. This is the "a user
+    //      runs their whole corpus job on this engine" flagship — every
+    //      stage is the library operator, fused by Catalyst into
+    //      scan-side projections plus exactly TWO hash shuffles (the
+    //      dedup-hash aggregate and the per-split packing window); the
+    //      quality-gate and keeper id-sets ride semi-joins — broadcast
+    //      at bench scale, AQE-shuffled once the sets outgrow the
+    //      threshold at corpus scale.
+    "x_corpus_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val passing = Corpus.qualityFilter(docs, "doc_id", "text",
+        Stopwords, 20, 80, 0.02, "en").select(col("doc_id"))
+      val kept = docs.join(passing, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), TextOps.redactPii(col("text")).as("clean"))
+      val keepIds = kept.groupBy(md5(col("clean")).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val deduped = kept.join(keepIds, Seq("doc_id"), "left_semi")
+      val withSplit = Corpus.assignSplit(deduped, "doc_id")
+        .select(col("doc_id"), col("clean"), col("split"))
+      Corpus.packSequences(withSplit, "doc_id", "clean", "split", capacity = 512)
+    }),
+
     // ---- per-label centroids (tall form: label × dim → exact scaled
     //      mean). The k-means-update / class-prototype aggregation shape;
     //      posexplode keeps it one shuffle on (label, dim).
@@ -853,6 +877,43 @@ object ExtQueries {
          |SELECT doc_id, n_tokens, stop_ratio, lang_pred FROM (
          |  SELECT doc_id, n_tokens, stop_ratio, $langCaseSql AS lang_pred FROM c)
          |WHERE n_tokens BETWEEN 20 AND 80 AND stop_ratio >= 0.02 AND lang_pred = 'en'""".stripMargin,
+
+    // every stage reuses the per-operator oracle fragments verbatim, so
+    // the chain is the composition of already-verified pieces
+    "x_corpus_e2e" -> {
+      val Seq((_, p0, r0), (_, p1, r1), (_, p2, r2)) = TextOps.PiiPatterns
+      s"""WITH c AS (SELECT doc_id, text,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  ${Numeric.roundBinSql(
+              s"CAST(${stopFilterSql("string_split(text, ' ')", Stopwords)} AS DOUBLE) / len(string_split(text, ' '))", 4)} AS stop_ratio,
+         |  $langCountColsSql
+         |FROM documents),
+         |q AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, n_tokens, stop_ratio, $langCaseSql AS lang_pred FROM c)
+         |  WHERE n_tokens BETWEEN 20 AND 80 AND stop_ratio >= 0.02 AND lang_pred = 'en'),
+         |r AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$p0', '$r0', 'g'), '$p1', '$r1', 'g'), '$p2', '$r2', 'g') AS clean
+         |  FROM q),
+         |k AS (SELECT min(doc_id) AS doc_id FROM r GROUP BY md5(clean)),
+         |dd AS (SELECT r.doc_id, r.clean FROM r JOIN k USING (doc_id)),
+         |s AS (SELECT doc_id, clean,
+         |    CASE WHEN bucket < 204 THEN 'train'
+         |         WHEN bucket < 230 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, clean, ${Corpus.splitBucketSql("doc_id")} AS bucket FROM dd)),
+         |t AS (SELECT doc_id, split,
+         |    CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens
+         |  FROM s),
+         |p AS (SELECT doc_id, split, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY split ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |  FROM t)
+         |SELECT doc_id, split, n_tokens,
+         |  CAST(floor(CAST(prev AS DOUBLE) / 512) AS BIGINT) AS pack_id
+         |FROM p""".stripMargin
+    },
 
     "x_fingerprint" ->
       """SELECT doc_id,
