@@ -201,10 +201,19 @@ object Corpus {
                             fpp: Double = 0.01): DataFrame = {
     val evalVocab = DedupOps.shingleIndex(eval, idCol, textCol, n)
       .select(col("shingle")).distinct()
-    val bloom = evalVocab.stat.bloomFilter(
-      "shingle", math.max(evalVocab.count(), 1L), fpp)
-    DedupOps.shingleIndex(train, idCol, textCol, n)
-      .filter(graft.functions.BloomMightContain.mightContain(col("shingle"), bloom))
+    val nVocab = evalVocab.count()
+    // empty eval side: nothing can be contaminated — and stat.bloomFilter
+    // NPEs on zero rows (its aggregation buffer never initializes), so
+    // the probe is replaced by a constant-false filter with the same
+    // schema and the exact confirm join still produces the empty result
+    val probed =
+      if (nVocab == 0) DedupOps.shingleIndex(train, idCol, textCol, n).filter(lit(false))
+      else {
+        val bloom = evalVocab.stat.bloomFilter("shingle", nVocab, fpp)
+        DedupOps.shingleIndex(train, idCol, textCol, n)
+          .filter(graft.functions.BloomMightContain.mightContain(col("shingle"), bloom))
+      }
+    probed
       .join(evalVocab, Seq("shingle")) // exact confirm: bloom FPs die here
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
   }

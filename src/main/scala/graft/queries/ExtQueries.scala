@@ -116,7 +116,10 @@ object ExtQueries {
         Seq("doc_a", "doc_b"), "left")
       flagged.agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_hit"))
         .select(col("n_true"), col("n_hit"),
-          Numeric.roundBin(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
+          // NULL recall on an empty truth set (0/0), matching SQL division
+          when(col("n_true") === 0, lit(null).cast("double"))
+            .otherwise(Numeric.roundBin(
+              col("n_hit").cast("double") / col("n_true"), 4)).as("recall"))
     }),
 
     // ---- 32-bit SimHash fingerprints
@@ -1013,8 +1016,10 @@ object ExtQueries {
          |        SEMI JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
          |SELECT (SELECT count(*) FROM truth) AS n_true,
          |  (SELECT count(*) FROM hit) AS n_hit,
-         |  ${Numeric.roundBinSql(
-              "CAST((SELECT count(*) FROM hit) AS DOUBLE) / (SELECT count(*) FROM truth)", 4)} AS recall""".stripMargin
+         |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+         |       ELSE ${Numeric.roundBinSql(
+              "CAST((SELECT count(*) FROM hit) AS DOUBLE) / (SELECT count(*) FROM truth)", 4)}
+         |  END AS recall""".stripMargin
     },
 
     "x_simhash" -> DedupOps.simhashOracleSql("documents", "doc_id", "text"),
