@@ -231,13 +231,17 @@ object Similarity {
                    planes: Array[Array[Int]], rowsPerBand: Int): DataFrame = {
     // fail fast on a width mismatch: a null dot would otherwise fall to
     // the otherwise("0") branch, every row would share one band key, and
-    // the candidate join would silently degenerate to a cross product
+    // the candidate join would silently degenerate to a cross product.
+    // NULL vectors are excluded first, not errors: a null can't be
+    // banded, and excluding matches equi-join semantics (a NULL key
+    // never matches) — the guard is for PRESENT vectors of wrong width.
     val dims = planes.head.length
     val guarded = when(size(col(vecCol)) === dims, col(vecCol))
       .otherwise(raise_error(concat(
         lit(s"signBitBands: embedding width != hyperplane width $dims (got "),
         size(col(vecCol)).cast("string"), lit(")"))))
-    val withV = emb.select(col(idCol), guarded.as("__v"))
+    val withV = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), guarded.as("__v"))
     val bits = planes.map { p =>
       val dot = graft.functions.DotProductScaled.dotScaled(
         col("__v"), typedLit(p.map(_.toFloat).toSeq), BitScale)
