@@ -35,6 +35,35 @@ class WordShinglesSpec extends SparkSuite {
     }
   }
 
+  test("multi-byte UTF-8: native byte-level shingling equals the HOF form") {
+    // the native expression scans UTF8String BYTES for 0x20 separators —
+    // multi-byte code points (é=2B, 日=3B, 🚀=4B surrogate pair) must
+    // never be split or mistaken for a space byte
+    val docs = Seq(
+      "héllo wörld naïve café crème brûlée",
+      "日本 語 テキスト の 処理 と 分割",
+      "mixed ascii 日本語 et français 🚀 emoji 🎉 tail",
+      "héllo héllo héllo héllo" // distinct path over multi-byte dups
+    ).toDF("text")
+    val cmp = docs.select(
+      WordShingles.shingles(col("text"), 3).as("native"),
+      hofShingles(col("text"), 3).as("hof"),
+      WordShingles.shingles(col("text"), 2, distinct = true).as("nd"),
+      array_distinct(hofShingles(col("text"), 2)).as("hd"))
+    cmp.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[String](2) == r.getSeq[String](3))
+    }
+    // MinHash over multi-byte shingles: native k-hash pass equals the
+    // md5-concat formulation byte-for-byte
+    val mh = docs.select(explode(WordShingles.shingles(col("text"), 2)).as("sh"))
+      .agg(MinHashAgg.minhashSig(col("sh"), 2).as("sig"),
+        min(md5(concat(lit("0|"), col("sh")))).as("mh0"),
+        min(md5(concat(lit("1|"), col("sh")))).as("mh1"))
+      .collect().head
+    assert(mh.getSeq[String](0) == Seq(mh.getString(1), mh.getString(2)))
+  }
+
   test("edge cases: short text, empty tokens, n=2") {
     val r = Seq("a b", "a  b c", "x").toDF("t").select(
       WordShingles.shingles(col("t"), 2).as("s2"),
