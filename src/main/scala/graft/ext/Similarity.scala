@@ -365,6 +365,33 @@ object Similarity {
       .filter(col("cos_c") < tau)
   }
 
+  /** Search the int8-quantized index: per-element dequantize
+    * (round(x·127/max)·max/127, cast to float) and run the same
+    * brute-force scaled-cosine top-k as the full-precision path. This
+    * is the consumer side of [[quantizeInt8]] — it proves the 4×
+    * smaller index is SEARCHABLE, with rank error bounded by the
+    * quantization step (top-k overlap vs full precision asserted in
+    * spec). Quantize→dequantize is the same IEEE scalar tree in both
+    * engines (multiply, divide, floor, float cast — all exact or
+    * correctly rounded), so the oracle matches bit-for-bit.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    def deq(df: DataFrame): DataFrame = {
+      val maxAbs = aggregate(col(vecCol), lit(0.0d),
+        (acc, x) => greatest(acc, abs(x.cast("double"))))
+      df.select(col(idCol), maxAbs.as("__m"), col(vecCol))
+        .select(col(idCol),
+          transform(col(vecCol), x =>
+            (when(col("__m") === 0.0d, lit(0L))
+              .otherwise(floor(x.cast("double") * 127.0d / col("__m") + 0.5d)
+                .cast("bigint"))
+              .cast("double") * col("__m") / lit(127.0d)).cast("float"))
+            .as(vecCol))
+    }
+    bruteForceTopK(deq(corpus), deq(queries), idCol, vecCol, k)
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val maxAbs = aggregate(col(vecCol), lit(0.0d),
       (acc, x) => greatest(acc, abs(x.cast("double"))))

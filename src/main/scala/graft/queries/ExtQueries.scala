@@ -340,6 +340,14 @@ object ExtQueries {
       Corpus.assemblePacks(Tables.documents(s, d), "doc_id", "text",
         "lang", capacity = 512)),
 
+    // ---- ANN over the int8-quantized index (the consumer side of
+    //      x_embed_quantize): dequantized brute-force top-3
+    "x_ann_quantized" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+    }),
+
     // ---- int8 symmetric quantization (vector-index compression): pure
     //      scan rewrite, zero shuffles
     "x_embed_quantize" -> ((s, d) =>
@@ -1089,6 +1097,40 @@ object ExtQueries {
            "cand c JOIN nrm a ON a.vec_id = c.vec_a JOIN nrm b ON b.vec_id = c.vec_b")}""".stripMargin,
 
     "x_ann_cosine" -> annCosSql("", "", 5),
+
+    // same scoring pipeline as x_ann_cosine, over the dequantized int8
+    // index — quantize→dequantize is the identical IEEE scalar tree the
+    // Spark side applies (floor-round to int8 scale, rescale, REAL cast)
+    "x_ann_quantized" ->
+      s"""WITH deq AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(CAST(CASE WHEN m = 0.0 THEN 0
+         |            ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)
+         |          END AS DOUBLE) * m / 127.0 AS REAL)) AS embedding
+         |  FROM (SELECT vec_id, embedding,
+         |          list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max') AS m
+         |        FROM embeddings)),
+         |nrm AS (
+         |  SELECT vec_id, embedding,
+         |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS n2
+         |  FROM deq, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+         |  GROUP BY vec_id, embedding),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    sum(CAST(floor(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dot_s,
+         |    max(q.n2) AS q_n2, max(c.n2) AS c_n2
+         |  FROM nrm q, nrm c, LATERAL (SELECT unnest(generate_series(1, len(q.embedding))) AS i) t
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  GROUP BY ALL),
+         |cos AS (
+         |  SELECT * EXCLUDE (dot_s, q_n2, c_n2),
+         |    ${Numeric.roundBinSql(
+              s"(CAST(dot_s AS DOUBLE) / $AnnScale) / " +
+              s"(sqrt(CAST(q_n2 AS DOUBLE) / $AnnScale) * sqrt(CAST(c_n2 AS DOUBLE) / $AnnScale))", 6)} AS cos_sim
+         |  FROM scored)
+         |SELECT * FROM cos
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= 3""".stripMargin,
 
     "x_ann_ivf" ->
       s"""WITH $annNormCte,

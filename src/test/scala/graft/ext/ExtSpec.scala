@@ -231,6 +231,19 @@ class ExtSpec extends SparkSuite {
     assert(before == after)
   }
 
+  test("quantizedTopK: int8 search recovers most of the full-precision top-k") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3))
+    val quant = pairs(Similarity.quantizedTopK(emb, q, "vec_id", "embedding", k = 3))
+    // int8 perturbs each element by ≤ max/254: ranks can swap only at
+    // near-ties, so top-3 overlap stays high
+    val overlap = (exact intersect quant).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"quantized recall too low: $overlap")
+  }
+
   test("containmentPairs catches a quoted doc that jaccard misses, directed") {
     val docs = Seq(
       (1L, "q w e r t"), // 3 trigrams, all inside doc 2
