@@ -203,6 +203,24 @@ object AnalyticsQueries {
 
     // ---- exact interpolated percentiles (rounded binary-deterministically:
     //      both engines interpolate within 2 ULP of the true ≤3-decimal value)
+    // ---- equi-width histogram: 20 buckets over the observed [min, max],
+    //      computed distributively — the 1-row bounds aggregate rides a
+    //      broadcast crossJoin (the scalar-boundary pattern, no collect),
+    //      then bucketing is a map-side projection + one keyed count.
+    //      Bucket math is single IEEE ops (sub, mul, div, floor) on
+    //      exact inputs, identical cross-engine; the max value clamps
+    //      into the last bucket.
+    "a11_histogram" -> ((s, d) => {
+      val nb = 20
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val bounds = ev.agg(min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+      ev.crossJoin(broadcast(bounds))
+        .select(least(
+          floor((col("value") - col("v_min")) * nb / (col("v_max") - col("v_min"))),
+          lit(nb - 1)).cast("bigint").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    }),
+
     "a9_percentiles" -> ((s, d) => {
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(Numeric.roundBin(expr("percentile(value, 0.5)"), 3).as("median_v"),
@@ -544,6 +562,15 @@ object AnalyticsQueries {
     "chk_not_future_year" ->
       """SELECT event_id, CAST(year(ts) AS BIGINT) AS year_utc FROM events
         |WHERE year(ts) > year(current_date)""".stripMargin,
+
+    // (value - min) * 20 / (max - min) mirrors the Spark expression
+    // operation-for-operation: sub, mul, div, floor are each one IEEE op
+    "a11_histogram" ->
+      """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(value) AS v_min, max(value) AS v_max FROM v)
+        |SELECT CAST(least(floor((value - v_min) * 20 / (v_max - v_min)), 19) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM v, b GROUP BY 1""".stripMargin,
 
     "a9_percentiles" ->
       s"""SELECT event_type,
