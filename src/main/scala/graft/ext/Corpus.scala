@@ -71,6 +71,39 @@ object Corpus {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("score"))
   }
 
+  /** Collocation extraction: top-k bigrams by LIFT — the log-free PMI
+    * ranking (lift = N·c(ab) / (c(a)·c(b)); PMI is log(lift), and log is
+    * monotone, so the top-k by lift IS the top-k by PMI — without the
+    * libm log whose last ulp differs across engines). Two keyed counts
+    * (bigrams, unigrams), both reduced map-side to vocabulary-sized
+    * tables, the unigram side broadcast twice; final top-k is a
+    * TakeOrdered, never a full sort. Numerator/denominator are computed
+    * as one IEEE multiply each plus one division — deterministic at any
+    * parallelism.
+    */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long, k: Int): DataFrame = {
+    val toks = docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_total"))
+    val bi = docs
+      .select(explode(TextOps.shingles(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bi
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("__w2", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(uni.select(col("token").as("__w1"), col("c").as("c_a"))), Seq("__w1"))
+      .join(broadcast(uni.select(col("token").as("__w2"), col("c").as("c_b"))), Seq("__w2"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        Numeric.roundBin(
+          (col("c_ab").cast("double") * col("n_total")) /
+            (col("c_a").cast("double") * col("c_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Per-document mean token rarity: avg over the doc's tokens of
     * N_total/count(token) — inverse unigram frequency, the log-free
     * surprisal proxy (CCNet-style LM quality scoring without the libm

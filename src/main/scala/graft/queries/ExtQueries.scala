@@ -242,6 +242,11 @@ object ExtQueries {
         .filter(col("n_tokens") >= 3)
     }),
 
+    // ---- collocations: top-30 bigrams by lift (log-free PMI ranking)
+    "x_collocations" -> ((s, d) =>
+      Corpus.collocations(Tables.documents(s, d), "doc_id", "text",
+        minCount = 20, k = 30)),
+
     // ---- mean token rarity: inverse-unigram-frequency quality score
     //      (the log-free surprisal proxy; see Corpus.rarityScore)
     "x_token_rarity" -> ((s, d) =>
@@ -728,6 +733,22 @@ object ExtQueries {
               s"(sqrt(CAST(v2_s AS DOUBLE) / $AnnScale) * sqrt(CAST(c2_s AS DOUBLE) / $AnnScale))", 6)} AS cos_c
          |  FROM d JOIN c2 USING (label))
          |WHERE cos_c < $OutlierTau""".stripMargin,
+
+    "x_collocations" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |uni AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+         |n AS (SELECT sum(c) AS n_total FROM uni),
+         |tws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |bi AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+         |       FROM tws, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t),
+         |bc AS (SELECT bigram, count(*) AS c_ab FROM bi GROUP BY bigram
+         |       HAVING count(*) >= 20)
+         |SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b,
+         |  ${Numeric.roundBinSql(
+              "(CAST(c_ab AS DOUBLE) * n_total) / (CAST(a.c AS DOUBLE) * b.c)", 6)} AS lift
+         |FROM bc JOIN uni a ON a.token = string_split(bigram, ' ')[1]
+         |        JOIN uni b ON b.token = string_split(bigram, ' ')[2], n
+         |ORDER BY lift DESC, bigram ASC LIMIT 30""".stripMargin,
 
     "x_token_rarity" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -231,6 +231,20 @@ class ExtSpec extends SparkSuite {
     assert(before == after)
   }
 
+  test("collocations ranks the always-together bigram above independent ones") {
+    // "new york" always co-occur (4/4); "the cat"/"the dog" are diluted
+    // by "the" appearing everywhere
+    val docs = Seq(
+      (1L, "new york the cat"), (2L, "new york the dog"),
+      (3L, "new york the cat"), (4L, "new york the dog")
+    ).toDF("doc_id", "text")
+    val r = Corpus.collocations(docs, "doc_id", "text", minCount = 2, k = 2)
+      .select($"bigram", $"lift").as[(String, Double)].collect().toSeq
+    // N = 16 tokens; lift(new york) = 16*4/(4*4) = 4.0 — the top hit
+    assert(r.head == (("new york", 4.0)))
+    assert(r.forall(_._2 <= 4.0))
+  }
+
   test("quantizedTopK: int8 search recovers most of the full-precision top-k") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" < 10)
