@@ -371,6 +371,20 @@ object ExtQueries {
           (sum(col("sz")) - count(lit(1))).as("n_removable"))
     }),
 
+    // ---- SEMANTIC dedup (SemDeDup shape): embedding-LSH near-dup pairs
+    //      → connected components → one keeper per semantic cluster. The
+    //      text-dedup resolution machinery applied in embedding space —
+    //      pairs from sign-bit bands, min-label propagation for the
+    //      keeper assignment.
+    "x_semantic_dedup" -> ((s, d) => {
+      val pairs = Similarity.cosineNearDupLsh(Tables.embeddings(s, d),
+          "vec_id", "embedding", NearDupTau, NearDupPlanes,
+          NearDupRowsPerBand, EmbDims)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      DedupOps.resolveComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("keep_id"))
+    }),
+
     // ---- embedding-space outliers: cosine-to-label-centroid below τ —
     //      the mislabeled/contaminated-cluster curation pass (see
     //      Similarity.centroidOutliers for the plan shape)
@@ -479,7 +493,7 @@ object ExtQueries {
     * joins both sides to `nrm`, computes the exact scaled dot, rounds —
     * the oracle twin of [[Similarity]]'s scoredPairs/exact paths.
     */
-  private def pairCosineSql(candFrom: String): String =
+  private def pairCosineCtes(candFrom: String): String =
     s"""scored AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    sum(CAST(floor(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dot_s,
@@ -492,7 +506,10 @@ object ExtQueries {
        |    ${Numeric.roundBinSql(
             s"(CAST(dot_s AS DOUBLE) / $AnnScale) / " +
             s"(sqrt(CAST(a_n2 AS DOUBLE) / $AnnScale) * sqrt(CAST(b_n2 AS DOUBLE) / $AnnScale))", 6)} AS cos_sim
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  private def pairCosineSql(candFrom: String): String =
+    s"""${pairCosineCtes(candFrom)}
        |SELECT vec_a, vec_b, cos_sim FROM cos WHERE cos_sim >= $NearDupTau""".stripMargin
 
   /** Sign-bit LSH banding as DuckDB CTEs — the hyperplanes are the same
@@ -1104,6 +1121,22 @@ object ExtQueries {
     "x_embed_neardup" ->
       s"""WITH $annNormCte,
          |${pairCosineSql("nrm a JOIN nrm b ON a.vec_id < b.vec_id")}""".stripMargin,
+
+    // the x_embed_neardup_lsh pair CTEs + the recursive min-label closure
+    // from the text-resolution oracle, in embedding space
+    "x_semantic_dedup" ->
+      s"""WITH RECURSIVE $annNormCte,
+         |$signBitBandCtesSql,
+         |${pairCosineCtes(
+           "cand c JOIN nrm a ON a.vec_id = c.vec_a JOIN nrm b ON b.vec_id = c.vec_b")},
+         |prs AS (SELECT vec_a, vec_b FROM cos WHERE cos_sim >= $NearDupTau),
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM prs
+         |          UNION ALL SELECT vec_b, vec_a FROM prs),
+         |lab(vid, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, l.label FROM edges e JOIN lab l ON l.vid = e.dst)
+         |SELECT vid AS vec_id, min(label) AS keep_id FROM lab GROUP BY vid""".stripMargin,
 
     "x_embed_neardup_lsh" ->
       s"""WITH $annNormCte,
