@@ -177,6 +177,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Partial"), s"group limit not pushed below the exchange:\n$p")
   }
 
+  test("x_corpus_e2e: the whole curation chain fuses to two hash shuffles") {
+    // gate → redact → dedup → split → pack: the id-sets ride broadcast
+    // semi-joins at this size, so the only hash exchanges are the
+    // dedup-hash aggregate and the per-split packing window
+    val p = planOf("x_corpus_e2e")
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 2, s"expected 2 hash shuffles, plan:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot loop)") {
     Seq("q1_agg", "f1_range_filter", "p7_surrogate_key", "a1_hourly_pivot").foreach { q =>
       // AQE hides codegen stages until execution — run, then read the final plan
