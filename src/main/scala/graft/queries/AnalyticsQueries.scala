@@ -288,6 +288,20 @@ object AnalyticsQueries {
         .filter(col("avg_v").isNotNull)
     }),
 
+    // ---- distribution ranking family over one shared sort: quartile
+    //      bucket (ntile), percent_rank, cume_dist — all exact-integer
+    //      rank arithmetic over (value, event_id) total order, one
+    //      shuffle. percent_rank/cume_dist divisions are single IEEE ops
+    //      on integers → deterministic cross-engine.
+    "w8_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        Numeric.roundBin(percent_rank().over(w), 6).as("pct_rank"),
+        Numeric.roundBin(cume_dist().over(w), 6).as("cume"))
+    }),
+
     // ---- event-time RANGE frame: per-user rolling 1h sum — frame bounds
     //      on exact epoch-micros, sum as order-independent scaled ints
     "w6_rolling_time" -> ((s, d) => {
@@ -375,6 +389,14 @@ object AnalyticsQueries {
       s"""SELECT user_id, event_type, ${Numeric.scaledAvgSql("value")} AS avg_v
          |FROM events WHERE event_type IN ('click', 'view', 'error')
          |GROUP BY user_id, event_type""".stripMargin,
+
+    "w8_rank_family" ->
+      s"""SELECT event_id, event_type,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         |  ${Numeric.roundBinSql("percent_rank() OVER w", 6)} AS pct_rank,
+         |  ${Numeric.roundBinSql("cume_dist() OVER w", 6)} AS cume
+         |FROM events
+         |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""".stripMargin,
 
     "w6_rolling_time" ->
       """SELECT event_id, user_id,

@@ -242,6 +242,15 @@ object ExtQueries {
         .filter(col("n_tokens") >= 3)
     }),
 
+    // ---- data-card report: per (split, lang) composition — the summary
+    //      table every corpus release ships; one keyed aggregation
+    "x_split_report" -> ((s, d) =>
+      Corpus.assignSplit(Tables.documents(s, d), "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("bigint")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"))),
+
     // ---- collocations: top-30 bigrams by lift (log-free PMI ranking)
     "x_collocations" -> ((s, d) =>
       Corpus.collocations(Tables.documents(s, d), "doc_id", "text",
@@ -750,6 +759,16 @@ object ExtQueries {
               s"(sqrt(CAST(v2_s AS DOUBLE) / $AnnScale) * sqrt(CAST(c2_s AS DOUBLE) / $AnnScale))", 6)} AS cos_c
          |  FROM d JOIN c2 USING (label))
          |WHERE cos_c < $OutlierTau""".stripMargin,
+
+    "x_split_report" ->
+      s"""WITH b AS (SELECT *, ${Corpus.splitBucketSql("doc_id")} AS bucket FROM documents)
+         |SELECT CASE WHEN bucket < 204 THEN 'train'
+         |            WHEN bucket < 230 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT source) AS n_sources
+         |FROM b GROUP BY 1, 2""".stripMargin,
 
     "x_collocations" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
