@@ -72,5 +72,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "misra_gries(item, capacity)")
         MisraGries(args(0), intLit(args(1), "capacity"))
       }))
+    // optimizer rule: the composable aggregate(zip_with(...)) dot-product
+    // spelling rewrites to the codegen'd native expression
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }
 }

@@ -66,6 +66,41 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("optimizer rewrites the HOF dot-product spelling to the native expression") {
+    import org.apache.spark.sql.functions._
+    val scale = graft.ext.Similarity.Scale
+    withExtSession { s =>
+      // parquet-backed, NOT local/literal input: ConstantFolding would
+      // evaluate a literal dot at plan time and ConvertToLocalRelation
+      // would collapse a local relation — either hides the rewritten node
+      val df = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("embedding").as("a"), col("embedding").as("b"))
+      // Column-API spelling
+      val q = df.select(graft.ext.Similarity.dotScaledHof(col("a"), col("b")).as("d"))
+      assert(q.queryExecution.executedPlan.toString.contains("dot_product_scaled"),
+        "HOF form not rewritten to the native expression")
+      val native = df.select(
+        graft.ext.Similarity.dotScaled(col("a"), col("b")).as("d"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(q.collect().map(_.getLong(0)).toSeq == native)
+      // the raw-SQL spelling a warehouse user writes goes through the
+      // same analyzed shape and rewrites too
+      df.createOrReplaceTempView("v")
+      val sqlQ = s.sql(
+        s"""SELECT aggregate(zip_with(a, b,
+           |  (x, y) -> floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * $scale + 0.5D)),
+           |  0L, (acc, v) -> acc + v) AS d FROM v""".stripMargin)
+      assert(sqlQ.queryExecution.executedPlan.toString.contains("dot_product_scaled"))
+      assert(sqlQ.collect().map(_.getLong(0)).toSeq == native)
+      // near-miss (0.6 rounding constant) is NOT rewritten — strict match
+      val near = df.select(aggregate(
+        zip_with(col("a"), col("b"),
+          (x, y) => floor(x.cast("double") * y.cast("double") * lit(scale) + lit(0.6))),
+        lit(0L), (acc, x) => acc + x).as("d"))
+      assert(!near.queryExecution.executedPlan.toString.contains("dot_product_scaled"))
+    }
+  }
+
   test("misra_gries aggregate from SQL is exact when capacity covers the items") {
     withExtSession { s =>
       val m = s.sql(
