@@ -288,6 +288,20 @@ object AnalyticsQueries {
         .filter(col("avg_v").isNotNull)
     }),
 
+    // ---- navigation family over one shared per-user sort: lag / lead /
+    //      first / last. Sort key is exact epoch-micros + id (the nanos
+    //      source would tie-break differently between engines otherwise).
+    "w9_navigation" -> ((s, d) => {
+      val key = Seq(unix_micros(col("ts")), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(key.map(_.asc): _*)
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        first(col("event_type")).over(wAll).as("first_type"),
+        last(col("event_type")).over(wAll).as("last_type"))
+    }),
+
     // ---- distribution ranking family over one shared sort: quartile
     //      bucket (ntile), percent_rank, cume_dist — all exact-integer
     //      rank arithmetic over (value, event_id) total order, one
@@ -389,6 +403,16 @@ object AnalyticsQueries {
       s"""SELECT user_id, event_type, ${Numeric.scaledAvgSql("value")} AS avg_v
          |FROM events WHERE event_type IN ('click', 'view', 'error')
          |GROUP BY user_id, event_type""".stripMargin,
+
+    "w9_navigation" ->
+      """SELECT event_id, user_id,
+        |  lag(event_type, 1) OVER w AS prev_type,
+        |  lead(event_type, 1) OVER w AS next_type,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
 
     "w8_rank_family" ->
       s"""SELECT event_id, event_type,
