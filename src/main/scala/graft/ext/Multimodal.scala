@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: payloads whose magic bytes identify a JDK-decodable
   * format (PNG/JPEG/GIF/BMP) go through `javax.imageio` — width, height,
   * raster band count, and mean sample intensity come from actual pixel
-  * data. AUDIO/VIDEO decode remains a STUB (`decodeHeaderStub`: 12-byte
-  * header of 3 big-endian ints + payload bytes) because this container
-  * ships no audio/video codecs; the dispatch point (`imageFeatures`) and
-  * call-site shape are exactly where an FFmpeg-style codec would slot in.
+  * data. AUDIO decode is REAL for PCM WAV via `javax.sound.sampled`
+  * (also in the JDK): sample rate, channels, frame count, duration, and
+  * mean absolute amplitude from actual samples (`audioFeatures`). Only
+  * VIDEO decode remains a STUB (`decodeHeaderStub`: 12-byte header of 3
+  * big-endian ints + payload bytes) because this container ships no
+  * video codecs; the dispatch point (`imageFeatures`) and call-site
+  * shape are exactly where an FFmpeg-style codec would slot in.
   * The surrounding Spark plumbing is the production shape and is tested:
   * the (content binary, meta struct) schema, `mapPartitions` batch shape
   * (per-partition decoder setup — here `ImageIO.setUseCache(false)`, with
@@ -35,6 +38,9 @@ object Multimodal {
   case class MediaFile(media_id: Long, kind: String, content: Array[Byte], meta: MediaMeta)
   case class ImageFeatures(media_id: Long, width: Int, height: Int, channels: Int,
                            mean_intensity: Double, content_hash: String)
+  case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
+                           n_frames: Long, duration_sec: Double,
+                           mean_abs_amplitude: Double, content_hash: String)
   case class FrameSample(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   /** STUB decode for non-image kinds (see object doc): header →
@@ -84,6 +90,63 @@ object Multimodal {
       y += 1
     }
     (w, h, bands, sum.toDouble / (w.toLong * h * bands))
+  }
+
+  /** RIFF/WAVE magic sniff — the container `javax.sound.sampled` decodes
+    * out of the box (PCM WAV).
+    */
+  def isDecodableAudio(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** REAL audio decode via `javax.sound.sampled` (in the JDK, like
+    * ImageIO): (sampleRate, channels, frames, duration, mean |amplitude|
+    * over all samples). PCM 16-bit (either endianness) and 8-bit
+    * supported — the formats the JDK itself parses.
+    */
+  def decodeAudio(bytes: Array[Byte]): (Int, Int, Long, Double, Double) = {
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val duration = frames.toDouble / fmt.getSampleRate
+      val data = ais.readAllBytes()
+      val mean = fmt.getSampleSizeInBits match {
+        case 16 =>
+          val bb = ByteBuffer.wrap(data).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var s = 0L; var n = 0
+          while (bb.remaining() >= 2) { s += math.abs(bb.getShort.toLong); n += 1 }
+          if (n == 0) 0.0 else s.toDouble / n
+        case 8 =>
+          if (data.isEmpty) 0.0
+          else data.map(b => math.abs((b & 0xff) - 128).toLong).sum.toDouble / data.length
+        case other =>
+          throw new IllegalArgumentException(s"unsupported PCM width: $other bits")
+      }
+      (fmt.getSampleRate.toInt, fmt.getChannels, frames, duration, mean)
+    } finally ais.close()
+  }
+
+  /** Decode + feature-extract the WAV payloads of a media table — same
+    * `mapPartitions` shape as [[imageFeatures]] (per-partition decoder
+    * setup), same small-features-vs-huge-content separation. Non-WAV
+    * rows are skipped (they belong to the image path or the video stub).
+    */
+  def audioFeatures(ds: Dataset[MediaFile]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.filter(m => isDecodableAudio(m.content)).map { m =>
+        val (sr, ch, frames, dur, mean) = decodeAudio(m.content)
+        md.reset()
+        val hash = md.digest(m.content).map("%02x".format(_)).mkString
+        AudioFeatures(m.media_id, sr, ch, frames, dur, mean, hash)
+      }
+    }
   }
 
   /** Wrap raw binaries + metadata into the canonical media schema. */

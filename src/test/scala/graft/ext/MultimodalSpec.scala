@@ -63,6 +63,33 @@ class MultimodalSpec extends SparkSuite {
     assert(feats(3L).width == 44100 && feats(3L).mean_intensity == 60.0)
   }
 
+  test("audioFeatures decodes a REAL PCM WAV via javax.sound.sampled") {
+    import javax.sound.sampled._
+    // 0.5 s of 8 kHz mono 16-bit square wave at amplitude 1000
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val samples = Array.tabulate(4000)(i => if ((i / 50) % 2 == 0) 1000 else -1000)
+    val bb = ByteBuffer.allocate(8000).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(s => bb.putShort(s.toShort))
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), fmt, 4000L)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(isDecodableAudio(wav))
+
+    val ds = asMediaTable(spark, Seq(
+      MediaFile(1L, "audio", wav, MediaMeta("sq.wav", "audio/wav", wav.length.toLong)),
+      // a non-WAV row must be skipped, not crash the audio path
+      fakeMedia(2L, "video", 64, 48, 3, Array.fill(96)(7.toByte))))
+    val f = audioFeatures(repartitionForDecode(ds, 2)).collect()
+    assert(f.length == 1)
+    val a = f.head
+    assert(a.media_id == 1L && a.sample_rate == 8000 && a.channels == 1)
+    assert(a.n_frames == 4000L && a.duration_sec == 0.5)
+    // every sample is ±1000 → mean |amplitude| is exactly 1000
+    assert(a.mean_abs_amplitude == 1000.0)
+  }
+
   test("sampleFrames slices payload into stride-sampled frames") {
     val media = asMediaTable(spark, Seq(
       fakeMedia(7L, "video", 16, 16, 3, Array.tabulate[Byte](40)(_.toByte))))
