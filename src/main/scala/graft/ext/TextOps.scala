@@ -69,6 +69,16 @@ object TextOps {
   def tokenCharSum(c: Column): Column =
     aggregate(transform(tokens(c), t => length(t).cast("long")), lit(0L), (a, x) => a + x)
 
+  /** Canonical text normalization (the C4-style cleanup pass): lowercase,
+    * control characters → space, whitespace runs collapsed to one space,
+    * trimmed. Pure per-row projection over the RE2 ∩ Java-regex subset
+    * (`[\\t\\n\\r]`, `[ ]+` — identical semantics both engines), so the
+    * oracle runs the same patterns verbatim and the pass is map-only at
+    * any scale.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[\\t\\n\\r]", " "), " +", " "))
+
   /** PII patterns, applied in this order: email first (so the phone rule
     * never sees digits inside an address), then NANP-shaped phone
     * numbers, then dotted-quad IPv4. Dotted 3-3-4 digit runs are claimed

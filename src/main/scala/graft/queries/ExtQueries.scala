@@ -242,6 +242,19 @@ object ExtQueries {
         .filter(col("n_tokens") >= 3)
     }),
 
+    // ---- text normalization (C4-style cleanup): the corpus is already
+    //      clean, so deterministic mess (case flips, tabs, runs of
+    //      spaces) is injected first — both engines inject and then
+    //      normalize identically; map-only
+    "x_normalize_text" -> ((s, d) => {
+      val messy = concat(
+        when(col("doc_id") % 2 === 0, upper(col("text"))).otherwise(col("text")),
+        lit("\t extra   run\t\t of  spaces  "))
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.normalize(messy).as("clean_text"),
+        length(TextOps.normalize(messy)).cast("bigint").as("n_chars_clean"))
+    }),
+
     // ---- data-card report: per (split, lang) composition — the summary
     //      table every corpus release ships; one keyed aggregation
     "x_split_report" -> ((s, d) =>
@@ -759,6 +772,20 @@ object ExtQueries {
               s"(sqrt(CAST(v2_s AS DOUBLE) / $AnnScale) * sqrt(CAST(c2_s AS DOUBLE) / $AnnScale))", 6)} AS cos_c
          |  FROM d JOIN c2 USING (label))
          |WHERE cos_c < $OutlierTau""".stripMargin,
+
+    // chr(9) = tab: identical injected mess, identical normalization
+    "x_normalize_text" ->
+      """WITH m AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END)
+        |      || chr(9) || ' extra   run' || chr(9) || chr(9) || ' of  spaces  ' AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(t), '[\t\n\r]', ' ', 'g'),
+        |                        ' +', ' ', 'g')) AS clean_text
+        |  FROM m)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+        |FROM n""".stripMargin,
 
     "x_split_report" ->
       s"""WITH b AS (SELECT *, ${Corpus.splitBucketSql("doc_id")} AS bucket FROM documents)

@@ -231,6 +231,12 @@ class ExtSpec extends SparkSuite {
     assert(before == after)
   }
 
+  test("normalize lowers case, maps control chars to spaces, collapses runs, trims") {
+    val r = Seq((1L, "  Hello\tWORLD \r\n  mixed   Spaces\t"))
+      .toDF("id", "t").select(TextOps.normalize($"t")).as[String].collect().head
+    assert(r == "hello world mixed spaces")
+  }
+
   test("collocations ranks the always-together bigram above independent ones") {
     // "new york" always co-occur (4/4); "the cat"/"the dog" are diluted
     // by "the" appearing everywhere
