@@ -100,6 +100,20 @@ object AnalyticsQueries {
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // ---- null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    //      keys MATCH each other — the documented opposite of standard
+    //      equi-join NULL exclusion (see AsOf's contract). NULL keys are
+    //      injected deterministically (the corpus has none), and the
+    //      aggregation proves the NULL group joins: its pair count is
+    //      n_null_docs × n_null_docs, not zero.
+    "j6_null_safe_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), nullif(col("lang"), lit("de")).as("k"))
+      docs.as("a").join(docs.as("b"), col("a.k") <=> col("b.k"))
+        .groupBy(col("a.k").as("k"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // ---- global ORDER BY + LIMIT (top-k with unique tiebreak)
     "o2_global_topk" -> ((s, d) => {
       Tables.orders(s, d)
@@ -527,6 +541,12 @@ object AnalyticsQueries {
     "j5_full_outer" ->
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice
         |FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "j6_null_safe_join" ->
+      """WITH d AS (SELECT doc_id, nullif(lang, 'de') AS k FROM documents)
+        |SELECT a.k AS k, count(*) AS n_pairs
+        |FROM d a JOIN d b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY a.k""".stripMargin,
 
     "o2_global_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
