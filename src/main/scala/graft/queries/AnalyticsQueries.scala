@@ -103,15 +103,18 @@ object AnalyticsQueries {
     // ---- null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
     //      keys MATCH each other — the documented opposite of standard
     //      equi-join NULL exclusion (see AsOf's contract). NULL keys are
-    //      injected deterministically (the corpus has none), and the
-    //      aggregation proves the NULL group joins: its pair count is
-    //      n_null_docs × n_null_docs, not zero.
+    //      injected deterministically (the corpus has none); the fact
+    //      side joins the TINY distinct-key dimension (a fact×fact
+    //      self-join on a 5-value key is Σ group² pairs — quadratic by
+    //      construction, measured catastrophic at 100×), and the NULL
+    //      dimension row matching n_docs > 0 proves the semantics.
     "j6_null_safe_join" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), nullif(col("lang"), lit("de")).as("k"))
-      docs.as("a").join(docs.as("b"), col("a.k") <=> col("b.k"))
-        .groupBy(col("a.k").as("k"))
-        .agg(count(lit(1)).as("n_pairs"))
+      val dim = docs.select(col("k").as("dim_k")).distinct()
+      docs.join(broadcast(dim), col("k") <=> col("dim_k"))
+        .groupBy(col("dim_k"))
+        .agg(count(lit(1)).as("n_docs"))
     }),
 
     // ---- global ORDER BY + LIMIT (top-k with unique tiebreak)
@@ -543,10 +546,11 @@ object AnalyticsQueries {
         |FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin,
 
     "j6_null_safe_join" ->
-      """WITH d AS (SELECT doc_id, nullif(lang, 'de') AS k FROM documents)
-        |SELECT a.k AS k, count(*) AS n_pairs
-        |FROM d a JOIN d b ON a.k IS NOT DISTINCT FROM b.k
-        |GROUP BY a.k""".stripMargin,
+      """WITH d AS (SELECT doc_id, nullif(lang, 'de') AS k FROM documents),
+        |dim AS (SELECT DISTINCT k AS dim_k FROM d)
+        |SELECT dim_k, count(*) AS n_docs
+        |FROM d JOIN dim ON d.k IS NOT DISTINCT FROM dim.dim_k
+        |GROUP BY dim_k""".stripMargin,
 
     "o2_global_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
