@@ -13,17 +13,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // partitions default to cpus (the driver's contract at sf0.1); scale
-    // probes override — a real cluster sizes this to keep per-task
-    // sorts/aggs in memory (see SCALE.md's j4 and jaccard findings)
+    // non-AQE-fallback width defaults to cpus; the real sizing is AQE's
+    // initialPartitionNum (GraftSession): start wide, coalesce to actual
+    // bytes — the engine default that keeps sf10 sorts in memory
+    // (see SCALE.md's j4 and jaccard findings)
     val parts = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      parts.toInt,
+      initialPartitions = math.max(parts.toInt, GraftSession.DefaultInitialPartitions)
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: touch every table once (schema + full scan) + JIT the agg path

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
 
 import graft.functions.DotProductScaled
 
@@ -63,8 +63,20 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
         if xu.exprId == x.exprId && yu.exprId == y.exprId &&
           accu.exprId == acc.exprId && elemu.exprId == elem.exprId &&
           finu.exprId == fin.exprId &&
-          isLongZero(zero) =>
+          isLongZero(zero) &&
+          isFloatArray(a) && isFloatArray(b) =>
       DotProductScaled(a, b, scale)
+  }
+
+  /** [[DotProductScaled]] reads elements via `ArrayData.getFloat`, so the
+    * substitution is only valid for `array<float>` inputs. Any other element
+    * type (the cast-to-double in the lambda also matches array<int> /
+    * array<bigint> / array<double>) keeps its written HOF semantics —
+    * substituting there would reinterpret the raw bytes as float.
+    */
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   private def isLongZero(l: Literal): Boolean = l match {

@@ -15,6 +15,21 @@ class PlanSpec extends SparkSuite {
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 
+  test("engine session posture: AQE on, wide initial shuffle, extensions registered") {
+    // the canonical GraftSession config is what every entry point uses;
+    // a regression here silently restores the sf10 spill (SCALE.md j4)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+    val initial = spark.conf
+      .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt
+    assert(initial >= spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      "AQE must start at least as wide as the static fallback")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    // extensions: the SQL surface resolves the injected native functions
+    assert(spark.sql("SELECT dot_product_scaled(array(CAST(1.0 AS FLOAT)), " +
+      "array(CAST(2.0 AS FLOAT)), 1000000000000) AS d").collect().head.getLong(0) > 0)
+  }
+
   test("q1_agg: column pruning reaches the scan; partial aggregation present") {
     val p = planOf("q1_agg")
     assert(p.contains("ReadSchema"))
@@ -184,7 +199,12 @@ class PlanSpec extends SparkSuite {
     val p = planOf("x_corpus_e2e")
     val hashExchanges = p.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning"))
-    assert(hashExchanges == 2, s"expected 2 hash shuffles, plan:\n$p")
+    // Upper bound, not equality: the exact count depends on the broadcast
+    // threshold and AQE at this data size; the invariant worth guarding is
+    // "the id-set joins broadcast instead of adding shuffles".
+    assert(hashExchanges <= 2, s"expected <=2 hash shuffles, got $hashExchanges; plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"id-set semi-joins should broadcast (a SortMergeJoin here means an extra shuffle):\n$p")
   }
 
   test("whole-stage codegen covers the hot paths (no interpreted hot loop)") {

@@ -32,6 +32,33 @@ class DotProductScaledSpec extends SparkSuite {
     assert(m(4L).isEmpty)
   }
 
+  test("optimizer rewrite fires only on array<float> inputs") {
+    import graft.functions.DotProductScaled
+    // built over range() so ConvertToLocalRelation can't pre-evaluate the
+    // projection away before we can inspect the optimized expressions
+    def rewritten(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(
+        _.expressions.exists(_.exists(_.isInstanceOf[DotProductScaled])))
+    // arrays depend on `id` so ConstantFolding can't collapse them either;
+    // id=1 ⇒ dot = 1*4 + 2*5 + 3*6 = 32 for every element type
+    def probe(cast: String): org.apache.spark.sql.DataFrame = spark.range(1, 2).select(
+      Similarity.dotScaledHof(
+        array(col("id").cast(cast), lit(2).cast(cast), lit(3).cast(cast)),
+        array(lit(4).cast(cast), lit(5).cast(cast), lit(6).cast(cast))).as("d"))
+
+    val floats = probe("float")
+    assert(rewritten(floats), "HOF over array<float> should rewrite to the native expression")
+    assert(floats.collect().head.getLong(0) == 32L * Similarity.Scale)
+
+    // array<int> and array<double> leave the same Cast-to-double in the lambda;
+    // the rewrite must NOT fire there (DotProductScaled reads via getFloat).
+    Seq("int", "bigint", "double").foreach { t =>
+      val df = probe(t)
+      assert(!rewritten(df), s"HOF over array<$t> must keep its written semantics")
+      assert(df.collect().head.getLong(0) == 32L * Similarity.Scale)
+    }
+  }
+
   test("the ANN queries still hash the same through the native expression") {
     // regression net: x_ann_cosine on real data — plan now codegen'd
     val df = graft.SparkEntry.queries("x_ann_cosine")(spark, sfDir)
