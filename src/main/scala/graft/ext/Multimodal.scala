@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * raster band count, and mean sample intensity come from actual pixel
   * data. AUDIO decode is REAL for PCM WAV via `javax.sound.sampled`
   * (also in the JDK): sample rate, channels, frame count, duration, and
-  * mean absolute amplitude from actual samples (`audioFeatures`). Only
-  * VIDEO decode remains a STUB (`decodeHeaderStub`: 12-byte header of 3
-  * big-endian ints + payload bytes) because this container ships no
-  * video codecs; the dispatch point (`imageFeatures`) and call-site
+  * mean absolute amplitude from actual samples (`audioFeatures`). VIDEO
+  * frame extraction is REAL for GIF containers (`decodeGifFrames` via
+  * ImageIO's multi-image reader); only codec-requiring containers
+  * (MP4-class) keep the STUB path (`decodeHeaderStub`: 12-byte header of
+  * 3 big-endian ints + payload bytes) because this container ships no
+  * video codecs; the dispatch point (`sampleFrames`) and call-site
   * shape are exactly where an FFmpeg-style codec would slot in.
   * The surrounding Spark plumbing is the production shape and is tested:
   * the (content binary, meta struct) schema, `mapPartitions` batch shape
@@ -92,13 +94,39 @@ object Multimodal {
     (w, h, bands, sum.toDouble / (w.toLong * h * bands))
   }
 
-  /** RIFF/WAVE magic sniff — the container `javax.sound.sampled` decodes
-    * out of the box (PCM WAV).
+  /** RIFF/WAVE sniff narrowed to what [[decodeAudio]] actually handles:
+    * the container magic AND the fmt-chunk says linear PCM (codec 1) at
+    * 8 or 16 bits. 24/32-bit PCM, IEEE-float (codec 3), ADPCM, and
+    * truncated/malformed headers all return false, so one exotic WAV in a
+    * shard is skipped rather than failing the whole [[audioFeatures]] job.
     */
   def isDecodableAudio(bytes: Array[Byte]): Boolean =
     bytes.length >= 12 &&
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
-      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E' && {
+        // walk RIFF chunks for "fmt " (little-endian sizes)
+        def le16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+        def le32(o: Int) = (bytes(o) & 0xff).toLong | ((bytes(o + 1) & 0xff).toLong << 8) |
+          ((bytes(o + 2) & 0xff).toLong << 16) | ((bytes(o + 3) & 0xff).toLong << 24)
+        var off = 12
+        var found = false
+        var ok = false
+        while (!found && off + 8 <= bytes.length) {
+          val size = le32(off + 4)
+          if (bytes(off) == 'f' && bytes(off + 1) == 'm' && bytes(off + 2) == 't' &&
+              bytes(off + 3) == ' ') {
+            found = true
+            ok = size >= 16 && off + 8 + 16 <= bytes.length && {
+              val codec = le16(off + 8)
+              val bits = le16(off + 8 + 14)
+              codec == 1 && (bits == 8 || bits == 16)
+            }
+          } else if (size < 0 || size > bytes.length) {
+            off = bytes.length // malformed declared size: stop, not decodable
+          } else off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        }
+        found && ok
+      }
 
   /** REAL audio decode via `javax.sound.sampled` (in the JDK, like
     * ImageIO): (sampleRate, channels, frames, duration, mean |amplitude|
@@ -193,16 +221,55 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video-kind payloads: every `stride`-th
-    * `frameSize`-byte slice of the payload becomes a frame row —
-    * the explode-shaped stage a real video pipeline has.
+  /** Multi-frame container the JDK decodes frame-by-frame: GIF (87a/89a).
+    * Same magic as the image sniff's GIF arm; listed separately because
+    * the frame path (not the single-image path) handles it.
+    */
+  def isDecodableVideo(bytes: Array[Byte]): Boolean =
+    bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'
+
+  /** REAL frame extraction for GIF containers via `javax.imageio`'s
+    * multi-image reader API (`ImageReader.read(frameIdx)`): every
+    * `stride`-th frame is decoded to pixels and re-encoded as PNG bytes.
+    * Frames are read raw (no disposal-method compositing) — each row is
+    * the frame as stored, which is what feature extraction wants.
+    */
+  def decodeGifFrames(bytes: Array[Byte], stride: Int): Seq[(Int, Array[Byte])] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, s"GIF-sniffed payload has no ImageIO reader (${bytes.length} bytes)")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      (0 until n).collect {
+        case i if i % stride == 0 =>
+          val img = reader.read(i)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (i, bos.toByteArray)
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Frame sampling for video-kind payloads — the explode-shaped stage a
+    * real video pipeline has. GIF containers get REAL frames
+    * ([[decodeGifFrames]]); codec-requiring containers (MP4-class) fall
+    * back to the stub slicing of every `stride`-th `frameSize`-byte
+    * payload chunk, the one remaining decode stub in this module.
     */
   def sampleFrames(ds: Dataset[MediaFile], frameSize: Int, stride: Int): Dataset[FrameSample] = {
     import ds.sparkSession.implicits._
     ds.flatMap { m =>
-      val payload = m.content.drop(12)
-      payload.grouped(frameSize).zipWithIndex.collect {
-        case (frame, idx) if idx % stride == 0 => FrameSample(m.media_id, idx, frame)
+      if (isDecodableVideo(m.content))
+        decodeGifFrames(m.content, stride).map { case (idx, png) =>
+          FrameSample(m.media_id, idx, png)
+        }
+      else {
+        val payload = m.content.drop(12)
+        payload.grouped(frameSize).zipWithIndex.collect {
+          case (frame, idx) if idx % stride == 0 => FrameSample(m.media_id, idx, frame)
+        }
       }
     }
   }

@@ -90,6 +90,74 @@ class MultimodalSpec extends SparkSuite {
     assert(a.mean_abs_amplitude == 1000.0)
   }
 
+  test("isDecodableAudio admits only what decodeAudio handles (8/16-bit linear PCM)") {
+    import javax.sound.sampled._
+    def wav(fmt: AudioFormat, nFrames: Int): Array[Byte] = {
+      val data = new Array[Byte](nFrames * fmt.getFrameSize)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(isDecodableAudio(wav(new AudioFormat(8000f, 16, 1, true, false), 100)))
+    assert(isDecodableAudio(wav(new AudioFormat(8000f, 8, 1, false, false), 100)))
+    // 24-bit PCM and IEEE-float are valid RIFF/WAVE but decodeAudio throws on
+    // them — the sniff must reject so audioFeatures skips instead of failing
+    assert(!isDecodableAudio(wav(new AudioFormat(8000f, 24, 1, true, false), 100)))
+    assert(!isDecodableAudio(wav(new AudioFormat(
+      AudioFormat.Encoding.PCM_FLOAT, 8000f, 32, 1, 4, 8000f, false), 100)))
+    // truncated header: RIFF/WAVE magic but no complete fmt chunk
+    val sixteen = wav(new AudioFormat(8000f, 16, 1, true, false), 100)
+    assert(!isDecodableAudio(sixteen.take(16)))
+    // and a float-WAV row in the table is skipped, not fatal
+    val floatWav = wav(new AudioFormat(
+      AudioFormat.Encoding.PCM_FLOAT, 8000f, 32, 1, 4, 8000f, false), 100)
+    val ds = asMediaTable(spark, Seq(
+      MediaFile(1L, "audio", sixteen, MediaMeta("ok.wav", "audio/wav", sixteen.length.toLong)),
+      MediaFile(2L, "audio", floatWav, MediaMeta("f32.wav", "audio/wav", floatWav.length.toLong))))
+    val decoded = audioFeatures(ds).collect()
+    assert(decoded.map(_.media_id).toSeq == Seq(1L))
+  }
+
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("sampleFrames extracts REAL frames from a 3-frame animated GIF") {
+    // 3 frames of 2x2 gray, frame i filled with intensity 40*i
+    val frames = (0 until 3).map { i =>
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 2; x <- 0 until 2) img.getRaster.setSample(x, y, 0, 40 * i)
+      img
+    }
+    val gif = animatedGif(frames)
+    assert(isDecodableVideo(gif))
+
+    val media = asMediaTable(spark, Seq(
+      MediaFile(9L, "video", gif, MediaMeta("anim.gif", "image/gif", gif.length.toLong))))
+    val out = sampleFrames(media, frameSize = 0 /* unused on the real path */, stride = 2)
+      .collect().map(f => f.frame_idx -> f.frame_bytes).toMap
+    assert(out.keySet == Set(0, 2)) // 3 frames, stride 2 keeps 0 and 2
+    // frames round-trip as PNG with the original pixel values
+    out.foreach { case (idx, png) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 2 && img.getHeight == 2)
+      assert(img.getRaster.getSample(0, 0, 0) == 40 * idx,
+        s"frame $idx pixel should be ${40 * idx}")
+    }
+  }
+
   test("sampleFrames slices payload into stride-sampled frames") {
     val media = asMediaTable(spark, Seq(
       fakeMedia(7L, "video", 16, 16, 3, Array.tabulate[Byte](40)(_.toByte))))
