@@ -70,14 +70,14 @@ object TextOps {
     aggregate(transform(tokens(c), t => length(t).cast("long")), lit(0L), (a, x) => a + x)
 
   /** Canonical text normalization (the C4-style cleanup pass): lowercase,
-    * control characters → space, whitespace runs collapsed to one space,
-    * trimmed. Pure per-row projection over the RE2 ∩ Java-regex subset
-    * (`[\\t\\n\\r]`, `[ ]+` — identical semantics both engines), so the
-    * oracle runs the same patterns verbatim and the pass is map-only at
-    * any scale.
+    * C0 control characters (`\x00`–`\x1f`, which covers tab/newline/CR) →
+    * space, whitespace runs collapsed to one space, trimmed. Pure per-row
+    * projection over the RE2 ∩ Java-regex subset (`[\x00-\x1f]`, `[ ]+` —
+    * identical semantics both engines), so the oracle runs the same
+    * patterns verbatim and the pass is map-only at any scale.
     */
   def normalize(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[\\t\\n\\r]", " "), " +", " "))
+    trim(regexp_replace(regexp_replace(lower(c), "[\\x00-\\x1f]", " "), " +", " "))
 
   /** PII patterns, applied in this order: email first (so the phone rule
     * never sees digits inside an address), then NANP-shaped phone

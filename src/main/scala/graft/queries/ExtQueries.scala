@@ -103,8 +103,16 @@ object ExtQueries {
     // ---- LSH recall report: what fraction of TRUE near-dup pairs
     //      (jaccard >= 0.1) the banding surfaces — the number that says
     //      whether the band sizing is safe to ship. One row.
+    //      SAMPLED: exact-jaccard truth runs on a deterministic
+    //      md5-bucket half of the corpus (first hex digit < '8'), so the
+    //      dominant Σdf² cost drops 4× (pairs scale with fraction²)
+    //      while the estimate stays unbiased — band co-membership of a
+    //      pair depends only on that pair's signatures, so
+    //      sample-restricted candidates = full candidates ∩ sample².
+    //      At corpus scale the same estimator runs at fraction ~1e-3.
     "x_lsh_recall" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < lit("8"))
       val truth = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.1)
         .select(col("doc_a"), col("doc_b"))
       // single pass: a left join with a match flag references the truth
@@ -179,21 +187,24 @@ object ExtQueries {
       Similarity.cosineNearDupExact(Tables.embeddings(s, d), "vec_id",
         "embedding", NearDupTau)),
 
-    // ---- embedding-cosine near-dup at scale: sign-bit LSH bands prune
-    //      the pair space, candidates exact-verified (⊆ the exact result)
+    // ---- embedding-cosine near-dup via sign-bit LSH bands: candidates
+    //      from a band equi-join, exact-verified (⊆ the exact result).
+    //      THE SHORT NAME IS THE PRODUCTION SIZING (64 planes, 16-bit
+    //      bands — SEMANTICS.md's sizing rule for real corpora); recall
+    //      on tiny fixtures is low by design (16 matching sign bits per
+    //      band) — that's the quadratic-vs-recall dial.
     "x_embed_neardup_lsh" -> ((s, d) =>
       Similarity.cosineNearDupLsh(Tables.embeddings(s, d), "vec_id",
-        "embedding", NearDupTau, NearDupPlanes, NearDupRowsPerBand, EmbDims)),
-
-    // ---- the SCALE-SIZED banding (64 planes, 16-bit bands — the
-    //      configuration SEMANTICS.md's sizing rule prescribes for real
-    //      corpora, where the demo parameters above degenerate toward
-    //      n²/16 candidates). Oracle-checked with the same generated
-    //      hyperplane literals; recall is lower by design (16 matching
-    //      sign bits per band) — that's the quadratic-vs-recall dial.
-    "x_embed_neardup_lsh_scale" -> ((s, d) =>
-      Similarity.cosineNearDupLsh(Tables.embeddings(s, d), "vec_id",
         "embedding", NearDupTau, nPlanes = 64, rowsPerBand = 16, dims = EmbDims)),
+
+    // ---- the DEMO banding (16 planes, 4-bit bands): high recall on the
+    //      small fixtures, but candidate count degenerates toward n²/16
+    //      past ~10k vectors (measured, SCALE.md) — kept under an
+    //      explicit _demo suffix so nobody benchmarks it as the scale
+    //      path
+    "x_embed_neardup_lsh_demo" -> ((s, d) =>
+      Similarity.cosineNearDupLsh(Tables.embeddings(s, d), "vec_id",
+        "embedding", NearDupTau, NearDupPlanes, NearDupRowsPerBand, EmbDims)),
 
     // ---- deterministic 80/10/10 train/val/test split by md5 bucket
     "x_train_split" -> ((s, d) =>
@@ -780,7 +791,7 @@ object ExtQueries {
         |      || chr(9) || ' extra   run' || chr(9) || chr(9) || ' of  spaces  ' AS t
         |  FROM documents),
         |n AS (SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(t), '[\t\n\r]', ' ', 'g'),
+        |    trim(regexp_replace(regexp_replace(lower(t), '[\x00-\x1f]', ' ', 'g'),
         |                        ' +', ' ', 'g')) AS clean_text
         |  FROM m)
         |SELECT doc_id, clean_text,
@@ -1079,14 +1090,21 @@ object ExtQueries {
          |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
     },
 
-    // truth = the x_jaccard_pairs oracle; candidates = the
-    // x_lsh_candidates oracle; recall = semi-join count ratio
+    // truth = the x_jaccard_pairs oracle restricted to the deterministic
+    // md5-bucket half-sample; candidates = the x_lsh_candidates oracle on
+    // the same sample; recall = semi-join count ratio
     "x_lsh_recall" -> {
       val aggs = (0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
       val bandSelects = (0 until 4).map { b =>
         s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM sig"
       }.mkString("\n  UNION ALL ")
-      s"""WITH $shingleCte,
+      val sampledShingleCte =
+        """docs_s AS (SELECT doc_id, text FROM documents
+          |           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+          |toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs_s),
+          |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+          |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t)""".stripMargin
+      s"""WITH $sampledShingleCte,
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
          |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1168,8 +1186,8 @@ object ExtQueries {
       s"""WITH $annNormCte,
          |${pairCosineSql("nrm a JOIN nrm b ON a.vec_id < b.vec_id")}""".stripMargin,
 
-    // the x_embed_neardup_lsh pair CTEs + the recursive min-label closure
-    // from the text-resolution oracle, in embedding space
+    // the x_embed_neardup_lsh_demo pair CTEs + the recursive min-label
+    // closure from the text-resolution oracle, in embedding space
     "x_semantic_dedup" ->
       s"""WITH RECURSIVE $annNormCte,
          |$signBitBandCtesSql,
@@ -1184,13 +1202,13 @@ object ExtQueries {
          |  SELECT e.src, l.label FROM edges e JOIN lab l ON l.vid = e.dst)
          |SELECT vid AS vec_id, min(label) AS keep_id FROM lab GROUP BY vid""".stripMargin,
 
-    "x_embed_neardup_lsh" ->
+    "x_embed_neardup_lsh_demo" ->
       s"""WITH $annNormCte,
          |$signBitBandCtesSql,
          |${pairCosineSql(
            "cand c JOIN nrm a ON a.vec_id = c.vec_a JOIN nrm b ON b.vec_id = c.vec_b")}""".stripMargin,
 
-    "x_embed_neardup_lsh_scale" ->
+    "x_embed_neardup_lsh" ->
       s"""WITH $annNormCte,
          |${signBitBandCtesSqlFor(64, 16)},
          |${pairCosineSql(
