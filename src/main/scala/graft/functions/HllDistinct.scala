@@ -1,0 +1,175 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic HyperLogLog (Flajolet 2007 estimator, md5-derived hash)
+  * as a mergeable `TypedImperativeAggregate` — the engine's
+  * approx-distinct whose ESTIMATE is bit-reproducible in any engine with
+  * `md5()` and string ops, unlike Spark's built-in
+  * `approx_count_distinct` (whose xxhash64-based HLL++ sketch cannot be
+  * replicated in the DuckDB oracle; reference analog: BigQuery's opaque
+  * `APPROX_COUNT_DISTINCT`).
+  *
+  * Sketch definition (fixed p=8, m=256 registers):
+  *  - h = md5 hex (32 chars) of the value cast to string
+  *  - bucket = first 2 hex chars (= first digest byte)
+  *  - rho = (leading zero BITS of the remaining 30 hex chars) + 1,
+  *    clamped to 31; register keeps the max rho
+  *  - register sum is EXACT integer arithmetic: S = Σ 2^(31 − r_j) over
+  *    all 256 registers (untouched register → 2^31; max S = 2^39, fits a
+  *    Long), so no float-summation order dependence can creep in
+  *  - raw estimate = α_256 · m² · 2^31 / S with
+  *    α_256 = 0.7213 / (1 + 1.079/256), spelled identically in the
+  *    oracle SQL so both engines execute the same IEEE ops in the same
+  *    order
+  *  - low range (raw ≤ 2.5·m, V = zero registers > 0): linear counting
+  *    m·ln(m/V). ln is the one libm call; a floor flip would need
+  *    256·ln(256/V) within an ulp of an integer, and the minimum
+  *    distance over all V ∈ [1,255] is 3.8e-4 (checked exhaustively) —
+  *    13 orders of magnitude of slack.
+  *  - result = floor(estimate) as Long
+  *
+  * Like [[MinHashAgg]], partials combine by element-wise max, so
+  * map-side partial aggregation, shuffle, and final merge behave exactly
+  * like an algebraic aggregate — constant 256-byte state per group at
+  * any scale (the property that makes the sketch viable at 100 TB).
+  *
+  * Accuracy: rsd = 1.04/√m = 6.5% in the raw range; linear counting is
+  * tighter at low cardinality (asserted within 3·rsd in
+  * ApproxDistinctSpec).
+  */
+case class HllDistinct(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  import HllDistinct.M
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_distinct"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val md = MessageDigest.getInstance("MD5")
+    val digest = md.digest(v.asInstanceOf[UTF8String].getBytes)
+    val bucket = digest(0) & 0xff
+    // leading zero bits across digest bytes 1..15 (= hex chars 3..32)
+    var zeros = 0
+    var i = 1
+    var scanning = true
+    while (i < 16 && scanning) {
+      val b = digest(i) & 0xff
+      if (b == 0) zeros += 8
+      else { zeros += Integer.numberOfLeadingZeros(b) - 24; scanning = false }
+      i += 1
+    }
+    val rho = math.min(31, zeros + 1).toByte
+    if (rho > buf(bucket)) buf(bucket) = rho
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = HllDistinct.estimate(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllDistinct =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllDistinct =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HllDistinct =
+    copy(child = newChild)
+}
+
+object HllDistinct {
+  /** Register count (p = 8 bucket bits = the first 2 md5 hex chars). */
+  val M = 256
+
+  /** Estimator over a register array — shared by the aggregate and specs.
+    * Every arithmetic step here has a verbatim twin in [[oracleSqlFor]];
+    * change them together.
+    */
+  def estimate(registers: Array[Byte]): Long = {
+    var s = 0L
+    var present = 0
+    var i = 0
+    while (i < M) {
+      s += 1L << (31 - registers(i))
+      if (registers(i) > 0) present += 1
+      i += 1
+    }
+    val zeroRegs = M - present
+    val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2147483648.0 / s.toDouble
+    val est =
+      if (raw <= 640.0 && zeroRegs > 0) 256.0 * math.log(256.0 / zeroRegs)
+      else raw
+    math.floor(est).toLong
+  }
+
+  /** Aggregate Column: the floored HLL estimate as a Long. The cast to
+    * string fixes the hashed byte representation (bigint → base-10
+    * string in both engines).
+    */
+  def hllDistinct(c: Column): Column =
+    shims.column(HllDistinct(shims.expression(c.cast("string"))).toAggregateExpression())
+
+  /** DuckDB twin of the whole sketch for a grouped approx-distinct:
+    * identical md5-hex bucketing, identical exact-integer register sum,
+    * identical estimator arithmetic. `groupCol` must be null-free (the
+    * LEFT JOIN keeps groups whose values are all NULL at estimate 0,
+    * matching the aggregate's empty buffer).
+    */
+  def oracleSqlFor(table: String, groupCol: String, valueCol: String,
+      resultCol: String): String =
+    s"""WITH h AS (
+       |  SELECT $groupCol, md5(CAST($valueCol AS VARCHAR)) AS hx FROM $table
+       |), r AS (
+       |  SELECT $groupCol, substr(hx, 1, 2) AS bucket,
+       |    MAX(LEAST(31, CASE
+       |      WHEN ltrim(substr(hx, 3), '0') = '' THEN 121
+       |      ELSE 4 * (30 - length(ltrim(substr(hx, 3), '0')))
+       |        + CASE WHEN substr(ltrim(substr(hx, 3), '0'), 1, 1) = '1' THEN 3
+       |               WHEN substr(ltrim(substr(hx, 3), '0'), 1, 1) IN ('2','3') THEN 2
+       |               WHEN substr(ltrim(substr(hx, 3), '0'), 1, 1) IN ('4','5','6','7') THEN 1
+       |               ELSE 0 END
+       |        + 1
+       |      END)) AS rho
+       |  FROM h WHERE hx IS NOT NULL GROUP BY 1, 2
+       |), g AS (
+       |  SELECT DISTINCT $groupCol FROM $table
+       |), s AS (
+       |  SELECT g.$groupCol,
+       |    COALESCE(SUM(CAST(power(2, 31 - r.rho) AS BIGINT)), 0)
+       |      + (256 - COUNT(r.bucket)) * 2147483648 AS s_int,
+       |    256 - COUNT(r.bucket) AS zero_regs
+       |  FROM g LEFT JOIN r ON g.$groupCol = r.$groupCol GROUP BY 1
+       |)
+       |SELECT $groupCol,
+       |  CAST(FLOOR(CASE
+       |    WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2147483648.0 / s_int <= 640.0
+       |         AND zero_regs > 0
+       |      THEN 256.0 * ln(256.0 / zero_regs)
+       |    ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2147483648.0 / s_int
+       |    END) AS BIGINT) AS $resultCol
+       |FROM s""".stripMargin
+}

@@ -211,11 +211,12 @@ object AnalyticsQueries {
           year(col("ts")).cast("bigint").as("year_utc")), "year_utc")
     }),
 
-    // ---- HLL sketch (no oracle: approximation is engine-specific; the
-    //      driver records a rows-only check)
+    // ---- HLL sketch — deterministic md5-based HLL (graft.functions
+    //      .HllDistinct) so the ESTIMATE itself is oracle-checkable,
+    //      not just the row count; constant 256-byte mergeable state
     "x_approx_distinct" -> ((s, d) => {
       Tables.events(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(graft.functions.HllDistinct.hllDistinct(col("user_id")).as("approx_users"))
     }),
 
     // ---- exact interpolated percentiles (rounded binary-deterministically:
@@ -407,6 +408,11 @@ object AnalyticsQueries {
       |  FROM s GROUP BY user_id, session_seq)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+
+    // the full deterministic-HLL sketch replicated in SQL (HllDistinct
+    // .oracleSqlFor) — estimate checked bit-for-bit, not rows-only
+    "x_approx_distinct" -> graft.functions.HllDistinct.oracleSqlFor(
+      "events", "event_type", "user_id", "approx_users"),
 
     "x_zorder" -> graft.functions.ZOrder.zValueSqlOver(
       """(SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS v100,

@@ -6,11 +6,8 @@ class SparkEntrySpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  // approximation sketches are engine-specific — deliberately rows-only
-  private val rowsOnly = Set("x_approx_distinct")
-
-  test("every query has an oracle or is explicitly rows-only") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has an oracle (none are rows-only)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
@@ -25,11 +22,11 @@ class SparkEntrySpec extends SparkSuite {
       // non-chk queries must return rows; chk_* are violation queries (0 = pass)
       val n = df.count()
       // chk_* / j3_* are violation queries (0 = pass);
-      // the scale-banded LSH config (16 matching sign bits per band) has
+      // the production LSH banding (16 matching sign bits per band) has
       // legitimately zero recall on sf0.001's 50 vectors — its oracle
       // twin pins the exact (empty) result instead
       if (!name.startsWith("chk_") && !name.startsWith("j3_") &&
-          name != "x_embed_neardup_lsh_scale")
+          name != "x_embed_neardup_lsh")
         assert(n > 0, s"$name returned no rows")
       assert(df.schema.fields.nonEmpty, s"$name has empty schema")
     }
