@@ -59,6 +59,62 @@ class FixturePageClient extends PageClient {
   }
 }
 
+/** Live HTTP [[PageClient]] over `java.net.http` (JDK built-in, no new
+  * dependency) — the real-transport twin of [[FixturePageClient]],
+  * matching the reference extractor request-for-request
+  * (scripts/extract_measurements.py:66-147):
+  *
+  *  - URL `<path>/<entity>/measurements?page=<p>&limit=<l>` where `path`
+  *    is the API prefix up to the entity collection (the reference's
+  *    `f"{api_url}/sensors/{sensor_id}/measurements"` with
+  *    `path = s"$apiUrl/sensors"`);
+  *  - 15 s timeout (reference `timeout=15`);
+  *  - 404 → [[PageNotFound]] ("no data for this sensor");
+  *  - any other non-2xx, or any connect/read failure → [[PageError]],
+  *    which [[PagedSource]]'s reader turns into the 1×/2×/4× backoff
+  *    micro-retry ladder (reference `time.sleep(2**attempt)`);
+  *  - 2xx → the `results` array of the JSON envelope, one raw-JSON
+  *    string per element (absent/null `results` → empty page, the
+  *    reference's `.get("results", [])`).
+  *
+  * Constructed reflectively on the executor like every client — one
+  * `HttpClient` (connection pool) per task, never serialized.
+  */
+class HttpPageClient extends PageClient {
+  private var base: String = _
+  private var http: java.net.http.HttpClient = _
+
+  override def open(path: String): Unit = {
+    base = path.stripSuffix("/")
+    http = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(15))
+      .build()
+  }
+
+  override def fetch(entity: Long, page: Int, limit: Int): PageResult =
+    try {
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"$base/$entity/measurements?page=$page&limit=$limit"))
+        .timeout(java.time.Duration.ofSeconds(15))
+        .GET().build()
+      val resp = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() match {
+        case 404 => PageNotFound
+        case ok if ok / 100 == 2 =>
+          val envelope = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(resp.body())
+          val results = if (envelope == null) null else envelope.get("results")
+          if (results == null || results.isNull) PageOk(Nil)
+          else PageOk(results.elements().asScala.map(_.toString).toSeq)
+        case status => PageError(s"HTTP $status for entity $entity page $page")
+      }
+    } catch {
+      // connect refused, read timeout, malformed body — all transient to
+      // the retry ladder (the reference catches RequestException the same)
+      case e: Exception => PageError(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+}
+
 /** Dedup-key extraction for the in-flight first-wins dedup: a key spec
   * is comma-separated dot-paths into each JSON record, joined with "-" —
   * `"period.datetimeFrom.utc,value"` reproduces the reference's
