@@ -177,6 +177,60 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic media for the ORACLE-CHECKED feature
+    * queries (x_image_features / x_audio_features): a REAL encoder
+    * (ImageIO PNG) over closed-form parameters derived from an id. The
+    * feature query then runs the REAL decoder over these bytes, and the
+    * DuckDB oracle computes the same features directly from the
+    * closed-form parameters — so an encode→decode round trip that
+    * mangled dimensions, bands, or pixel values would hash-mismatch.
+    *
+    * Image: grayscale (1+id%16)×(1+(id/16)%16), pixel (x,y) =
+    * id%200 + x + y (max 199+30, never wraps). Mean intensity is the
+    * exact integer ratio (w·h·base + h·Σx + w·Σy) / (w·h), identical
+    * IEEE division in both engines.
+    */
+  def synthImage(id: Long): Array[Byte] = {
+    val w = 1 + (id % 16).toInt
+    val h = 1 + ((id / 16) % 16).toInt
+    val base = (id % 200).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.getRaster.setSample(x, y, 0, base + x + y); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Audio twin of [[synthImage]]: 8 kHz mono 16-bit PCM WAV
+    * (AudioSystem's own encoder), 100+(id%50)·10 frames of a ±amp
+    * square wave with amp = 100+id%900 — every sample is ±amp, so
+    * mean |amplitude| is exactly amp and duration is the exact ratio
+    * frames/8000.0 in both engines.
+    */
+  def synthWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val amp = 100 + (id % 900).toInt
+    val frames = 100 + (id % 50).toInt * 10
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bb = ByteBuffer.allocate(frames * 2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < frames) {
+      bb.putShort((if ((i / 25) % 2 == 0) amp else -amp).toShort)
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Wrap raw binaries + metadata into the canonical media schema. */
   def asMediaTable(spark: SparkSession, rows: Seq[MediaFile]): Dataset[MediaFile] = {
     import spark.implicits._

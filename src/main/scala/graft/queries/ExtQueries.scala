@@ -206,6 +206,45 @@ object ExtQueries {
       Similarity.cosineNearDupLsh(Tables.embeddings(s, d), "vec_id",
         "embedding", NearDupTau, NearDupPlanes, NearDupRowsPerBand, EmbDims)),
 
+    // ---- REAL image decode, oracle-checked end-to-end: synthesize
+    //      PNGs from closed-form parameters (Multimodal.synthImage),
+    //      run the actual ImageIO decode, and let the oracle compute
+    //      the same features straight from the parameters — a decode
+    //      path that mangled dims/bands/pixels would hash-mismatch
+    "x_image_features" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val png = graft.ext.Multimodal.synthImage(id)
+            graft.ext.Multimodal.MediaFile(id, "image", png,
+              graft.ext.Multimodal.MediaMeta(s"img_$id.png", "image/png", png.length.toLong))
+          }
+        }
+      graft.ext.Multimodal.imageFeatures(media).toDF()
+        .select(col("media_id"), col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("channels").cast("bigint").as("channels"), col("mean_intensity"))
+    }),
+
+    // ---- REAL WAV decode, same oracle-checked round-trip shape
+    "x_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .mapPartitions(_.map { id =>
+          val wav = graft.ext.Multimodal.synthWav(id)
+          graft.ext.Multimodal.MediaFile(id, "audio", wav,
+            graft.ext.Multimodal.MediaMeta(s"a_$id.wav", "audio/wav", wav.length.toLong))
+        })
+      graft.ext.Multimodal.audioFeatures(media).toDF()
+        .select(col("media_id"), col("sample_rate").cast("bigint").as("sample_rate"),
+          col("channels").cast("bigint").as("channels"), col("n_frames"),
+          col("duration_sec"), col("mean_abs_amplitude"))
+    }),
+
     // ---- deterministic 80/10/10 train/val/test split by md5 bucket
     "x_train_split" -> ((s, d) =>
       Corpus.assignSplit(Tables.documents(s, d).select(col("doc_id")), "doc_id")),
@@ -1131,6 +1170,27 @@ object ExtQueries {
               "CAST((SELECT count(*) FROM hit) AS DOUBLE) / (SELECT count(*) FROM truth)", 4)}
          |  END AS recall""".stripMargin
     },
+
+    // closed-form twins of the synthetic-media parameters; the Spark
+    // side earns these numbers through a real encode→decode round trip
+    "x_image_features" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h,
+        |         doc_id % 200 AS base
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(1 AS BIGINT) AS channels,
+        |  CAST(w * h * base + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2) AS DOUBLE)
+        |    / (w * h) AS mean_intensity
+        |FROM p""".stripMargin,
+
+    "x_audio_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        |  CAST(100 + (doc_id % 50) * 10 AS BIGINT) AS n_frames,
+        |  CAST(100 + (doc_id % 50) * 10 AS DOUBLE) / 8000.0 AS duration_sec,
+        |  CAST(100 + doc_id % 900 AS DOUBLE) AS mean_abs_amplitude
+        |FROM documents WHERE doc_id < 200""".stripMargin,
 
     "x_simhash" -> DedupOps.simhashOracleSql("documents", "doc_id", "text"),
 
