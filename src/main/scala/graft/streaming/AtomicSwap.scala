@@ -59,6 +59,18 @@ object AtomicSwap {
     else if (fs.exists(old)) fs.delete(old, true)
   }
 
+  /** Stamp `target`'s applied-batch marker (used by the partition-scoped
+    * sink, which commits data via dynamic partition overwrite instead of
+    * the full swap; marker goes in AFTER the data so a crash between the
+    * two re-delivers the batch and the idempotent keyed upsert
+    * re-converges).
+    */
+  def writeMarker(fs: FileSystem, target: Path, batchId: Long): Unit = {
+    val out = fs.create(new Path(target, Marker), true)
+    try out.write(batchId.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Write `df` to a staging dir with the batch marker, then swap it in:
     * target → target__old, staging → target, drop old. A readable mart
     * (target or target__old) exists at every step.

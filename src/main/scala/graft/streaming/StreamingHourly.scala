@@ -77,7 +77,8 @@ object StreamingHourly {
     * [[mergeSink]]).
     */
   def availableNowHourlyMart(spark: SparkSession, sfDir: String,
-                             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+                             maxFilesPerTrigger: Option[Int] = None,
+                             partitionedSink: Boolean = true): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_mart").toString
     val mart = s"$work/mart"
     // same nanos-ts handling as Tables.events, stream-side: schema from a
@@ -112,14 +113,20 @@ object StreamingHourly {
         graft.functions.Numeric.scaledAvg(col("value")).as("avg_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("avg_value"))
+    // partition-scoped sink is the default (per-batch cost independent
+    // of mart size — the 100 TB posture); whole-swap kept for callers
+    // needing single-rename atomicity
+    val sink =
+      if (partitionedSink) partitionedMergeSink(mart, Seq("window_start", "event_type")) _
+      else mergeSink(mart, Seq("window_start", "event_type")) _
     val q = agg.writeStream
       .outputMode("update")
       .option("checkpointLocation", s"$work/checkpoint")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch(mergeSink(mart, Seq("window_start", "event_type")) _)
+      .foreachBatch(sink)
       .start()
     q.awaitTermination()
-    spark.read.parquet(mart)
+    spark.read.parquet(mart).drop("__day")
   }
 
   def mergeSink(outPath: String, keys: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
@@ -132,5 +139,50 @@ object StreamingHourly {
       if (fs.exists(target)) Merge.upsert(spark.read.parquet(outPath), batch, keys)
       else batch
     AtomicSwap.commit(merged, outPath, batchId)
+  }
+
+  /** Partition-scoped T2 sink — the scale form of [[mergeSink]], and the
+    * streaming twin of `OpenAqPipeline.refreshMart`: instead of
+    * read-merge-rewriting the WHOLE mart every micro-batch (O(mart) per
+    * batch — the cost that dominates a long-running drain once the mart
+    * outgrows the batches), only the day partitions the batch's windows
+    * actually touch are read (broadcast semi-join on the partition
+    * column → partition pruning keeps the scan to those directories),
+    * merged, and replaced via dynamic partition overwrite. Per-batch
+    * cost is O(batch + touched days), independent of mart size — a
+    * year-long mart with a 2-hour watermark rewrites 1-2 partitions per
+    * batch, not 365.
+    *
+    * Commit contract: data first (localCheckpoint-materialized, since
+    * the merge reads the same path it overwrites), then the
+    * `_applied_batch` marker. Dynamic overwrite is not atomic across
+    * partitions, so a crash mid-write can leave a batch half-applied
+    * with the marker still old — the batch then REPLAYS, and the keyed
+    * upsert re-converges (idempotent: matched keys take the batch's
+    * values, which are the same values on replay). The whole-swap
+    * [[mergeSink]] trades per-batch cost for single-rename atomicity;
+    * at real scale a table format's transactional MERGE provides both.
+    */
+  def partitionedMergeSink(outPath: String, keys: Seq[String],
+                           dayFrom: String = "window_start")
+                          (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val target = new Path(outPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (AtomicSwap.lastAppliedBatchId(fs, target).exists(_ >= batchId)) return
+    val withDay = batch.withColumn("__day", to_date(col(dayFrom)))
+    val merged =
+      if (fs.exists(target)) {
+        val existing = spark.read.parquet(outPath)
+        val touched = withDay.select(col("__day")).distinct()
+        Merge.upsert(
+          existing.join(broadcast(touched), Seq("__day"), "left_semi"),
+          withDay, keys)
+      } else withDay
+    merged.localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__day").parquet(outPath)
+    AtomicSwap.writeMarker(fs, target, batchId)
   }
 }

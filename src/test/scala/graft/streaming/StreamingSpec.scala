@@ -107,6 +107,46 @@ class StreamingSpec extends SparkSuite {
     assert(mart.size == 8) // 4 hours x 2 event types, every part represented
   }
 
+  test("partitionedMergeSink touches only the batch's day partitions; replay is skipped") {
+    val out = Files.createTempDirectory("graft_part_sink").toString + "/mart"
+    def mart(): Set[(java.sql.Timestamp, String, Long)] =
+      spark.read.parquet(out).select("window_start", "key", "n")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    def row(ts: String, k: String, n: Long) =
+      (java.sql.Timestamp.valueOf(ts), k, n)
+    def batchDf(rows: (String, String, Long)*) =
+      rows.toSeq.toDF("w_s", "key", "n")
+        .select(col("w_s").cast("timestamp").as("window_start"), col("key"), col("n"))
+    val sink = StreamingHourly.partitionedMergeSink(out, Seq("window_start", "key")) _
+
+    sink(batchDf(("2026-01-01 05:00:00", "a", 1L), ("2026-01-02 06:00:00", "b", 1L)), 0L)
+    assert(mart() == Set(row("2026-01-01 05:00:00", "a", 1L), row("2026-01-02 06:00:00", "b", 1L)))
+
+    // fingerprint day-1's files, then merge a batch touching only day 2
+    val day1 = new java.io.File(s"$out/__day=2026-01-01")
+    def fingerprint(): Map[String, Long] = day1.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = fingerprint()
+    assert(before.nonEmpty)
+    sink(batchDf(("2026-01-02 06:00:00", "b", 5L), ("2026-01-02 07:00:00", "c", 2L)), 1L)
+    assert(mart() == Set(row("2026-01-01 05:00:00", "a", 1L),
+      row("2026-01-02 06:00:00", "b", 5L), row("2026-01-02 07:00:00", "c", 2L)))
+    // dynamic partition overwrite must not have rewritten the untouched day
+    assert(fingerprint() == before, "untouched day partition was rewritten")
+
+    // replay of an applied batch is a marker-skip no-op
+    sink(batchDf(("2026-01-02 06:00:00", "b", 999L)), 1L)
+    assert(mart().contains(row("2026-01-02 06:00:00", "b", 5L)))
+
+    // crash-shaped replay (marker lost before it was stamped): the keyed
+    // upsert re-converges to the same mart
+    new java.io.File(s"$out/_applied_batch").delete()
+    sink(batchDf(("2026-01-02 06:00:00", "b", 5L), ("2026-01-02 07:00:00", "c", 2L)), 1L)
+    assert(mart() == Set(row("2026-01-01 05:00:00", "a", 1L),
+      row("2026-01-02 06:00:00", "b", 5L), row("2026-01-02 07:00:00", "c", 2L)))
+  }
+
   test("foreachBatch mergeSink upserts micro-batches by key into parquet") {
     val src = Files.createTempDirectory("graft_stream_src2").toString
     val out = Files.createTempDirectory("graft_stream_out").toString + "/mart"
