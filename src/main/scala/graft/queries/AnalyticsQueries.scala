@@ -245,6 +245,21 @@ object AnalyticsQueries {
           Numeric.roundBin(expr("percentile(value, 0.9)"), 3).as("p90_v"))
     }),
 
+    // ---- approximate percentiles over a mergeable bottom-k sample
+    //      (deterministic md5 tags → the sketch itself is oracle-checked;
+    //      bounded 100-entry state per group vs a9's full per-group sort)
+    "x_approx_quantiles" -> ((s, d) => {
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.BottomKSample.bottomK(
+          md5(col("event_id").cast("string")), col("value"), 100).as("sample"))
+        .select(col("event_type"), explode(col("sample")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(Numeric.roundBin(expr("percentile(v, 0.5)"), 3).as("approx_median"),
+          Numeric.roundBin(expr("percentile(v, 0.9)"), 3).as("approx_p90"),
+          count(lit(1)).as("sample_n"))
+    }),
+
     // ---- gap-based sessionization (12h gap): lag-marks + running sum
     "w4_sessionize" -> ((s, d) => {
       graft.ext.Sessionize.sessionStats(Tables.events(s, d),
@@ -413,6 +428,21 @@ object AnalyticsQueries {
     // .oracleSqlFor) — estimate checked bit-for-bit, not rows-only
     "x_approx_distinct" -> graft.functions.HllDistinct.oracleSqlFor(
       "events", "event_type", "user_id", "approx_users"),
+
+    // identical bottom-k sample via a window rank over the same md5 tags
+    // (bottom-k-of-union == union-of-bottom-k, so the mergeable
+    // aggregate selects exactly the rows rn <= k does)
+    "x_approx_quantiles" ->
+      s"""WITH s AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT event_type,
+         |  ${Numeric.roundBinSql("quantile_cont(value, 0.5)", 3)} AS approx_median,
+         |  ${Numeric.roundBinSql("quantile_cont(value, 0.9)", 3)} AS approx_p90,
+         |  count(*) AS sample_n
+         |FROM s WHERE rn <= 100 GROUP BY event_type""".stripMargin,
 
     "x_zorder" -> graft.functions.ZOrder.zValueSqlOver(
       """(SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS v100,
