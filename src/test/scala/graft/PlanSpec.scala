@@ -207,6 +207,21 @@ class PlanSpec extends SparkSuite {
       s"id-set semi-joins should broadcast (a SortMergeJoin here means an extra shuffle):\n$p")
   }
 
+  test("sketch aggregates execute two-phase: map-side partials before the exchange") {
+    // the mergeable-sketch property (bounded state, partial+final) is the
+    // 100 TB design point of HllDistinct/BottomKSample — pin that Spark
+    // actually plans them that way (TypedImperativeAggregate →
+    // ObjectHashAggregate with a partial_ mode upstream of the shuffle)
+    Seq("x_approx_distinct" -> "hll_distinct",
+        "x_approx_quantiles" -> "bottom_k_sample").foreach { case (q, fn) =>
+      val p = planOf(q)
+      assert(countOccurrences(p, "ObjectHashAggregate") >= 2,
+        s"$q: expected partial+final ObjectHashAggregate\n$p")
+      assert(p.contains(s"partial_$fn"),
+        s"$q: no map-side partial for $fn\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot loop)") {
     Seq("q1_agg", "f1_range_filter", "p7_surrogate_key", "a1_hourly_pivot").foreach { q =>
       // AQE hides codegen stages until execution — run, then read the final plan
