@@ -173,6 +173,16 @@ object Similarity {
     val lists = ivfAssign(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         col("cluster_id"), norm2Scaled(col(vecCol)).as("c_n2"))
+    ivfSearch(lists, cents, queries, idCol, vecCol, nProbe, k)
+  }
+
+  /** Probe-and-score stage shared by the in-memory and stored-index IVF
+    * paths: rank each query's cells by centroid distance, keep `nProbe`,
+    * equi-join the (broadcast) probe table against the inverted lists on
+    * cluster_id, exact-score, cosine top-k.
+    */
+  private def ivfSearch(lists: DataFrame, cents: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, nProbe: Int, k: Int): DataFrame = {
     val c = cents.select(col("cluster_id"), col("cvec"),
       norm2Scaled(col("cvec")).as("c_n2s"))
     val probeW = Window.partitionBy(col("query_id"))
@@ -191,6 +201,59 @@ object Similarity {
       .withColumn("cos_sim",
         cosineFromScaled(dotScaled(col("q_vec"), col("c_vec")), col("q_n2"), col("c_n2")))
     topK(scored, k, Seq("query_id", "neighbor_id", "cluster_id", "cos_sim"))
+  }
+
+  /** Materialize the IVF index — the build-once half of the 100 TB
+    * contract ivfTopK's doc describes: the tiny centroid model table
+    * plus the inverted lists written `partitionBy(cluster_id)`, so every
+    * later query batch reads nProbe/nClusters of the corpus FROM DISK
+    * (dynamic partition pruning at the parquet scan), not just in
+    * memory. Precomputed per-vector norms ride along — search never
+    * touches raw vectors it doesn't score.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, iterations: Int, path: String): Unit = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nClusters, iterations)
+      .localCheckpoint(true)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        norm2Scaled(col(vecCol)).as("c_n2"), col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$path/lists")
+  }
+
+  /** Search a stored index ([[writeIvfIndex]]): identical results to
+    * [[ivfTopK]] with the same build parameters, but the k-means build
+    * is amortized across query batches and the broadcast equi-join on
+    * the partition column prunes unprobed cluster directories at the
+    * scan (asserted in IvfStoredSpec).
+    */
+  def ivfTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    nProbe: Int = 2, k: Int = 3): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    // partition-column inference gives cluster_id its original int type;
+    // no projection on top of it — DPP prunes on the bare attribute.
+    // An EMPTY corpus writes zero partition dirs (schema-less layout):
+    // valid state, searched as an empty index, not an error.
+    val lists =
+      try spark.read.parquet(s"$path/lists")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          val st = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("neighbor_id",
+              queries.schema(idCol).dataType),
+            org.apache.spark.sql.types.StructField("c_vec",
+              queries.schema(vecCol).dataType),
+            org.apache.spark.sql.types.StructField("c_n2",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cluster_id",
+              org.apache.spark.sql.types.IntegerType)))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      }
+    ivfSearch(lists, cents, queries, idCol, vecCol, nProbe, k)
   }
 
   // -------------------------------------------- embedding-cosine near-dup

@@ -151,6 +151,21 @@ object ExtQueries {
     //      index itself oracle-checkable), then nProbe-cell search. The
     //      label-bucketed variant below is the precomputed-partition
     //      shape; this one builds its own cells.
+    // ---- the BUILD-ONCE index path: same learned IVF, but centroids +
+    //      inverted lists are materialized partitionBy(cluster_id) and
+    //      the search reads them back with dynamic partition pruning at
+    //      the scan (same result as x_ann_ivf ⇒ same oracle; the
+    //      pruning itself is pinned in IvfStoredSpec)
+    "x_ann_ivf_stored" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+        nClusters = 4, iterations = 2, path = path)
+      Similarity.ivfTopKStored(s, path, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", nProbe = 2, k = 3)
+        .withColumn("cluster_id", col("cluster_id").cast("bigint"))
+    }),
+
     "x_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
@@ -670,6 +685,29 @@ object ExtQueries {
        |  SELECT p.query_id, l.vec_id AS neighbor_id, CAST(l.cluster_id AS BIGINT) AS cluster_id
        |  FROM probe p JOIN lists l ON l.cluster_id = p.cluster_id AND l.vec_id <> p.query_id)""".stripMargin
   }
+
+  /** The learned-IVF oracle (shared by `x_ann_ivf` and
+    * `x_ann_ivf_stored` — the stored-index search is result-identical
+    * to the inline build by construction).
+    */
+  private def annIvfOracleSql: String =
+    s"""WITH $annNormCte,
+       |${ivfCtesSql(4, 2, 2, 3)},
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id, c.cluster_id,
+       |    sum(CAST(floor(CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dot_s,
+       |    max(q.n2) AS q_n2, max(n.n2) AS c_n2
+       |  FROM cand c JOIN nrm q ON q.vec_id = c.query_id
+       |    JOIN nrm n ON n.vec_id = c.neighbor_id,
+       |    LATERAL (SELECT unnest(generate_series(1, len(q.embedding))) AS i) t
+       |  GROUP BY ALL),
+       |cos AS (SELECT query_id, neighbor_id, cluster_id,
+       |    ${Numeric.roundBinSql(
+            s"(CAST(dot_s AS DOUBLE) / $AnnScale) / " +
+            s"(sqrt(CAST(q_n2 AS DOUBLE) / $AnnScale) * sqrt(CAST(c_n2 AS DOUBLE) / $AnnScale))", 6)} AS cos_sim
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cluster_id, cos_sim FROM cos
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= 3""".stripMargin
 
   private def annCosSql(extraJoin: String, extraCol: String, k: Int): String =
     s"""WITH $annNormCte,
@@ -1310,24 +1348,12 @@ object ExtQueries {
          |SELECT * FROM cos
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= 3""".stripMargin,
 
-    "x_ann_ivf" ->
-      s"""WITH $annNormCte,
-         |${ivfCtesSql(4, 2, 2, 3)},
-         |scored AS (
-         |  SELECT c.query_id, c.neighbor_id, c.cluster_id,
-         |    sum(CAST(floor(CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dot_s,
-         |    max(q.n2) AS q_n2, max(n.n2) AS c_n2
-         |  FROM cand c JOIN nrm q ON q.vec_id = c.query_id
-         |    JOIN nrm n ON n.vec_id = c.neighbor_id,
-         |    LATERAL (SELECT unnest(generate_series(1, len(q.embedding))) AS i) t
-         |  GROUP BY ALL),
-         |cos AS (SELECT query_id, neighbor_id, cluster_id,
-         |    ${Numeric.roundBinSql(
-              s"(CAST(dot_s AS DOUBLE) / $AnnScale) / " +
-              s"(sqrt(CAST(q_n2 AS DOUBLE) / $AnnScale) * sqrt(CAST(c_n2 AS DOUBLE) / $AnnScale))", 6)} AS cos_sim
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, cluster_id, cos_sim FROM cos
-         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= 3""".stripMargin,
+    // the stored-index search is result-identical to the inline build by
+    // construction (same deterministic k-means, same probe/score) — one
+    // oracle text serves both keys
+    "x_ann_ivf_stored" -> annIvfOracleSql,
+
+    "x_ann_ivf" -> annIvfOracleSql,
 
     "x_ann_bucketed" -> annCosSql(" AND c.label = q.label", ", c.label AS bucket", 3),
 

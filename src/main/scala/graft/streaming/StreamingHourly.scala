@@ -126,7 +126,15 @@ object StreamingHourly {
       .foreachBatch(sink)
       .start()
     q.awaitTermination()
-    spark.read.parquet(mart).drop("__day")
+    // an all-empty drain leaves no readable partitioned mart (partitionBy
+    // of zero rows writes no files) — a fresh day with no data is a valid
+    // production state, not an error: return the empty aggregation shape
+    try spark.read.parquet(mart).drop("__day")
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], agg.schema)
+    }
   }
 
   def mergeSink(outPath: String, keys: Seq[String])(batch: DataFrame, batchId: Long): Unit = {

@@ -1,0 +1,39 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/** The stored-IVF contract: build-once equals build-inline, and the
+  * search actually prunes unprobed cluster directories at the parquet
+  * scan (the on-disk half of the 100 TB design ivfTopK documents).
+  */
+class IvfStoredSpec extends SparkSuite {
+
+  test("stored-index search returns exactly the in-memory ivfTopK result; scan is DPP-pruned") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("ivf_index").toString
+
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      nClusters = 4, iterations = 2, path = path)
+    // the index is a real layout: one directory per cluster
+    val dirs = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.getName.startsWith("cluster_id=")).map(_.getName).sorted
+    assert(dirs.length == 4, s"expected 4 cluster dirs, got ${dirs.mkString(",")}")
+
+    val stored = Similarity.ivfTopKStored(spark, path, queries,
+      "vec_id", "embedding", nProbe = 2, k = 3)
+    val inline = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      nClusters = 4, iterations = 2, nProbe = 2, k = 3)
+    val s = stored.collect().map(_.toSeq).toSet
+    val i = inline.collect().map(_.toSeq).toSet
+    assert(s == i, s"stored=${s.size} inline=${i.size} differ")
+
+    // dynamic partition pruning: the lists scan carries a runtime filter
+    // on the partition column fed by the broadcast probe side
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"lists scan is not DPP-pruned:\n$plan")
+  }
+}
