@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductScaled, MinHashAgg, MisraGries, WordShingles}
+import graft.functions.{BottomKSample, DotProductScaled, HllDistinct, MinHashAgg, MisraGries, WordShingles}
 
 /** Session extension registering graft's native Catalyst expressions as
   * SQL functions, so the pure-SQL surface (`spark.sql`, thrift/connect
@@ -17,6 +17,13 @@ import graft.functions.{DotProductScaled, MinHashAgg, MisraGries, WordShingles}
   *    shingling ([[graft.functions.WordShingles]])
   *  - `minhash_sig(shingle, k)` — mergeable MinHash sketch aggregate
   *    ([[graft.functions.MinHashAgg]])
+  *  - `misra_gries(item, capacity)` — bounded-state heavy-hitters
+  *    aggregate ([[graft.functions.MisraGries]])
+  *  - `hll_distinct(value)` — deterministic md5-based HyperLogLog
+  *    approx-distinct ([[graft.functions.HllDistinct]]; caller casts the
+  *    value to string to fix the hashed representation)
+  *  - `bottom_k_sample(tag, value, k)` — mergeable uniform sample of
+  *    the k smallest-tagged rows ([[graft.functions.BottomKSample]])
   *
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * (a STATIC conf — it must be set before the SparkContext exists, i.e.
@@ -71,6 +78,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "misra_gries(item, capacity)")
         MisraGries(args(0), intLit(args(1), "capacity"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_distinct"),
+      info(classOf[HllDistinct], "hll_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "hll_distinct(value)")
+        // cast like the Column helper: the sketch hashes the base-10/utf8
+        // string rendering, whatever the input type
+        HllDistinct(org.apache.spark.sql.catalyst.expressions.Cast(
+          args(0), org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bottom_k_sample"),
+      info(classOf[BottomKSample], "bottom_k_sample"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "bottom_k_sample(tag, value, k)")
+        BottomKSample(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args(0), org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args(1), org.apache.spark.sql.types.DoubleType),
+          intLit(args(2), "k"))
       }))
     // optimizer rule: the composable aggregate(zip_with(...)) dot-product
     // spelling rewrites to the codegen'd native expression

@@ -101,6 +101,35 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("hll_distinct from SQL matches the Column API and the exact count at small n") {
+    withExtSession { s =>
+      val r = s.sql(
+        """SELECT hll_distinct(id % 100) AS approx, count(DISTINCT id % 100) AS exact
+          |FROM range(0, 10000)""".stripMargin).collect().head
+      val viaColumn = s.range(0, 10000)
+        .agg(graft.functions.HllDistinct.hllDistinct(
+          org.apache.spark.sql.functions.expr("id % 100")).as("a"))
+        .collect().head.getLong(0)
+      assert(r.getLong(0) == viaColumn)
+      // linear-counting regime: estimate within the 3·rsd spec bound
+      assert(math.abs(r.getLong(0) - r.getLong(1)) <= 20)
+    }
+  }
+
+  test("bottom_k_sample from SQL selects the k smallest-tagged rows") {
+    withExtSession { s =>
+      val sample = s.sql(
+        """SELECT bottom_k_sample(md5(CAST(id AS STRING)), id, 5) AS sm
+          |FROM range(0, 1000)""".stripMargin)
+        .selectExpr("explode(sm) AS v").collect().map(_.getDouble(0)).toSet
+      val expected = s.sql(
+        """SELECT CAST(id AS DOUBLE) AS v FROM range(0, 1000)
+          |ORDER BY md5(CAST(id AS STRING)) LIMIT 5""".stripMargin)
+        .collect().map(_.getDouble(0)).toSet
+      assert(sample == expected)
+    }
+  }
+
   test("misra_gries aggregate from SQL is exact when capacity covers the items") {
     withExtSession { s =>
       val m = s.sql(
