@@ -179,15 +179,17 @@ object StreamingHourly {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (AtomicSwap.lastAppliedBatchId(fs, target).exists(_ >= batchId)) return
     val withDay = batch.withColumn("__day", to_date(col(dayFrom)))
+    // localCheckpoint only when the merge READS the path it overwrites —
+    // the first batch (no mart yet) writes straight through
     val merged =
       if (fs.exists(target)) {
         val existing = spark.read.parquet(outPath)
         val touched = withDay.select(col("__day")).distinct()
         Merge.upsert(
           existing.join(broadcast(touched), Seq("__day"), "left_semi"),
-          withDay, keys)
+          withDay, keys).localCheckpoint(true)
       } else withDay
-    merged.localCheckpoint(true)
+    merged
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__day").parquet(outPath)
