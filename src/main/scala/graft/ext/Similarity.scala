@@ -292,27 +292,18 @@ object Similarity {
     */
   def signBitBands(emb: DataFrame, idCol: String, vecCol: String,
                    planes: Array[Array[Int]], rowsPerBand: Int): DataFrame = {
-    // fail fast on a width mismatch: a null dot would otherwise fall to
-    // the otherwise("0") branch, every row would share one band key, and
-    // the candidate join would silently degenerate to a cross product.
-    // NULL vectors are excluded first, not errors: a null can't be
-    // banded, and excluding matches equi-join semantics (a NULL key
-    // never matches) — the guard is for PRESENT vectors of wrong width.
-    val dims = planes.head.length
-    val guarded = when(size(col(vecCol)) === dims, col(vecCol))
-      .otherwise(raise_error(concat(
-        lit(s"signBitBands: embedding width != hyperplane width $dims (got "),
-        size(col(vecCol)).cast("string"), lit(")"))))
-    val withV = emb.filter(col(vecCol).isNotNull)
-      .select(col(idCol), guarded.as("__v"))
-    val bits = planes.map { p =>
-      val dot = graft.functions.DotProductScaled.dotScaled(
-        col("__v"), typedLit(p.map(_.toFloat).toSeq), BitScale)
-      when(dot >= 0, lit("1")).otherwise(lit("0"))
-    }
-    val bands = bits.grouped(rowsPerBand).map(g => concat(g.toSeq: _*)).toSeq
-    withV.select(col(idCol),
-      posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
+    // One fused expression for all band keys ([[SignBitBandKeys]]): the
+    // per-plane DotProductScaled spelling built a ~4·nPlanes-node tree
+    // with nPlanes·dims literals, whose analysis+codegen dominated the
+    // query (measured 1.6 s/plan at 64×64). Same bits, same guards:
+    // NULL vectors are excluded (a NULL key never equi-joins); a
+    // present-but-wrong-width vector fails the task loudly inside the
+    // expression — silently sharing one band key would degenerate the
+    // candidate join to a cross product.
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), posexplode(graft.functions.SignBitBandKeys.bandKeys(
+        col(vecCol), planes, rowsPerBand, BitScale))
+        .as(Seq("band_idx", "band_key")))
   }
 
   private def scoredPairs(emb: DataFrame, idCol: String, vecCol: String,
