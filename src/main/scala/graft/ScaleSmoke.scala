@@ -67,9 +67,10 @@ object ScaleSmoke {
           (x, p) => (x + p).cast("float")).as("embedding"))
     }.reduce(_ unionByName _)
     embX10.cache(); println(s"vectors: ${embX10.count()}")
-    // scale-sized banding: 64 planes in 4×16-bit bands (the sf-test query's
-    // 16/4 demo parameters give only 16 buckets per band — at 20k vectors
-    // that regenerates ~n²/4 candidate pairs and the verify stage IS the n²)
+    // production banding: 64 planes in 4×16-bit bands — the same sizing
+    // the registered x_embed_neardup_lsh now runs (the 16/4 parameters,
+    // kept as x_embed_neardup_lsh_demo, give only 16 buckets per band —
+    // at 20k vectors that degenerates to ~n²/4 candidate pairs)
     time("embed neardup lsh")(
       println("neardup pairs: " + graft.ext.Similarity.cosineNearDupLsh(
         embX10, "vec_id", "embedding", 0.4, nPlanes = 64, rowsPerBand = 16).count()))
