@@ -245,6 +245,27 @@ object AnalyticsQueries {
           Numeric.roundBin(expr("percentile(value, 0.9)"), 3).as("p90_v"))
     }),
 
+    // ---- skew-safe two-phase aggregation (operators/Skew): salting is
+    //      exact, so the oracle is simply the UNSALTED spelling — the
+    //      integer value column keeps the re-combined sum order-free
+    "x_salted_agg" -> ((s, d) => {
+      graft.operators.Skew.saltedSumCount(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          floor(col("value") * 1000).cast("bigint").as("v_milli")),
+        Seq("event_type"), "v_milli", buckets = 16)
+    }),
+
+    // ---- skew-safe replicated join: per-row salt on the big side, the
+    //      small side exploded across all salt values — exact for inner
+    //      joins, so again the oracle is the direct join
+    "x_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val userStats = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_user_events"))
+      graft.operators.Skew.saltedJoin(
+        ev.select(col("event_id"), col("user_id")), userStats,
+        Seq("user_id"), buckets = 8)
+    }),
+
     // ---- approximate percentiles over a mergeable bottom-k sample
     //      (deterministic md5 tags → the sketch itself is oracle-checked;
     //      bounded 100-entry state per group vs a9's full per-group sort)
@@ -428,6 +449,19 @@ object AnalyticsQueries {
     // .oracleSqlFor) — estimate checked bit-for-bit, not rows-only
     "x_approx_distinct" -> graft.functions.HllDistinct.oracleSqlFor(
       "events", "event_type", "user_id", "approx_users"),
+
+    // salting is physically-only: the oracle is the unsalted spelling
+    // (CAST the sum back: DuckDB sums BIGINT into HUGEINT)
+    "x_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "x_salted_join" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_user_events FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, u.n_user_events
+        |FROM events e JOIN u USING (user_id)""".stripMargin,
 
     // identical bottom-k sample via a window rank over the same md5 tags
     // (bottom-k-of-union == union-of-bottom-k, so the mergeable
