@@ -194,6 +194,13 @@ object CoreQueries {
     "t2_streaming_merge" -> ((s, d) =>
       graft.streaming.StreamingHourly.availableNowHourlyMart(s, d)),
 
+    // ---- streaming first-wins dedup drained end-to-end: the emitted
+    //      columns are only the dedup keys, so the drain's result is the
+    //      distinct key set — hash-checkable regardless of which row won
+    //      first-arrival inside a batch
+    "t3_streaming_dedup" -> ((s, d) =>
+      graft.streaming.StreamingDedup.availableNowDedupKeys(s, d)),
+
     // ---- §7.3 flagship slice: extract → key → dedup → quality gate → hourly agg.
     //      Composed lazily so Catalyst fuses the whole medallion chain
     //      (view-inlining parity, SURVEY §3.2).
@@ -331,6 +338,9 @@ object CoreQueries {
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          | count(*) AS n_events, ${Numeric.scaledAvgSql("value")} AS avg_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "t3_streaming_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "q_pipeline_e2e" ->
       s"""WITH stg AS (

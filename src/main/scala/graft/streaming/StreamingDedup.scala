@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming exact dedup — the streaming form of the batch first-wins
   * dedup (A4/W1): keep the first arrival of each key, across
@@ -21,4 +23,38 @@ object StreamingDedup {
                 watermark: String = "2 hours"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** The whole streaming-dedup chain drained end-to-end (the
+    * `t3_streaming_dedup` driver query): events file-stream →
+    * [[firstWins]] → append-mode parquet sink, `Trigger.AvailableNow`.
+    * The emitted columns are ONLY the dedup keys, so the result is the
+    * distinct key set — oracle-checkable regardless of which physical
+    * row won first-arrival inside a batch. Exact-DISTINCT parity holds
+    * when each key's duplicates land within the watermark of the drain
+    * (trivially true for a single-batch drain, the driver-testdata
+    * shape); keys evicted and re-seen later re-emit by design — that
+    * tail belongs to the batch dedup pass, per the object doc.
+    */
+  def availableNowDedupKeys(spark: SparkSession, sfDir: String,
+                            keys: Seq[String] = Seq("user_id", "event_type")): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    val out = s"$work/keys"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$sfDir/{events.parquet}"
+    val events = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = firstWins(events, keys, "ts")
+      .select(keys.map(col): _*)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$work/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
 }
