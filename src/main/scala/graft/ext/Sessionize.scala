@@ -51,22 +51,40 @@ object Sessionize {
   // ------------------------------------------------------------ streaming
 
   case class Evt(user_id: Long, ts: Timestamp, value: Double)
-  case class SessionState(sessionNo: Long, lastTsMs: Long, startMs: Long, n: Long)
+  case class SessionState(sessionNo: Long, lastTsUs: Long, startUs: Long, n: Long)
   case class SessionOut(user_id: Long, session_seq: Long,
                         session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** MICROSECOND epoch of a Timestamp — `getTime` alone truncates to ms,
+    * and nearly every driver-testdata event carries sub-ms micros: an
+    * ms-precision gap compare can classify a boundary gap differently
+    * than the batch twin's full-precision compare, and ms-truncated
+    * session spans would never hash-match the batch answer.
+    */
+  private def toUs(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Streaming sessionizer: emits a session row whenever a new event's
     * gap closes the previous session; with `ProcessingTimeTimeout`
     * (production default) the final open session flushes when a user
-    * goes quiet. State is O(1) per user. Tests pass `NoTimeout` — the
-    * timeout scheduler keeps a query permanently busy, which never lets
-    * `processAllAvailable` return.
+    * goes quiet. State is O(1) per user; all arithmetic in microsecond
+    * epochs, bit-faithful to the batch twin (oracle query
+    * `t4_streaming_sessionize` hash-checks the closed set against the
+    * batch SQL). Tests pass `NoTimeout` — the timeout scheduler keeps a
+    * query permanently busy, which never lets `processAllAvailable`
+    * return.
     */
   def streamingSessions(events: Dataset[Evt], gapMinutes: Int,
                         timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     val useTimeout = timeout != GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -76,24 +94,57 @@ object Sessionize {
             val s = state.get
             state.remove()
             Iterator.single(SessionOut(user, s.sessionNo,
-              new Timestamp(s.startMs), new Timestamp(s.lastTsMs), s.n))
+              toTs(s.startUs), toTs(s.lastTsUs), s.n))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => toUs(e.ts))
             var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = toUs(e.ts)
               if (st.n == 0L) st = SessionState(1L, t, t, 1L)
-              else if (t - st.lastTsMs > gapMs) {
+              else if (t - st.lastTsUs > gapUs) {
                 closed += SessionOut(user, st.sessionNo,
-                  new Timestamp(st.startMs), new Timestamp(st.lastTsMs), st.n)
+                  toTs(st.startUs), toTs(st.lastTsUs), st.n)
                 st = SessionState(st.sessionNo + 1, t, t, 1L)
-              } else st = st.copy(lastTsMs = t, n = st.n + 1)
+              } else st = st.copy(lastTsUs = t, n = st.n + 1)
             }
             state.update(st)
-            if (useTimeout) state.setTimeoutDuration(gapMs)
+            if (useTimeout) state.setTimeoutDuration(gapUs / 1000L)
             closed.result().iterator
           }
       }
+  }
+
+  /** The streaming sessionize chain drained end-to-end (driver query
+    * `t4_streaming_sessionize`): events file-stream → [[streamingSessions]]
+    * (NoTimeout: a bounded drain has no quiet period) → append parquet
+    * sink. The drain emits exactly the CLOSED sessions — each user's
+    * final session is still open when the source exhausts — so the
+    * oracle is the batch sessionization MINUS the last session per user,
+    * which is precisely the unbounded-stream contract.
+    */
+  def availableNowSessions(spark: SparkSession, sfDir: String,
+                           gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+    val out = s"$work/sessions"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(s"$sfDir/{events.parquet}")
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+      .as[Evt]
+    val q = streamingSessions(events, gapMinutes, GroupStateTimeout.NoTimeout)
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$work/checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
   }
 }

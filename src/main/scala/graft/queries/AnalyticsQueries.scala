@@ -287,6 +287,15 @@ object AnalyticsQueries {
         "user_id", "ts", "event_id", gapMinutes = 720)
     }),
 
+    // ---- the streaming sessionizer drained end-to-end: emits exactly
+    //      the CLOSED sessions (each user's final session is still open
+    //      when a bounded source exhausts), so the oracle is the batch
+    //      sessionization minus the last session per user — session
+    //      membership depends only on the timestamp multiset, so the
+    //      flatMapGroupsWithState path must land on the batch answer
+    "t4_streaming_sessionize" -> ((s, d) =>
+      graft.ext.Sessionize.availableNowSessions(s, d, gapMinutes = 720)),
+
     // ---- backward as-of join: each view matched to the user's latest
     //      at-or-before click within 6h — union+window single-sort plan
     //      (operators/AsOf), NOT a per-key cartesian non-equi join
@@ -721,6 +730,14 @@ object AnalyticsQueries {
     "w4_sessionize" ->
       s"""WITH $sessionsCteSql
          |SELECT * FROM sess""".stripMargin,
+
+    // batch sessions minus each user's last (still-open) session — the
+    // unbounded-stream contract of the drained flatMapGroupsWithState
+    "t4_streaming_sessionize" ->
+      s"""WITH $sessionsCteSql,
+         |last AS (SELECT user_id, max(session_seq) AS mx FROM sess GROUP BY user_id)
+         |SELECT s.user_id, s.session_seq, s.session_start, s.session_end, s.n_events
+         |FROM sess s JOIN last l ON s.user_id = l.user_id AND s.session_seq < l.mx""".stripMargin,
 
     "x_range_join" ->
       s"""WITH $sessionsCteSql
