@@ -59,6 +59,32 @@ object CoreQueries {
           count(lit(1)).as("n_rows"))
     }),
 
+    // ---- TPC-H Q6 shape: tight filtered aggregation — every predicate
+    //      pushes to the scan (pinned in PlanSpec), one partial-agg pass
+    "q6_forecast_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(Numeric.scaledSum(col("l_extendedprice") * col("l_discount"), 4)
+          .as("revenue"))
+    }),
+
+    // ---- TPC-H Q10 shape: returned-item revenue by customer — fact
+    //      filtered first, dims broadcast, one keyed aggregation
+    "q10_returned_items" -> ((s, d) => {
+      val returned = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val orders = Tables(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      returned.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(Numeric.scaledSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+    }),
+
     // ---- P1/P3: JSON scalar extraction + cast (stg_* JSON_VALUE paths)
     "p1_json_extract" -> ((s, d) => {
       Tables.events(s, d).select(
@@ -235,6 +261,23 @@ object CoreQueries {
          | ${Numeric.scaledAvgSql("l_quantity")} AS avg_qty,
          | count(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      s"""SELECT ${Numeric.scaledSumSql("l_extendedprice * l_discount", 4)} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         | ${Numeric.scaledSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+         |GROUP BY c_custkey, c_name, n_name""".stripMargin,
 
     "p1_json_extract" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",

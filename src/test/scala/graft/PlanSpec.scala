@@ -207,6 +207,19 @@ class PlanSpec extends SparkSuite {
       s"id-set semi-joins should broadcast (a SortMergeJoin here means an extra shuffle):\n$p")
   }
 
+  test("q6: every predicate reaches the scan as a pushed filter") {
+    // formatted explain: executedPlan.toString truncates long
+    // PushedFilters lists, hiding exactly what this test checks
+    val p = SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05"),
+      s"discount band not pushed:\n$p")
+    assert(p.contains("LessThan(l_quantity,24"), s"quantity bound not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"date window not pushed:\n$p")
+  }
+
   test("sketch aggregates execute two-phase: map-side partials before the exchange") {
     // the mergeable-sketch property (bounded state, partial+final) is the
     // 100 TB design point of HllDistinct/BottomKSample — pin that Spark
