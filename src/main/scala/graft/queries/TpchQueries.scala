@@ -1,0 +1,501 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Numeric
+
+/** The remaining TPC-H query *shapes* over the driver star schema,
+  * completing the analytic family started in CoreQueries (Q1/Q6/Q10) and
+  * AnalyticsQueries (Q3/Q5/Q14). The testdata has no `partsupp`,
+  * `l_commitdate`, `l_receiptdate` or `l_shipmode`, so shapes that need
+  * them are adapted to equivalent plan structures on available columns
+  * (noted per query) — the point is engine coverage of the *operator
+  * patterns*: correlated scalar subqueries, per-group min/avg
+  * decorrelation, EXISTS / NOT EXISTS self-joins, disjunctive pushdown,
+  * HAVING-driven semi-joins, left-join count distributions, and
+  * scalar-max self-selection.
+  *
+  * Determinism rules (same as the rest of the registry): money sums via
+  * [[Numeric.scaledSum]] (order-independent integer accumulation),
+  * ratios via [[Numeric.roundBin]], and any float compared against a
+  * computed threshold is first snapped to integer cents — so DuckDB and
+  * Spark agree bit-for-bit at any parallelism.
+  */
+object TpchQueries {
+
+  private def rev: org.apache.spark.sql.Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Q2 shape: per-group minimum selection (min-cost supplier).
+    //      partsupp stands in as DISTINCT (l_partkey, l_suppkey) from
+    //      lineitem; "cost" proxy = s_acctbal. The correlated
+    //      min-subquery decorrelates to a window min over p_partkey —
+    //      one shuffle, no self-join.
+    "q2_min_supplier" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val parts = Tables.part(s, d)
+        .filter(col("p_type") === "LARGE" && col("p_size") <= 15)
+        .select(col("p_partkey"), col("p_name"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val cand = ps
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      cand
+        .withColumn("min_bal", min(col("s_acctbal")).over(Window.partitionBy(col("p_partkey"))))
+        .filter(col("s_acctbal") === col("min_bal"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"))
+    }),
+
+    // ---- Q4 shape: EXISTS → left-semi with a non-equi conjunct (the
+    //      late-line predicate l_shipdate > o_orderdate rides inside the
+    //      semi-join condition; returnflag 'R' stands in for
+    //      commitdate < receiptdate).
+    "q4_priority_exists" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val late = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(late,
+          ord("o_orderkey") === late("l_orderkey") &&
+            late("l_shipdate") > ord("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // ---- Q7 shape: volume shipping between two nations, both
+    //      directions — fact joins keyed on the fact, nation names via
+    //      broadcast dims on both the customer and supplier legs.
+    "q7_volume_shipping" -> ((s, d) => {
+      val custN = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name").isin("NATION_1", "NATION_2"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val suppN = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name").isin("NATION_1", "NATION_2"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("cust_nation") =!= col("supp_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(Numeric.scaledSum(rev, 4).as("revenue"))
+    }),
+
+    // ---- Q8 shape: national market share — two conditional scaled sums
+    //      in one agg, ratio rounded binary-deterministically.
+    "q8_market_share" -> ((s, d) => {
+      val custAsia = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppN = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(
+          Numeric.scaledSum(when(col("supp_nation") === "NATION_2", rev)
+            .otherwise(lit(0.0)), 4).as("nation_rev"),
+          Numeric.scaledSum(rev, 4).as("total_rev"))
+        .select(col("o_year"),
+          Numeric.roundBin(col("nation_rev") / col("total_rev"), 6).as("mkt_share"))
+    }),
+
+    // ---- Q9 shape: product-type profit by nation and year. supplycost
+    //      proxy = p_retailprice·l_quantity (no partsupp); parts chosen by
+    //      name substring like the original's LIKE '%green%'.
+    "q9_product_profit" -> ((s, d) => {
+      val parts = Tables.part(s, d).filter(col("p_name").contains("gear"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val suppN = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(Numeric.scaledSum(rev - col("p_retailprice") * col("l_quantity"), 4)
+          .as("sum_profit"))
+    }),
+
+    // ---- Q12 shape: late-shipment priority counts. "late" = shipped
+    //      more than 90 days after order date (no commit/receipt dates);
+    //      l_linestatus stands in for l_shipmode as the grouping column.
+    "q12_late_priority" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"),
+            col("l_linestatus")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+    }),
+
+    // ---- Q13 shape: customer order-count distribution — left outer join
+    //      with an extra join-side predicate, two stacked aggregations.
+    "q13_order_distribution" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // ---- Q15 shape: top supplier by revenue — the scalar-max
+    //      self-selection rides the established 1-row broadcast crossJoin
+    //      (no collect); equality on the exact scaled sum is safe.
+    "q15_top_supplier" -> ((s, d) => {
+      val revenue = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(Numeric.scaledSum(rev, 4).as("total_revenue"))
+      val top = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+      Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+        .join(broadcast(revenue), col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(top))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // ---- Q17 shape: small-quantity orders vs the per-part average — the
+    //      correlated AVG decorrelates to a per-part aggregate joined
+    //      back (broadcast: the filtered part list is tiny). avg of
+    //      integral quantities is exact → the 0.2·avg threshold is
+    //      bit-identical cross-engine.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val perPart = li.groupBy(col("l_partkey").as("pp_key"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(broadcast(perPart), col("l_partkey") === col("pp_key"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(Numeric.roundBin(Numeric.scaledSum(col("l_extendedprice"), 4) / lit(7.0), 2)
+          .as("avg_yearly"))
+    }),
+
+    // ---- Q18 shape: large-volume orders — HAVING on a fact aggregate,
+    //      then the small qualifying set broadcast back onto orders and
+    //      customers (the fact table is never reshuffled).
+    "q18_large_volume" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+    }),
+
+    // ---- Q19 shape: disjunctive brand/size/quantity predicate — the
+    //      OR-of-ANDs stays a single filter over one broadcast join so
+    //      Catalyst can factor the common p_partkey conjunct.
+    "q19_disjunctive_filter" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(Numeric.scaledSum(rev, 4).as("revenue"))
+    }),
+
+    // ---- Q20 shape: suppliers dominating a part's shipped volume — the
+    //      availqty>½·shipped predicate becomes share-of-part > 0.15 via
+    //      a window total (one shuffle), then a semi-join into supplier.
+    "q20_dominant_supplier" -> ((s, d) => {
+      val parts = Tables.part(s, d).filter(col("p_name").startsWith("small"))
+        .select(col("p_partkey"))
+      val sp = Tables.lineitem(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val dominant = sp
+        .withColumn("part_qty", sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("qty") > lit(0.15) * col("part_qty"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // ---- Q21 shape: EXISTS + NOT EXISTS self-joins on the fact table —
+    //      suppliers solely responsible for a returned line on completed
+    //      multi-supplier orders ('R' stands in for receipt>commit). All
+    //      three lineitem legs shuffle on l_orderkey (co-partitioned).
+    "q21_waiting_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val othersR = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      l1.join(others, l1("l_orderkey") === others("o2") &&
+          l1("l_suppkey") =!= others("s2"), "left_semi")
+        .join(othersR, l1("l_orderkey") === othersR("o3") &&
+          l1("l_suppkey") =!= othersR("s3"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // ---- Q22 shape: above-average dormant accounts — global scalar AVG
+    //      as a 1-row broadcast, NOT EXISTS as an anti-join against the
+    //      recent-order key set; balances compared in exact integer cents
+    //      so the threshold is engine-independent.
+    "q22_dormant_customers" -> ((s, d) => {
+      val seg = Tables.customer(s, d)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+        .withColumn("bal_cents", floor(col("c_acctbal") * 100 + lit(0.5)))
+      val avgBal = seg.filter(col("c_acctbal") > 0)
+        .agg(avg(col("bal_cents")).as("avg_cents"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      seg.crossJoin(broadcast(avgBal))
+        .filter(col("bal_cents") > col("avg_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          Numeric.scaledSum(col("c_acctbal"), 2).as("totacctbal"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q2_min_supplier" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |cand AS (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |  FROM ps
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_type = 'LARGE' AND p_size <= 15 AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name FROM cand
+        |QUALIFY s_acctbal = min(s_acctbal) OVER (PARTITION BY p_partkey)""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate
+        |                AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q7_volume_shipping" ->
+      s"""SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  ${Numeric.scaledSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+         |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+         |  AND n1.n_name <> n2.n_name
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      s"""SELECT o_year, ${Numeric.roundBinSql("nation_rev / total_rev", 6)} AS mkt_share
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    ${Numeric.scaledSumSql(
+              "CASE WHEN n2.n_name = 'NATION_2' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 4)} AS nation_rev,
+         |    ${Numeric.scaledSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS total_rev
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE p_type = 'PROMO'
+         |    AND EXISTS (
+         |      SELECT 1 FROM customer
+         |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |      JOIN region ON n1.n_regionkey = r_regionkey
+         |      WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+         |  GROUP BY 1)""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${Numeric.scaledSumSql(
+            "l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity", 4)} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_linestatus""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM co GROUP BY c_count""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    ${Numeric.scaledSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'),
+         |pp AS (SELECT l_partkey AS pp_key, avg(l_quantity) AS avg_qty
+         |       FROM li GROUP BY l_partkey)
+         |SELECT ${Numeric.roundBinSql(
+            Numeric.scaledSumSql("l_extendedprice", 4) + " / 7.0", 2)} AS avg_yearly
+         |FROM li JOIN pp ON l_partkey = pp_key
+         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q18_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250.0)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q19_disjunctive_filter" ->
+      s"""SELECT ${Numeric.scaledSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q20_dominant_supplier" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, qty,
+        |      sum(qty) OVER (PARTITION BY l_partkey) AS part_qty
+        |    FROM sp)
+        |  WHERE qty > 0.15 * part_qty)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name""".stripMargin,
+
+    "q22_dormant_customers" ->
+      s"""WITH seg AS (
+         |  SELECT c_custkey, c_mktsegment, c_acctbal,
+         |    floor(c_acctbal * 100 + 0.5) AS bal_cents
+         |  FROM customer
+         |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')),
+         |a AS (SELECT avg(bal_cents) AS avg_cents FROM seg WHERE c_acctbal > 0)
+         |SELECT c_mktsegment, count(*) AS numcust,
+         |  ${Numeric.scaledSumSql("c_acctbal", 2)} AS totacctbal
+         |FROM seg, a
+         |WHERE bal_cents > avg_cents
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+         |GROUP BY c_mktsegment""".stripMargin
+  )
+}
