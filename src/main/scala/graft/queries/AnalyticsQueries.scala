@@ -77,6 +77,19 @@ object AnalyticsQueries {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
     }),
 
+    // ---- explicit GROUPING SETS (the general form rollup/cube are
+    //      sugar for): per-flag, per-(flag,status), and grand total in
+    //      one Expand + single agg shuffle
+    "a13_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")),
+            Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+    }),
+
     // ---- INTERSECT / EXCEPT
     "u2_intersect" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -609,6 +622,11 @@ object AnalyticsQueries {
     "a10_cube" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "a13_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())""".stripMargin,
 
     "u2_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Bpe
+
+/** Text-mining additions to the training-data family: BPE training
+  * statistics and corpus-frequency familiarity scoring. The iterative
+  * BPE merge loop itself is driver-coordinated (Bpe.train, BpeSpec);
+  * what is registered here are its set-oriented stages, which have
+  * exact DuckDB twins.
+  */
+object MiningQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- round-1 BPE statistics: corpus → word frequencies (the one
+    //      corpus-sized shuffle) → weighted adjacent-pair counts over
+    //      the bounded vocab table
+    "x_bpe_pair_counts" -> ((s, d) =>
+      Bpe.pairCounts(Bpe.wordFrequencies(Tables.documents(s, d), "text"))),
+
+    // ---- n-gram familiarity: score each document by how common its
+    //      character trigrams are in the corpus — a perplexity-proxy
+    //      quality signal with exact integer arithmetic (no logs → no
+    //      cross-engine float drift). Two aggregations plus one join;
+    //      the trigram-frequency table is bounded by the alphabet
+    //      (≤ ~1M entries for text), so it broadcasts at any corpus
+    //      scale — the per-doc side never shuffles for the join.
+    "x_ngram_familiarity" -> ((s, d) => {
+      val tg = Tables.documents(s, d)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("t"))
+      val counts = tg.groupBy(col("t")).agg(count(lit(1)).as("tc"))
+      tg.join(broadcast(counts), "t")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tc")).as("familiarity"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x_bpe_pair_counts" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |p AS (
+        |  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(word) - 1)) AS i) t
+        |  WHERE len(word) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM p GROUP BY pair""".stripMargin,
+
+    "x_ngram_familiarity" ->
+      """WITH tg AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS t
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS i) u
+        |  WHERE len(text) >= 3),
+        |c AS (SELECT t, count(*) AS tc FROM tg GROUP BY t)
+        |SELECT doc_id, CAST(sum(tc) AS BIGINT) AS familiarity
+        |FROM tg JOIN c USING (t) GROUP BY doc_id""".stripMargin
+  )
+}
