@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BottomKSample, DotProductScaled, HllDistinct, MinHashAgg, MisraGries, WordShingles}
+import graft.functions.{BottomKSample, CharNgrams, DotProductScaled, HllDistinct, MinHashAgg, MisraGries, WordShingles}
 
 /** Session extension registering graft's native Catalyst expressions as
   * SQL functions, so the pure-SQL surface (`spark.sql`, thrift/connect
@@ -64,6 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_shingles(text, n[, distinct])")
         val distinct = args.length == 3 && lit[Boolean](args(2), "distinct")
         WordShingles(args(0), intLit(args(1), "n"), distinct)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      info(classOf[CharNgrams], "char_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "char_ngrams(text, n)")
+        CharNgrams(args(0), intLit(args(1), "n"))
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),

@@ -260,6 +260,24 @@ object ExtQueries {
           col("duration_sec"), col("mean_abs_amplitude"))
     }),
 
+    // ---- REAL ISO-BMFF container parse (in-house muxer → real box
+    //      walker), same oracle-checked round-trip shape as image/audio
+    "x_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .mapPartitions(_.map { id =>
+          val mp4 = graft.ext.Multimodal.synthMp4(id)
+          graft.ext.Multimodal.MediaFile(id, "video", mp4,
+            graft.ext.Multimodal.MediaMeta(s"v_$id.mp4", "video/mp4", mp4.length.toLong))
+        })
+      graft.ext.Multimodal.videoMeta(media).toDF()
+        .select(col("media_id"), col("brand"), col("duration_sec"),
+          col("timescale"), col("n_tracks").cast("bigint").as("n_tracks"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"))
+    }),
+
     // ---- deterministic 80/10/10 train/val/test split by md5 bucket
     "x_train_split" -> ((s, d) =>
       Corpus.assignSplit(Tables.documents(s, d).select(col("doc_id")), "doc_id")),
@@ -1228,6 +1246,15 @@ object ExtQueries {
         |  CAST(100 + (doc_id % 50) * 10 AS BIGINT) AS n_frames,
         |  CAST(100 + (doc_id % 50) * 10 AS DOUBLE) / 8000.0 AS duration_sec,
         |  CAST(100 + doc_id % 900 AS DOUBLE) AS mean_abs_amplitude
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    "x_video_meta" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand,
+        |  CAST(2000 + (doc_id % 100) * 500 AS DOUBLE) / 1000.0 AS duration_sec,
+        |  CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+        |  CAST(160 + (doc_id % 8) * 16 AS BIGINT) AS width,
+        |  CAST(90 + ((doc_id // 8) % 8) * 18 AS BIGINT) AS height
         |FROM documents WHERE doc_id < 200""".stripMargin,
 
     "x_simhash" -> DedupOps.simhashOracleSql("documents", "doc_id", "text"),

@@ -30,15 +30,29 @@ object MiningQueries {
     //      (≤ ~1M entries for text), so it broadcasts at any corpus
     //      scale — the per-doc side never shuffles for the join.
     "x_ngram_familiarity" -> ((s, d) => {
-      val tg = Tables.documents(s, d)
+      // per-doc trigram multiplicities first: trigrams repeat heavily
+      // inside a document, so the partial (map-side) aggregation absorbs
+      // the explode before anything shuffles — and the exploded stream is
+      // consumed ONCE (a shared `tg` feeding both an agg and a join would
+      // recompute it). familiarity = Σ_t n_doc(t)·tc(t) ≡ the
+      // per-occurrence sum, with far fewer joined rows.
+      // char_ngrams is the native single-pass expression — the HOF
+      // substr spelling is O(len²) per document (see CharNgrams doc)
+      val perDoc = Tables.documents(s, d)
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3)))).as("t"))
-      val counts = tg.groupBy(col("t")).agg(count(lit(1)).as("tc"))
-      tg.join(broadcast(counts), "t")
+        .select(col("doc_id"),
+          explode(graft.functions.CharNgrams.charNgrams(col("text"), 3)).as("t"))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("n"))
+      // perDoc feeds two branches; the counts branch collapses to the
+      // bounded trigram vocab right away, so recomputing the explode for
+      // it is cheaper than materializing the intermediate (measured: a
+      // localCheckpoint here costs more than both passes). At warehouse
+      // scale `counts` is a persisted corpus-stats artifact, not inline.
+      val counts = perDoc.groupBy(col("t")).agg(sum(col("n")).as("tc"))
+      perDoc.join(broadcast(counts), "t")
         .groupBy(col("doc_id"))
-        .agg(sum(col("tc")).as("familiarity"))
+        .agg(sum(col("n") * col("tc")).as("familiarity"))
     })
   )
 

@@ -37,18 +37,23 @@ object TpchQueries {
     //      min-subquery decorrelates to a window min over p_partkey —
     //      one shuffle, no self-join.
     "q2_min_supplier" -> ((s, d) => {
-      val ps = Tables.lineitem(s, d)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
       val parts = Tables.part(s, d)
         .filter(col("p_type") === "LARGE" && col("p_size") <= 15)
         .select(col("p_partkey"), col("p_name"))
+      // broadcast-prune the fact to the selected parts BEFORE the
+      // distinct: the dedup shuffle then carries ~5% of lineitem, not
+      // all of it — the ordering that matters at 100 TB
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("p_partkey"), col("p_name"))
+        .distinct()
       val supp = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
       val cand = ps
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       cand
         .withColumn("min_bal", min(col("s_acctbal")).over(Window.partitionBy(col("p_partkey"))))

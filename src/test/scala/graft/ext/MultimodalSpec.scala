@@ -178,6 +178,57 @@ class MultimodalSpec extends SparkSuite {
     assert(r.getAs[Long]("size_bytes") == 15L)
   }
 
+  test("parseMp4Meta round-trips the in-house muxer: brand, timing, tracks, dims") {
+    // even id → 1 track, odd id → 2 (second is audio-shaped 0×0)
+    for (id <- Seq(0L, 7L, 42L, 199L)) {
+      val (brand, ts, dur, n, w, h) = parseMp4Meta(synthMp4(id))
+      assert(brand == "isom" && ts == 1000L)
+      assert(dur == 2000L + (id % 100) * 500)
+      assert(n == 1 + (id % 2).toInt)
+      assert(w == 160 + (id % 8).toInt * 16)
+      assert(h == 90 + ((id / 8) % 8).toInt * 18)
+    }
+  }
+
+  test("parseMp4Meta handles version-1 (64-bit) mvhd boxes") {
+    // hand-build: ftyp + moov(mvhd v1) — times/duration are 64-bit
+    def box(tpe: String, p: Array[Byte]) =
+      ByteBuffer.allocate(8 + p.length).putInt(8 + p.length)
+        .put(tpe.getBytes("ISO-8859-1")).put(p).array()
+    val mvhd = {
+      val b = ByteBuffer.allocate(112)
+      b.putInt(0x01000000) // version 1
+      b.putLong(0).putLong(0) // 64-bit creation/modification
+      b.putInt(90000).putLong(450000L) // timescale, 64-bit duration
+      box("mvhd", b.array())
+    }
+    val ftyp = box("ftyp", "mp42".getBytes("ISO-8859-1") ++ Array.fill[Byte](4)(0))
+    val (brand, ts, dur, n, _, _) = parseMp4Meta(ftyp ++ box("moov", mvhd))
+    assert(brand == "mp42" && ts == 90000L && dur == 450000L && n == 0)
+  }
+
+  test("parseMp4Meta fails loudly on malformed box sizes") {
+    val good = synthMp4(3L)
+    val bad = good.clone()
+    // corrupt the moov box size to overrun the file
+    val moovOff = 16 // ftyp is 16 bytes in the synthetic layout
+    ByteBuffer.wrap(bad).putInt(moovOff, Int.MaxValue)
+    intercept[IllegalArgumentException](parseMp4Meta(bad))
+    intercept[IllegalArgumentException](parseMp4Meta(Array[Byte](1, 2, 3)))
+  }
+
+  test("videoMeta extracts container metadata distributed, skips non-BMFF rows") {
+    val rows = (0L to 9L).map { id =>
+      MediaFile(id, "video", synthMp4(id),
+        MediaMeta(s"v_$id.mp4", "video/mp4", 0L))
+    } :+ fakeMedia(99L, "blob", 1, 1, 1, Array[Byte](9, 9))
+    val got = videoMeta(spark.createDataset(rows)).collect()
+      .map(v => v.media_id -> v).toMap
+    assert(got.size == 10 && !got.contains(99L))
+    assert(got(5L).n_tracks == 2 && got(4L).n_tracks == 1)
+    assert(got(3L).duration_sec == 3.5 && got(3L).width == 208)
+  }
+
   test("decode stub fails loudly on truncated payloads") {
     intercept[IllegalArgumentException] {
       Multimodal.decodeHeaderStub(Array[Byte](1, 2, 3))
