@@ -85,12 +85,12 @@ object TpchQueries {
     "q7_volume_shipping" -> ((s, d) => {
       val custN = Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)
-            .filter(col("n_name").isin("NATION_1", "NATION_2"))),
+            .filter(col("n_name").isin("NATION_3", "NATION_8"))),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name").as("cust_nation"))
       val suppN = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)
-            .filter(col("n_name").isin("NATION_1", "NATION_2"))),
+            .filter(col("n_name").isin("NATION_3", "NATION_8"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("supp_nation"))
       Tables.lineitem(s, d)
@@ -357,8 +357,8 @@ object TpchQueries {
          |JOIN nation n1 ON c_nationkey = n1.n_nationkey
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation n2 ON s_nationkey = n2.n_nationkey
-         |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-         |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+         |WHERE n1.n_name IN ('NATION_3', 'NATION_8')
+         |  AND n2.n_name IN ('NATION_3', 'NATION_8')
          |  AND n1.n_name <> n2.n_name
          |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
