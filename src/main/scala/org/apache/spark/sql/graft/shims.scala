@@ -34,4 +34,11 @@ object shims {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Drain the async listener bus so task-end events posted by a just-
+    * finished action are visible to listeners (`listenerBus` is
+    * `private[spark]`). Used by QueryMetrics to scope measurements.
+    */
+  def waitForListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty(30000)
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Measured shuffle budgets — the volume twin of PlanSpec's shape pins.
+  * A plan with the right number of Exchanges can still move the whole
+  * table through them; these tests assert how many BYTES/ROWS actually
+  * crossed a shuffle boundary, via QueryMetrics' task-metrics listener.
+  * Data quantities are deterministic (same inputs, same partitioning),
+  * so thresholds are tight-ish; wall time is never asserted.
+  */
+class ShuffleBudgetSpec extends SparkSuite {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("q2: the dedup shuffle carries the part-pruned slice, not all of lineitem") {
+    val m = QueryMetrics.measure(
+      SparkEntry.queries("q2_min_supplier")(spark, sf001))()
+    // lineitem sf0.01 has ~60k rows; the 92 selected parts cover ~5%.
+    // the only shuffles are the pruned distinct + tiny window/AQE reads:
+    // rows crossing a shuffle must be a small fraction of the table
+    assert(m.shuffleRecordsWritten > 0, "expected the dedup shuffle to exist")
+    assert(m.shuffleRecordsWritten < 12000,
+      s"dedup shuffle carries ${m.shuffleRecordsWritten} rows — the part " +
+        "filter is no longer below the distinct")
+  }
+
+  test("j1: broadcast dims mean the fact never crosses a shuffle") {
+    val m = QueryMetrics.measure(
+      SparkEntry.queries("j1_enrich_left_join")(spark, sf001))()
+    assert(m.shuffleRecordsWritten == 0,
+      s"broadcast-join query shuffled ${m.shuffleRecordsWritten} rows")
+  }
+
+  test("q1_agg: map-side combine collapses the shuffle to group cardinality") {
+    val m = QueryMetrics.measure(SparkEntry.queries("q1_agg")(spark, sf001))()
+    // partial aggregation emits one row per (group × map task), far
+    // below table size (60k rows; groups ≈ 6)
+    assert(m.shuffleRecordsWritten > 0 && m.shuffleRecordsWritten < 600,
+      s"partial agg emitted ${m.shuffleRecordsWritten} rows pre-shuffle")
+  }
+
+  test("x_corpus_e2e: the fused chain stays within its two-shuffle byte budget") {
+    val docs = Tables.documents(spark, sf001)
+    val docBytes = QueryMetrics.measure(docs)().inputBytesRead
+    val m = QueryMetrics.measure(SparkEntry.queries("x_corpus_e2e")(spark, sf001))()
+    // two hash shuffles over (gated, redacted) docs — shuffle volume is
+    // bounded by a small multiple of the input, never a pair explosion
+    assert(m.shuffleBytesWritten < 6 * docBytes,
+      s"e2e chain shuffled ${m.shuffleBytesWritten} bytes for $docBytes input")
+    assert(m.spillBytes == 0, s"e2e chain spilled ${m.spillBytes} bytes at sf0.01")
+  }
+}
