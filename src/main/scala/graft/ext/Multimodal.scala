@@ -281,6 +281,65 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize (nearest-neighbor): decode, sample
+    * out(x, y, b) = in(⌊x·sw/w⌋, ⌊y·sh/h⌋, b), re-encode as PNG.
+    * Nearest-neighbor deliberately, not Graphics2D interpolation: the
+    * mapping is exact integer arithmetic, so resized features are
+    * closed-form predictable (oracle-checkable end to end) and
+    * bit-identical on any JVM — interpolated scaling is neither. The
+    * standard thumbnail/normalize stage of a multimodal training
+    * pipeline; runs inside the same mapPartitions decode stage.
+    */
+  def resizeImage(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW > 0 && outH > 0, s"bad target size ${outW}x$outH")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"image-sniffed payload failed to decode (${bytes.length} bytes)")
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val out = new java.awt.image.BufferedImage(outW, outH, img.getType match {
+      case 0 => java.awt.image.BufferedImage.TYPE_INT_RGB // custom → normalize
+      case t => t
+    })
+    val src = img.getRaster
+    val dst = out.getRaster
+    val bands = math.min(src.getNumBands, dst.getNumBands)
+    var y = 0
+    while (y < outH) {
+      val sy = y.toLong * sh / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x.toLong * sw / outW
+        var b = 0
+        while (b < bands) {
+          dst.setSample(x, y, b, src.getSample(sx.toInt, sy.toInt, b))
+          b += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Resize every decodable image in a media table — the batch stage:
+    * same per-partition codec setup, content column replaced by the
+    * thumbnail, non-images passed through untouched.
+    */
+  def resizeImages(ds: Dataset[MediaFile], outW: Int, outH: Int): Dataset[MediaFile] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        if (isDecodableImage(m.content)) {
+          val resized = resizeImage(m.content, outW, outH)
+          m.copy(content = resized,
+            meta = m.meta.copy(size_bytes = resized.length.toLong))
+        } else m
+      }
+    }
+  }
+
   /** ISO-BMFF (MP4/MOV-family) sniff: a top-level `ftyp` box at offset 4. */
   def isIsoBmff(bytes: Array[Byte]): Boolean =
     bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&

@@ -260,6 +260,28 @@ object ExtQueries {
           col("duration_sec"), col("mean_abs_amplitude"))
     }),
 
+    // ---- REAL nearest-neighbor resize → decode → features: the mapping
+    //      out(x,y)=in(⌊x·sw/8⌋,⌊y·sh/8⌋) is exact integer arithmetic,
+    //      so the resized mean intensity is closed-form in the oracle
+    "x_image_resize" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val png = graft.ext.Multimodal.synthImage(id)
+            graft.ext.Multimodal.MediaFile(id, "image", png,
+              graft.ext.Multimodal.MediaMeta(s"img_$id.png", "image/png", png.length.toLong))
+          }
+        }
+      graft.ext.Multimodal.imageFeatures(
+          graft.ext.Multimodal.resizeImages(media, 8, 8)).toDF()
+        .select(col("media_id"), col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("channels").cast("bigint").as("channels"), col("mean_intensity"))
+    }),
+
     // ---- REAL ISO-BMFF container parse (in-house muxer → real box
     //      walker), same oracle-checked round-trip shape as image/audio
     "x_video_meta" -> ((s, d) => {
@@ -1247,6 +1269,26 @@ object ExtQueries {
         |  CAST(100 + (doc_id % 50) * 10 AS DOUBLE) / 8000.0 AS duration_sec,
         |  CAST(100 + doc_id % 900 AS DOUBLE) AS mean_abs_amplitude
         |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    // resized pixel (x,y) = base + ⌊x·w/8⌋ + ⌊y·h/8⌋; the mean over the
+    // 8×8 grid separates into row/column floor sums — exact integers,
+    // one final IEEE division, mirroring decodeImage's sum/(w·h)
+    "x_image_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h,
+        |         doc_id % 200 AS base
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (
+        |  SELECT doc_id, base,
+        |    (SELECT sum((k * w) // 8)
+        |     FROM (SELECT unnest(generate_series(0, 7)) AS k)) AS sx,
+        |    (SELECT sum((k * h) // 8)
+        |     FROM (SELECT unnest(generate_series(0, 7)) AS k)) AS sy
+        |  FROM p)
+        |SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS width,
+        |  CAST(8 AS BIGINT) AS height, CAST(1 AS BIGINT) AS channels,
+        |  CAST(64 * base + 8 * sx + 8 * sy AS DOUBLE) / 64 AS mean_intensity
+        |FROM s""".stripMargin,
 
     "x_video_meta" ->
       """SELECT doc_id AS media_id, 'isom' AS brand,

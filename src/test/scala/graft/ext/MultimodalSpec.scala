@@ -178,6 +178,33 @@ class MultimodalSpec extends SparkSuite {
     assert(r.getAs[Long]("size_bytes") == 15L)
   }
 
+  test("resizeImage: exact nearest-neighbor mapping, hand-checked") {
+    // 2×1 gray image [10, 20] → 4×2: sx(x) = ⌊x·2/4⌋ = [0,0,1,1]
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 10)
+    img.getRaster.setSample(1, 0, 0, 20)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resizeImage(bos.toByteArray, 4, 2)))
+    assert(out.getWidth == 4 && out.getHeight == 2)
+    for (y <- 0 to 1)
+      assert((0 to 3).map(out.getRaster.getSample(_, y, 0)) == Seq(10, 10, 20, 20))
+  }
+
+  test("resizeImages: batch stage resizes images, passes non-images through") {
+    val rows = Seq(
+      MediaFile(1L, "image", synthImage(77L), MediaMeta("a.png", "image/png", 0L)),
+      fakeMedia(2L, "blob", 3, 3, 1, Array[Byte](1, 2, 3)))
+    val out = resizeImages(spark.createDataset(rows), 8, 8).collect()
+      .map(m => m.media_id -> m).toMap
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).content))
+    assert(resized.getWidth == 8 && resized.getHeight == 8)
+    assert(out(2L).content.sameElements(rows(1).content), "non-image must pass through")
+  }
+
   test("parseMp4Meta round-trips the in-house muxer: brand, timing, tracks, dims") {
     // even id → 1 track, odd id → 2 (second is audio-shaped 0×0)
     for (id <- Seq(0L, 7L, 42L, 199L)) {
