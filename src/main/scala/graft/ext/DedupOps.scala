@@ -85,6 +85,34 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Typo-level near-duplicate pairs: shingle-index candidates verified
+    * by EXACT edit distance. Completes the dedup ladder — token-level
+    * (jaccard), bit-level (simhash), embedding-level (cosine) — with the
+    * character-level measure that catches single-word edits and OCR
+    * noise, which token shingles over-penalize and simhash under-weighs.
+    *
+    * Scale shape: the O(len·k) banded Levenshtein DP (Spark's
+    * threshold form early-exits above `maxDistance`) runs ONLY on the
+    * candidate set from the inverted-index join (Σ df², df-cappable) —
+    * never all pairs. Texts join back on the id key (co-partitioned
+    * shuffles); at 100 TB the candidate set is millions of rows where
+    * all-pairs would be quadrillions.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, candidateThreshold: Double = 0.2,
+                        maxDistance: Int = 6,
+                        maxShingleDf: Option[Long] = None): DataFrame = {
+    val cand = jaccardPairs(docs, idCol, textCol, n, candidateThreshold, maxShingleDf)
+    val txt = docs.select(col(idCol), col(textCol))
+    cand
+      .join(txt.select(col(idCol).as("doc_a"), col(textCol).as("__ta")), "doc_a")
+      .join(txt.select(col(idCol).as("doc_b"), col(textCol).as("__tb")), "doc_b")
+      .withColumn("edit_distance",
+        levenshtein(col("__ta"), col("__tb"), maxDistance).cast("bigint"))
+      .filter(col("edit_distance") >= 0) // banded DP returns -1 above the bound
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("edit_distance"))
+  }
+
   /** Containment pairs: |A∩B| / |A| ≥ threshold — the ASYMMETRIC overlap
     * measure. Jaccard misses a small document wholly contained in a much
     * larger one (the union term swamps the intersection); containment is

@@ -92,6 +92,12 @@ object ExtQueries {
       DedupOps.containmentPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.5)),
 
+    // ---- typo-level near-dup: shingle candidates + banded Levenshtein
+    //      verification (O(len·k) per candidate pair, never all-pairs)
+    "x_edit_distance_pairs" -> ((s, d) =>
+      DedupOps.editDistancePairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, candidateThreshold = 0.2, maxDistance = 6)),
+
     // ---- MinHash signatures (8 hashes over 3-shingles)
     "x_minhash_sig" -> ((s, d) =>
       DedupOps.minhashSignatures(Tables.documents(s, d), "doc_id", "text")),
@@ -1159,6 +1165,26 @@ object ExtQueries {
          |      JOIN sizes sa ON sa.doc_id = doc_a
          |      JOIN sizes sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, n_common, jaccard FROM j WHERE jaccard >= 0.1""".stripMargin,
+
+    // DuckDB's levenshtein is the same unit-cost DP; the banded Spark
+    // form returns identical distances for every row that survives ≤ k
+    "x_edit_distance_pairs" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b,
+         |        ${Numeric.roundBinSql("CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)", 4)} AS jaccard
+         |      FROM pairs
+         |      JOIN sizes sa ON sa.doc_id = doc_a
+         |      JOIN sizes sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+         |FROM j
+         |JOIN documents da ON da.doc_id = doc_a
+         |JOIN documents db ON db.doc_id = doc_b
+         |WHERE jaccard >= 0.2 AND levenshtein(da.text, db.text) <= 6""".stripMargin,
 
     "x_containment_pairs" ->
       s"""WITH $shingleCte,

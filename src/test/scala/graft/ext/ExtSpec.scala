@@ -21,6 +21,23 @@ class ExtSpec extends SparkSuite {
     assert(r(1).isEmpty)
   }
 
+  test("editDistancePairs: candidates verified by banded exact distance") {
+    // 1↔2: one word swapped (today→now: t→n, d→w, -a, -y = 4 ≤ k=6);
+    // 1↔4 exact dup (distance 0); 3 shares no shingles → never a candidate
+    val pairs = DedupOps.editDistancePairs(docs, "doc_id", "text",
+        n = 3, candidateThreshold = 0.2, maxDistance = 6)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("edit_distance")).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(pairs((1L, 4L)) == 0L)
+    assert(pairs((1L, 2L)) == 4L && pairs((2L, 4L)) == 4L)
+    // tighter bound drops the word-swap pairs but keeps the exact dup
+    val tight = DedupOps.editDistancePairs(docs, "doc_id", "text",
+      n = 3, candidateThreshold = 0.2, maxDistance = 2)
+    assert(tight.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet ==
+      Set((1L, 4L)))
+  }
+
   test("exactGroups collapses identical texts") {
     val g = DedupOps.exactGroups(docs, "doc_id", "text")
     assert(g.count() == 3)
