@@ -258,6 +258,97 @@ object AnalyticsQueries {
           Numeric.roundBin(expr("percentile(value, 0.9)"), 3).as("p90_v"))
     }),
 
+    // ---- cohort retention triangle (day grain): first-signup cohort,
+    //      purchase-day activity. Counts are exact integers; retention is
+    //      one int/int IEEE division — identical in both engines. Shape:
+    //      cohort agg and activity join co-partition on user_id; the
+    //      final triangle (days × offsets) is tiny → csize broadcasts.
+    "a14_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("cohort_day"))
+      val csize = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .join(cohort, Seq("user_id"))
+        .filter(col("day") >= col("cohort_day"))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("bigint").as("day_offset"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .join(broadcast(csize), Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("n_users"),
+          (col("n_users").cast("double") / col("cohort_size")).as("retention"))
+    }),
+
+    // ---- gaps-and-islands: runs of consecutive purchase days per user
+    //      (lag-marks island starts, running sum numbers them — the
+    //      same one-shuffle window chain as w4's sessionize, at day
+    //      grain). All-integer arithmetic → exact.
+    "w10_gaps_islands" -> ((s, d) => {
+      val days = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val flagged = days.withColumn("new_island",
+        when(lag(col("day"), 1).over(w).isNull
+          .or(datediff(col("day"), lag(col("day"), 1).over(w)) > 1), lit(1))
+          .otherwise(lit(0)))
+      flagged
+        .withColumn("island", sum(col("new_island"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("day")).as("island_start"), max(col("day")).as("island_end"),
+          count(lit(1)).as("n_days"))
+    }),
+
+    // ---- time-spine densification + forward fill (dbt date-spine /
+    //      sensor-resample shape): dense daily grid per user, observed
+    //      integer-cent daily sums carried forward with last(ignoreNulls).
+    //      The spine is bounded by the date range (broadcast); the grid
+    //      and window co-partition on user_id.
+    "w11_gap_fill" -> ((s, d) => {
+      val obs = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(Numeric.scaledSum(col("value")).as("v"))
+      val spine = obs.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      obs.select(col("user_id")).distinct()
+        .crossJoin(broadcast(spine))
+        .join(obs, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+    }),
+
+    // ---- statistical profile from EXACT integer co-moments: corr,
+    //      covar_samp and the regression line derived from decimal-exact
+    //      Σx, Σy, Σxy, Σx², Σy². Native corr()/covar_samp() accumulate
+    //      doubles in partition order — low bits differ between engines
+    //      and between runs; summing scaled integers in decimal(38,0)
+    //      (Σy² overflows int64 at sf10) makes every derived stat one
+    //      IEEE expression over exact inputs → bit-identical anywhere.
+    "a15_stats_moments" -> ((s, d) => {
+      val x = floor(col("l_quantity") * 100 + lit(0.5)).cast("decimal(19,0)")
+      val y = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("decimal(19,0)")
+      val m = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      val n = col("n").cast("double")
+      val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+      val (sxx, syy, sxy) = (col("sxx").cast("double"), col("syy").cast("double"),
+        col("sxy").cast("double"))
+      val cov = n * sxy - sx * sy
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      m.select(col("l_returnflag"), col("n"),
+        (cov / sqrt(vx * vy)).as("corr_qty_price"),
+        (cov / (n * n - n) / lit(10000)).as("covar_samp_qty_price"),
+        (cov / vx).as("regr_slope"),
+        ((sy - cov / vx * sx) / n / lit(100)).as("regr_intercept"))
+    }),
+
     // ---- skew-safe two-phase aggregation (operators/Skew): salting is
     //      exact, so the oracle is simply the UNSALTED spelling — the
     //      integer value column keeps the re-combined sum order-free
@@ -775,6 +866,77 @@ object AnalyticsQueries {
         |   AS value_per_k,
         | event_type || ':' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
         |   AS typed_key
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "a14_cohort_retention" ->
+      """WITH cohort AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |                FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |csize AS (SELECT cohort_day, count(*) AS cohort_size FROM cohort GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, c.cohort_day,
+        |               datediff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        |        FROM events e JOIN cohort c ON e.user_id = c.user_id
+        |        WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= c.cohort_day)
+        |SELECT a.cohort_day, a.day_offset, count(*) AS n_users,
+        |       CAST(count(*) AS DOUBLE) / s.cohort_size AS retention
+        |FROM act a JOIN csize s ON a.cohort_day = s.cohort_day
+        |GROUP BY a.cohort_day, a.day_offset, s.cohort_size""".stripMargin,
+
+    "w10_gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |              FROM events WHERE event_type = 'purchase'),
+        |flagged AS (SELECT user_id, day,
+        |  CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+        |         OR datediff('day', lag(day) OVER (PARTITION BY user_id ORDER BY day), day) > 1
+        |       THEN 1 ELSE 0 END AS new_island FROM days),
+        |grp AS (SELECT user_id, day, CAST(sum(new_island) OVER (PARTITION BY user_id
+        |  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM flagged)
+        |SELECT user_id, island, min(day) AS island_start, max(day) AS island_end,
+        |       count(*) AS n_days
+        |FROM grp GROUP BY 1, 2""".stripMargin,
+
+    "w11_gap_fill" -> {
+      val v = Numeric.scaledSumSql("value")
+      s"""WITH obs AS (SELECT user_id, CAST(ts AS DATE) AS day, $v AS v
+         |             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM obs),
+         |spine AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+         |            CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+         |users AS (SELECT DISTINCT user_id FROM obs)
+         |SELECT u.user_id, s.day,
+         |  last_value(o.v IGNORE NULLS) OVER (PARTITION BY u.user_id ORDER BY s.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+         |FROM users u CROSS JOIN spine s
+         |LEFT JOIN obs o ON o.user_id = u.user_id AND o.day = s.day""".stripMargin
+    },
+
+    "a15_stats_moments" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT)) AS sx,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)) AS sy,
+        |  sum(CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT)
+        |    * CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT)) AS sxx,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+        |    * CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)) AS syy,
+        |  sum(CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT)
+        |    * CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS corr_qty_price,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) / 10000
+        |    AS covar_samp_qty_price,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    AS regr_slope,
+        |  (CAST(sy AS DOUBLE)
+        |    - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 100 AS regr_intercept
+        |FROM m""".stripMargin
   )
 }
