@@ -322,6 +322,49 @@ object AnalyticsQueries {
           last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
     }),
 
+    // ---- ordered funnel conversion (view → click → purchase, strict
+    //      timestamp order): each stage is a min-ts aggregate joined
+    //      back on user_id — three co-partitioned shuffles on the same
+    //      key, single-row counts broadcast for the conversion ratio
+    "a16_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def step(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts"))
+      val s1 = step("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = step("click").join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = step("purchase").join(s2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      def cnt(df: DataFrame, i: Int, nm: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i.toLong).as("step"), lit(nm).as("step_name"), col("n_users"))
+      val counts = cnt(s1, 1, "view")
+        .unionAll(cnt(s2, 2, "click")).unionAll(cnt(s3, 3, "purchase"))
+      val base = s1.agg(count(lit(1)).as("base_n"))
+      counts.crossJoin(broadcast(base))
+        .select(col("step"), col("step_name"), col("n_users"),
+          (col("n_users").cast("double") / nullif(col("base_n"), lit(0)))
+            .as("conversion"))
+    }),
+
+    // ---- sliding-window COUNT DISTINCT, decomposed: distinct counts
+    //      don't merge across frames, so the scalable spelling explodes
+    //      each (user, active-day) into the 7 trailing window-ends it
+    //      belongs to — the window aggregate becomes a plain hash
+    //      distinct+count (map-side combinable, skew-free on day keys)
+    "w12_sliding_distinct" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val maxDay = days.agg(max(col("day")).as("max_day"))
+      days.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6),
+            expr("interval 1 day"))).as("win_end"))
+        .crossJoin(broadcast(maxDay))
+        .filter(col("win_end") <= col("max_day"))
+        .select(col("user_id"), col("win_end")).distinct()
+        .groupBy(col("win_end")).agg(count(lit(1)).as("active_users_7d"))
+    }),
+
     // ---- statistical profile from EXACT integer co-moments: corr,
     //      covar_samp and the regression line derived from decimal-exact
     //      Σx, Σy, Σxy, Σx², Σy². Native corr()/covar_samp() accumulate
@@ -909,6 +952,34 @@ object AnalyticsQueries {
          |FROM users u CROSS JOIN spine s
          |LEFT JOIN obs o ON o.user_id = u.user_id AND o.day = s.day""".stripMargin
     },
+
+    "a16_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |counts AS (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT step, step_name, n_users,
+        |       CAST(n_users AS DOUBLE) / nullif((SELECT count(*) FROM s1), 0) AS conversion
+        |FROM counts""".stripMargin,
+
+    "w12_sliding_distinct" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |exploded AS (SELECT DISTINCT user_id,
+        |    CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |      CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS win_end
+        |  FROM days)
+        |SELECT win_end, count(*) AS active_users_7d
+        |FROM exploded
+        |WHERE win_end <= (SELECT max(day) FROM days)
+        |GROUP BY 1""".stripMargin,
 
     "a15_stats_moments" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,

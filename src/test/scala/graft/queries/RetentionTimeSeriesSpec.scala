@@ -78,6 +78,38 @@ class RetentionTimeSeriesSpec extends SparkSuite {
     }
   }
 
+  test("a16: funnel stages are monotone and strictly ordered") {
+    val rows = q("a16_funnel").orderBy(col("step")).collect()
+    assert(rows.map(_.getAs[String]("step_name")).toSeq ==
+      Seq("view", "click", "purchase"))
+    val ns = rows.map(_.getAs[Long]("n_users")).toSeq
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2),
+      s"each funnel stage can only lose users: $ns")
+    assert(rows.head.getAs[Double]("conversion") == 1.0,
+      "stage 1 converts at exactly 1.0 by definition")
+  }
+
+  test("w12: sliding distinct dominates the daily distinct and is capped by total users") {
+    val sliding = q("w12_sliding_distinct").cache()
+    val ev = graft.Tables.events(spark, sfDir)
+    val daily = ev.select(col("user_id"), to_date(col("ts")).as("win_end")).distinct()
+      .groupBy(col("win_end")).agg(count(lit(1)).as("d1"))
+    val total = ev.select(col("user_id")).distinct().count()
+    // 7-day trailing count >= that day's count, <= all users ever seen
+    val violating = sliding.join(daily, "win_end")
+      .filter(col("active_users_7d") < col("d1") || col("active_users_7d") > total)
+    assert(violating.count() == 0)
+    // spot-verify one window end against a direct range filter
+    val probe = sliding.orderBy(col("win_end").desc).first()
+    val winEnd = probe.getAs[java.sql.Date]("win_end")
+    val direct = ev.filter(to_date(col("ts")) <= lit(winEnd) &&
+        to_date(col("ts")) >= date_sub(lit(winEnd), 6))
+      .select(col("user_id")).distinct().count()
+    assert(probe.getAs[Long]("active_users_7d") == direct,
+      "exploded decomposition must equal the direct windowed distinct")
+    sliding.unpersist()
+  }
+
   test("a14/w11 plans: triangle and spine joins broadcast, no cartesian blowup") {
     val p14 = q("a14_cohort_retention").queryExecution.executedPlan.toString
     assert(p14.contains("BroadcastHashJoin") || p14.contains("BroadcastExchange"),
