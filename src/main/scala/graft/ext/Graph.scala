@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed graph operators over edge DataFrames — the web-graph /
+  * citation-graph analytics a pretraining-data pipeline runs for
+  * document-quality signals (PageRank-style authority scores) and for
+  * dedup-cluster diagnostics (triangle density of the near-dup
+  * candidate graph).
+  *
+  * Everything is an equi-join on node ids — never an all-pairs product —
+  * and all arithmetic is exact integers, so every operator here has a
+  * bit-identical DuckDB twin and the plans scale: the only quadratic
+  * surface is per-key fan-out in [[coOccurrenceEdges]], which is bounded
+  * by the max group size (documented there).
+  *
+  * Reference analog: none (the reference has no graph stage); this is
+  * builder-brief scope, same family as the dedup connected-components
+  * resolution in `DedupOps.scala:328` which already does pointer-jumping
+  * over exactly this edge shape.
+  */
+object Graph {
+
+  /** Undirected co-occurrence edges: distinct item pairs `(u, v)` with
+    * `u < v` that share at least one key (e.g. parts bought in the same
+    * order, tokens in the same document). Fan-out per key is
+    * C(items-per-key, 2), so the join is safe whenever group size is
+    * bounded (TPC-H orders: ≤ 7 lineitems → ≤ 21 pairs; for heavy keys
+    * apply a df-cap upstream like `DedupOps.jaccardCapped` does).
+    */
+  def coOccurrenceEdges(df: DataFrame, keyCol: String, itemCol: String): DataFrame = {
+    val pairs = df.select(col(keyCol).as("k"), col(itemCol).as("i")).distinct()
+    pairs.join(pairs.withColumnRenamed("i", "j"), "k")
+      .where(col("i") < col("j"))
+      .select(col("i").as("u"), col("j").as("v"))
+      .distinct()
+  }
+
+  /** Node degrees of an undirected edge list (`u < v` canonical). */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+
+  /** Edges oriented from the (degree, id)-smaller endpoint to the larger
+    * — the classic degree-ordering that bounds every out-neighborhood by
+    * O(√m), making the wedge self-join near-linear on real (power-law)
+    * graphs instead of quadratic in the max degree.
+    * Output: (src, dst, dd) with dd = dst's degree (kept so wedge
+    * endpoints can be ordered without re-joining degrees).
+    */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(lower, col("u")).otherwise(col("v")).as("src"),
+        when(lower, col("v")).otherwise(col("u")).as("dst"),
+        when(lower, col("dv")).otherwise(col("du")).as("dd"))
+  }
+
+  /** Global triangle statistics: one row of
+    * (nodes, edges, wedges, triangles), all exact longs.
+    *
+    * Wedges are generated only at each triangle's orientation-minimal
+    * vertex (out-neighbor pairs of the oriented graph), so every
+    * triangle is counted exactly once and the join volume is
+    * Σ C(outdeg, 2) — the degree-ordered bound, not Σ C(deg, 2).
+    * The closing check is a left-semi equi-join (no row explosion).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val o = orientByDegree(edges)
+    val e1 = o.select(col("src"), col("dst").as("v1"), col("dd").as("d1"))
+    val e2 = o.select(col("src"), col("dst").as("v2"), col("dd").as("d2"))
+    val wedges = e1.join(e2, "src")
+      .where(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+      .select(col("v1"), col("v2"))
+    val closed = wedges.join(
+      o.select(col("src").as("v1"), col("dst").as("v2")),
+      Seq("v1", "v2"), "left_semi")
+    degrees(edges).agg(count(lit(1)).as("nodes"))
+      .crossJoin(edges.agg(count(lit(1)).as("edges")))
+      .crossJoin(wedges.agg(count(lit(1)).as("wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("triangles")))
+  }
+
+  /** PageRank with damping 0.85 over the undirected edge list (both
+    * directions), fixed iteration count, EXACT integer arithmetic:
+    * ranks live in `scale` units (default 1e6), per-edge contribution
+    * is `rank div outdeg`, and the update is
+    * `(15·scale + 85·Σcontrib) div 100` — floor division end to end, so
+    * the result is independent of partitioning / summation order and an
+    * unrolled-CTE DuckDB twin reproduces it bit-for-bit. (Float
+    * PageRank would differ across engines in the last ulp; the floor'd
+    * integer form is the cross-engine-checkable spelling.)
+    *
+    * Each iteration is one shuffle (groupBy dst) plus a broadcast-able
+    * rank join; the edge+degree table is localCheckpoint'd once so the
+    * iterations don't re-derive it (same amortization pattern as the
+    * stored IVF index in `Similarity.scala`). At warehouse scale ranks
+    * would persist between runs (incremental PageRank); the fixed-k
+    * loop here matches how quality scores are refreshed in practice.
+    */
+  def pageRankScaled(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = sym.join(deg, "src").localCheckpoint(eager = false)
+    var ranks = deg.select(col("src").as("n"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks, withDeg("src") === ranks("n"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank div outdeg")).as("s"))
+      ranks = deg.select(col("src").as("n"))
+        .join(contrib.withColumnRenamed("dst", "n"), Seq("n"), "left")
+        .select(col("n"),
+          expr(s"(15 * ${scale}L + 85 * coalesce(s, 0L)) div 100").as("rank"))
+    }
+    ranks
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.Bpe
+import graft.functions.CountMin
 
 /** Text-mining additions to the training-data family: BPE training
   * statistics and corpus-frequency familiarity scoring. The iterative
@@ -53,6 +54,27 @@ object MiningQueries {
       perDoc.join(broadcast(counts), "t")
         .groupBy(col("doc_id"))
         .agg(sum(col("n") * col("tc")).as("familiarity"))
+    }),
+
+    // ---- Count-Min sketch: frequency estimates for the 30 most common
+    //      tokens, next to their exact counts. The sketch is ONE
+    //      group-less aggregate (4×256 longs of state, map-side
+    //      partials absorb the token stream); the exact-count side is
+    //      the demonstration/validation half — at corpus scale only the
+    //      sketch is kept and the estimate replaces the exact GROUP BY.
+    //      Estimates are deterministic (md5 buckets, integer sums), so
+    //      the DuckDB twin reproduces sketch AND estimates exactly.
+    "x_count_min" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val sketch = toks.agg(CountMin.countMinSketch(col("tok"), 4).as("sk"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(30)
+      // 1-row sketch broadcast against 30 rows — no shuffle for the probe
+      top.crossJoin(broadcast(sketch))
+        .select(col("tok"), col("exact_cnt"),
+          CountMin.cmEstimate(col("sk"), col("tok"), 4).as("cm_est"))
     })
   )
 
@@ -79,6 +101,39 @@ object MiningQueries {
         |  WHERE len(text) >= 3),
         |c AS (SELECT t, count(*) AS tc FROM tg GROUP BY t)
         |SELECT doc_id, CAST(sum(tc) AS BIGINT) AS familiarity
-        |FROM tg JOIN c USING (t) GROUP BY doc_id""".stripMargin
+        |FROM tg JOIN c USING (t) GROUP BY doc_id""".stripMargin,
+
+    // Count-Min twin: the sketch's (row j, bucket b) counters are plain
+    // GROUP BY sums over the same md5 bucketing (first digest byte via
+    // nibble parse); the estimate is min over j — identical integers to
+    // the aggregate's element-wise-sum state.
+    "x_count_min" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT tok FROM t WHERE tok <> ''),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |h AS (
+        |  SELECT tok, j,
+        |    (instr('0123456789abcdef',
+        |       substr(md5(CAST(j AS VARCHAR) || '|' || tok), 1, 1)) - 1) * 16
+        |    + instr('0123456789abcdef',
+        |       substr(md5(CAST(j AS VARCHAR) || '|' || tok), 2, 1)) - 1 AS b
+        |  FROM tt, js),
+        |c AS (SELECT j, b, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY j, b),
+        |top AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM tt GROUP BY tok
+        |  ORDER BY exact_cnt DESC, tok LIMIT 30),
+        |q AS (
+        |  SELECT top.tok, top.exact_cnt, js.j,
+        |    (instr('0123456789abcdef',
+        |       substr(md5(CAST(js.j AS VARCHAR) || '|' || top.tok), 1, 1)) - 1) * 16
+        |    + instr('0123456789abcdef',
+        |       substr(md5(CAST(js.j AS VARCHAR) || '|' || top.tok), 2, 1)) - 1 AS b
+        |  FROM top, js)
+        |SELECT q.tok, q.exact_cnt, CAST(min(c.cnt) AS BIGINT) AS cm_est
+        |FROM q JOIN c ON c.j = q.j AND c.b = q.b
+        |GROUP BY q.tok, q.exact_cnt""".stripMargin
   )
 }
