@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   *  - embeddings get a small deterministic per-copy perturbation, so
   *    near-dup pair counts grow with data instead of collapsing every
   *    copy family into one exact-dup cluster;
-  *  - events.ts stays int64 nanoseconds on disk (matching the driver's
-  *    TIMESTAMP(NANOS) physical type as read via nanosAsLong), so
-  *    `Tables.events` works identically against generated dirs.
+  *  - events.ts passes through with whatever physical type the source
+  *    dir uses (int64 nanos in early driver rounds, TIMESTAMP_NTZ micros
+  *    currently) — `Tables.normalizeTs` type-dispatches at read time, so
+  *    generated dirs work identically either way.
   *
   * Usage: MakeScale <srcSfDir> <outDir> [copies=10]
   */
@@ -72,8 +73,8 @@ object MakeScale {
     replicate("orders")((df, i) => offset(df, Seq("o_orderkey", "o_custkey"), i))
     replicate("lineitem")((df, i) =>
       offset(df, Seq("l_orderkey", "l_partkey", "l_suppkey"), i))
-    // ts is LongType here (nanosAsLong) and is written back as plain
-    // int64 nanos — Tables.events' `ts div 1000` path reads both forms
+    // ts passes through untouched in whatever type it was scanned as —
+    // Tables.normalizeTs reads every form this can write back
     replicate("events")((df, i) => offset(df, Seq("event_id", "user_id"), i))
 
     replicate("documents") { (df, i) =>

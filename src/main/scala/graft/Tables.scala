@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Parquet lake access for the driver testdata (TESTDATA.md).
   *
@@ -10,12 +11,14 @@ import org.apache.spark.sql.functions._
   * column pruning apply untouched. At 100 TB the same call reads a
   * hive-partitioned directory instead of a single file — no code change.
   *
-  * `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet
-  * reader rejects outright; we read it as a long (legacy nanosAsLong
-  * conf) and rebuild the timestamp with integer nanos→micros division
-  * (`div`, not `/` — a double intermediate would lose precision above
-  * 2^53 ns). Column pruning still reaches the scan; the conversion is a
-  * codegen'd projection.
+  * `events.ts` has changed physical type across driver rounds:
+  * TIMESTAMP(NANOS) (which Spark's parquet reader rejects outright — we
+  * read it as a long via the legacy nanosAsLong conf and rebuild with
+  * integer nanos→micros `div`), and currently TIMESTAMP(MICROS)
+  * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ.
+  * [[normalizeTs]] dispatches on the scanned type so every consumer sees
+  * one canonical TimestampType column either way. Column pruning still
+  * reaches the scan; the conversion is a codegen'd projection.
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -28,10 +31,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  /** Canonicalize the `ts` column to TimestampType whatever its physical
+    * form on disk: int64 nanos (early driver testdata, scanned as long
+    * under nanosAsLong), TIMESTAMP_NTZ micros (current driver testdata),
+    * or already TimestampType (repo-generated scale dirs). The session
+    * timezone is pinned UTC ([[GraftSession]]), so the NTZ→TZ cast is a
+    * pure relabel of the same micros value — wall-clock identical to
+    * what DuckDB's oracle reads from the same file. Works on batch and
+    * streaming frames alike (schema-only dispatch, no action).
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    // `div`, not `/`: a double intermediate loses precision above 2^53 ns
+    case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampType => df
+    case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(apply(s, d, "events"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")

@@ -7,6 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.Tables
+
 /** Gap-based sessionization: consecutive events of a user belong to one
   * session while inter-event gaps stay under `gapMinutes`.
   *
@@ -129,11 +131,10 @@ object Sessionize {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
     val out = s"$work/sessions"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
+    val events = Tables.normalizeTs(spark.readStream
       .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
-      .parquet(s"$sfDir/{events.parquet}")
-      .select(col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+      .parquet(s"$sfDir/{events.parquet}"))
+      .select(col("user_id"), col("ts"), col("value"))
       .as[Evt]
     val q = streamingSessions(events, gapMinutes, GroupStateTimeout.NoTimeout)
       .toDF()

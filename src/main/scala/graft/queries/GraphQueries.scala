@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.ext.Graph
+
+/** Driver registrations for the graph family (ext/Graph.scala): the
+  * co-occurrence graph is parts-bought-together (lineitem keyed by
+  * l_orderkey), the same shape a pretraining pipeline builds over
+  * links-shared-by-documents. All three queries are exact integer
+  * arithmetic end to end, so the DuckDB twins reproduce them
+  * bit-for-bit — including the 3-round PageRank, whose floor-division
+  * update is deliberately order-independent (see Graph.pageRankScaled).
+  */
+object GraphQueries {
+
+  private def coEdges(s: SparkSession, d: String): DataFrame =
+    Graph.coOccurrenceEdges(Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // node degrees of the undirected co-purchase graph — the join is
+    // per-order fan-out (≤ C(7,2) pairs), never all-pairs
+    "x_graph_degrees" -> ((s, d) => Graph.degrees(coEdges(s, d))),
+
+    // one-row global stats; wedges generated only at the
+    // degree-orientation-minimal vertex (O(Σ outdeg²) ≤ O(m^1.5))
+    "x_triangle_stats" -> ((s, d) => Graph.triangleStats(coEdges(s, d))),
+
+    // 3 rounds of damped PageRank in scaled-integer arithmetic;
+    // each round = one keyed shuffle + a broadcast-able rank join
+    "x_pagerank" -> ((s, d) => Graph.pageRankScaled(coEdges(s, d), iters = 3))
+  )
+
+  // Shared CTE prefix: distinct (order, part) incidences → canonical
+  // undirected edge list u < v (mirrors Graph.coOccurrenceEdges).
+  private val edgeCte =
+    """WITH inc AS (
+      |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+      |pairs AS (
+      |  SELECT DISTINCT a.i AS u, b.i AS v
+      |  FROM inc a JOIN inc b USING (k) WHERE a.i < b.i)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x_graph_degrees" ->
+      s"""$edgeCte,
+        |nodes AS (SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)
+        |SELECT n, CAST(count(*) AS BIGINT) AS deg FROM nodes GROUP BY n""".stripMargin,
+
+    "x_triangle_stats" ->
+      s"""$edgeCte,
+        |deg AS (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)
+        |  GROUP BY n),
+        |o AS (
+        |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+        |              THEN u ELSE v END AS src,
+        |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+        |              THEN v ELSE u END AS dst,
+        |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+        |              THEN d2.deg ELSE d1.deg END AS dd
+        |  FROM pairs JOIN deg d1 ON d1.n = pairs.u JOIN deg d2 ON d2.n = pairs.v),
+        |wedges AS (
+        |  SELECT e1.dst AS v1, e2.dst AS v2
+        |  FROM o e1 JOIN o e2 USING (src)
+        |  WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+        |closed AS (
+        |  SELECT w.v1, w.v2 FROM wedges w
+        |  WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.v1 AND o.dst = w.v2))
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM deg)    AS nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs)  AS edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS wedges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM closed) AS triangles""".stripMargin,
+
+    // 3 unrolled rounds; rank // outdeg and (15e6 + 85*s) // 100 are
+    // floor divisions over non-negative BIGINTs in both engines
+    "x_pagerank" ->
+      s"""$edgeCte,
+        |sym AS (
+        |  SELECT u AS src, v AS dst FROM pairs
+        |  UNION ALL SELECT v, u FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM sym GROUP BY src),
+        |r0 AS (SELECT src AS n, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        |c1 AS (
+        |  SELECT sym.dst, sum(r0.rank // deg.outdeg) AS s
+        |  FROM sym JOIN deg USING (src) JOIN r0 ON r0.n = sym.src
+        |  GROUP BY sym.dst),
+        |r1 AS (
+        |  SELECT deg.src AS n,
+        |    CAST((15 * 1000000 + 85 * coalesce(c1.s, 0)) // 100 AS BIGINT) AS rank
+        |  FROM deg LEFT JOIN c1 ON c1.dst = deg.src),
+        |c2 AS (
+        |  SELECT sym.dst, sum(r1.rank // deg.outdeg) AS s
+        |  FROM sym JOIN deg USING (src) JOIN r1 ON r1.n = sym.src
+        |  GROUP BY sym.dst),
+        |r2 AS (
+        |  SELECT deg.src AS n,
+        |    CAST((15 * 1000000 + 85 * coalesce(c2.s, 0)) // 100 AS BIGINT) AS rank
+        |  FROM deg LEFT JOIN c2 ON c2.dst = deg.src),
+        |c3 AS (
+        |  SELECT sym.dst, sum(r2.rank // deg.outdeg) AS s
+        |  FROM sym JOIN deg USING (src) JOIN r2 ON r2.n = sym.src
+        |  GROUP BY sym.dst),
+        |r3 AS (
+        |  SELECT deg.src AS n,
+        |    CAST((15 * 1000000 + 85 * coalesce(c3.s, 0)) // 100 AS BIGINT) AS rank
+        |  FROM deg LEFT JOIN c3 ON c3.dst = deg.src)
+        |SELECT n, rank FROM r3""".stripMargin
+  )
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+import graft.Tables
+
 /** Streaming exact dedup — the streaming form of the batch first-wins
   * dedup (A4/W1): keep the first arrival of each key, across
   * micro-batches, with state BOUNDED by the watermark.
@@ -41,10 +43,9 @@ object StreamingDedup {
     val out = s"$work/keys"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s"$sfDir/{events.parquet}"
-    val events = spark.readStream
+    val events = Tables.normalizeTs(spark.readStream
       .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
-      .parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(src))
     val q = firstWins(events, keys, "ts")
       .select(keys.map(col): _*)
       .writeStream

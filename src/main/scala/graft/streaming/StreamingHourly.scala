@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+import graft.Tables
 import graft.operators.Merge
 
 /** Structured Streaming form of the reference's incremental contract
@@ -94,10 +95,10 @@ object StreamingHourly {
     // AvailableNow honors rate limits: maxFilesPerTrigger splits the
     // drain into real micro-batches (the spec uses this to prove
     // batch-split independence)
-    val events = maxFilesPerTrigger.fold(reader)(n =>
+    val events = Tables.normalizeTs(
+      maxFilesPerTrigger.fold(reader)(n =>
         reader.option("maxFilesPerTrigger", n))
-      .parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(src))
     // NO watermark: update mode doesn't require one for aggregation, and
     // this is a bounded AvailableNow drain — state dies with the run. A
     // watermark here would silently DROP any row arriving in a later

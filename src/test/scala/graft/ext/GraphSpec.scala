@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Hand-checked graph semantics: a 5-node graph whose triangle count,
+  * wedge count, and degree sequence are enumerable on paper, plus the
+  * PageRank invariants (rank conservation up to floor loss, isolated
+  * symmetric graphs converging to uniform).
+  */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  // K3 (1,2,3) + a pendant 4-5 edge + chord 3-4:
+  //   edges: 1-2 1-3 2-3 3-4 4-5  → one triangle (1,2,3)
+  private def fixture =
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+
+  test("degrees: hand-checked sequence") {
+    val d = Graph.degrees(fixture).as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("triangleStats: exactly one triangle, wedges counted at the minimal vertex") {
+    val r = Graph.triangleStats(fixture).collect().head
+    assert(r.getAs[Long]("nodes") == 5L)
+    assert(r.getAs[Long]("edges") == 5L)
+    assert(r.getAs[Long]("triangles") == 1L)
+    // oriented wedges are a subset of all wedges; every triangle closes
+    assert(r.getAs[Long]("wedges") >= r.getAs[Long]("triangles"))
+  }
+
+  test("triangleStats: K4 has four triangles") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val r = Graph.triangleStats(k4).collect().head
+    assert(r.getAs[Long]("triangles") == 4L)
+    assert(r.getAs[Long]("edges") == 6L)
+  }
+
+  test("pageRank: rank mass conserved up to floor loss, regular graph stays uniform") {
+    // C4 cycle is 2-regular: uniform ranks are a fixed point
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val r = Graph.pageRankScaled(c4, iters = 4).as[(Long, Long)].collect().toMap
+    assert(r.values.toSet == Set(1000000L), s"expected uniform fixed point, got $r")
+
+    // asymmetric graph: total mass stays within floor-division loss of n·scale
+    val total = Graph.pageRankScaled(fixture, iters = 3)
+      .agg(sum("rank")).as[Long].collect().head
+    val n = 5L
+    assert(total <= n * 1000000L && total > n * 1000000L - n * 100L,
+      s"rank mass drifted: $total")
+  }
+
+  test("coOccurrenceEdges: pairs share a key, canonical u<v, no self-pairs") {
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 2L), (10L, 3L), (20L, 3L), (20L, 4L), (30L, 5L))
+      .toDF("k", "i")
+    val e = Graph.coOccurrenceEdges(df, "k", "i").as[(Long, Long)].collect().toSet
+    assert(e == Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+  }
+}
