@@ -31,6 +31,15 @@ object Graph {
     * apply a df-cap upstream like `DedupOps.jaccardCapped` does).
     */
   def coOccurrenceEdges(df: DataFrame, keyCol: String, itemCol: String): DataFrame = {
+    // Deliberately the codegen'd self-join spelling, NOT
+    // groupBy+collect_set+explode-combinations: the array spelling saves
+    // one shuffle but its ObjectHashAggregate falls back to sort-based
+    // aggregation at many groups and measures 2.5× SLOWER at 10× data
+    // (51 s vs 20 s on the 12 M-edge sf1 graph) — the extra shuffle is
+    // cheaper than leaving whole-stage codegen. Per-key fan-out is
+    // C(items-per-key, 2), so the join is safe whenever group size is
+    // bounded (TPC-H orders: ≤ 7 lineitems → ≤ 21 pairs; for heavy keys
+    // apply a df-cap upstream like `DedupOps.jaccardCapped` does).
     val pairs = df.select(col(keyCol).as("k"), col(itemCol).as("i")).distinct()
     pairs.join(pairs.withColumnRenamed("i", "j"), "k")
       .where(col("i") < col("j"))
@@ -70,23 +79,56 @@ object Graph {
     * vertex (out-neighbor pairs of the oriented graph), so every
     * triangle is counted exactly once and the join volume is
     * Σ C(outdeg, 2) — the degree-ordered bound, not Σ C(deg, 2).
-    * The closing check is a left-semi equi-join (no row explosion).
+    * The closing check is a marker equi-join (no row explosion).
+    *
+    * @param broadcastEdgeLimit edge count up to which the closure join
+    *   broadcasts the edge side (wedges ≫ edges whenever average degree
+    *   exceeds ~3, so shipping edges to the wedge stream beats shuffling
+    *   the wedge stream); above it the join is a shuffled HASH join —
+    *   never a sort-merge, which would sort the billions-of-rows wedge
+    *   stream just to probe edge membership. Default sized for a
+    *   local-driver heap (~30 M edges ≈ 700 MB hashed); on a real
+    *   cluster raise it toward executor memory.
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
-    val o = orientByDegree(edges)
+  def triangleStats(edges: DataFrame,
+                    broadcastEdgeLimit: Long = 30000000L): DataFrame = {
+    // The four scalar branches would each re-derive their whole input
+    // plan (Catalyst does not dedupe common subplans across crossJoins)
+    // — with a derived edge list like coOccurrenceEdges that means
+    // re-running the upstream self-join up to 6×. Checkpoint the edge
+    // list and the oriented form once; every branch reads the
+    // materialized blocks instead (measured 11.5 s → ~3 s at sf0.1).
+    val e = edges.localCheckpoint(eager = false)
+    // materializes the checkpoint; doubles as the `edges` output stat
+    val eCount = e.count()
+    val o = orientByDegree(e).localCheckpoint(eager = false)
     val e1 = o.select(col("src"), col("dst").as("v1"), col("dd").as("d1"))
     val e2 = o.select(col("src"), col("dst").as("v2"), col("dd").as("d2"))
     val wedges = e1.join(e2, "src")
       .where(col("d1") < col("d2") ||
         (col("d1") === col("d2") && col("v1") < col("v2")))
       .select(col("v1"), col("v2"))
-    val closed = wedges.join(
-      o.select(col("src").as("v1"), col("dst").as("v2")),
-      Seq("v1", "v2"), "left_semi")
-    degrees(edges).agg(count(lit(1)).as("nodes"))
-      .crossJoin(edges.agg(count(lit(1)).as("edges")))
-      .crossJoin(wedges.agg(count(lit(1)).as("wedges")))
-      .crossJoin(closed.agg(count(lit(1)).as("triangles")))
+    // one wedge pass for BOTH counts: oriented edges are unique per
+    // (src,dst), so the marker left-join cannot duplicate wedge rows —
+    // count(*) = wedges, count(hit) = closed wedges = triangles.
+    // (A left-semi for triangles would force a second full wedge join.)
+    // The join strategy must be explicit: a checkpointed frame carries
+    // no size stats, so AQE would default to sort-merge and pay a full
+    // sort of the wedge stream (measured 21 s vs 2 s at sf0.1 / 41 M
+    // wedges for broadcast).
+    val edgeSide = o.select(col("src").as("v1"), col("dst").as("v2"),
+      lit(1).as("hit"))
+    val marked =
+      if (eCount <= broadcastEdgeLimit)
+        wedges.join(broadcast(edgeSide), Seq("v1", "v2"), "left")
+      else
+        wedges.join(edgeSide.hint("SHUFFLE_HASH"), Seq("v1", "v2"), "left")
+    val wt = marked
+      .agg(count(lit(1)).as("wedges"), count(col("hit")).as("triangles"))
+    degrees(e).agg(count(lit(1)).as("nodes"))
+      .crossJoin(wt)
+      .select(col("nodes"), lit(eCount).as("edges"),
+        col("wedges"), col("triangles"))
   }
 
   /** PageRank with damping 0.85 over the undirected edge list (both
@@ -109,16 +151,25 @@ object Graph {
   def pageRankScaled(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    // deg is re-read every iteration (rank re-init join) — checkpoint it
+    // too, or each round re-derives the whole upstream edge plan
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(eager = false)
     val withDeg = sym.join(deg, "src").localCheckpoint(eager = false)
     var ranks = deg.select(col("src").as("n"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
+      // rank tables are node-sized (≪ edge-sized): broadcast them so the
+      // edge stream never shuffles for the joins — each round's only
+      // edge-sized exchange is the groupBy(dst). (Checkpointed frames
+      // carry no size stats, so AQE would fall back to sort-merge and
+      // shuffle the edges 3× per round.) At node counts past driver
+      // memory, pre-partition edges and ranks by the node key instead.
       val contrib = withDeg
-        .join(ranks, withDeg("src") === ranks("n"))
+        .join(broadcast(ranks), withDeg("src") === ranks("n"))
         .groupBy(col("dst"))
         .agg(sum(expr("rank div outdeg")).as("s"))
       ranks = deg.select(col("src").as("n"))
-        .join(contrib.withColumnRenamed("dst", "n"), Seq("n"), "left")
+        .join(broadcast(contrib.withColumnRenamed("dst", "n")), Seq("n"), "left")
         .select(col("n"),
           expr(s"(15 * ${scale}L + 85 * coalesce(s, 0L)) div 100").as("rank"))
     }

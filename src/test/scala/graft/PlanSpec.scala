@@ -235,6 +235,37 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("x_triangle_stats: closure join is broadcast or shuffled-hash — never a wedge-stream sort") {
+    // the wedge stream is the biggest intermediate in the repo (41 M rows
+    // at sf0.1, 4.1 B at sf10); a sort-merge closure join sorts it just
+    // to probe edge membership (measured 21 s vs 2 s at sf0.1). The
+    // strategy must be explicit because checkpointed inputs carry no
+    // stats for AQE to pick broadcast itself.
+    val df = SparkEntry.queries("x_triangle_stats")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+      s"closure join lost its explicit strategy:\n$p")
+    // the wedge-GENERATION join (edge-sized inputs) may be sort-merge —
+    // sorting 1.2 M oriented edges is cheap; one more SMJ would mean the
+    // closure join regressed to sorting the wedge STREAM itself
+    assert(countOccurrences(p, "SortMergeJoin") <= 1,
+      s"wedge stream is being sorted:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), // 1-row stat assembly only
+      s"cartesian in triangle plan:\n$p")
+  }
+
+  test("x_pagerank: rank joins broadcast — the edge stream shuffles only for groupBy(dst)") {
+    val df = SparkEntry.queries("x_pagerank")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // 3 iterations × (contrib join + rank re-init join) = 6 broadcasts
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 6,
+      s"rank joins fell back to shuffling the edge stream:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot loop)") {
     Seq("q1_agg", "f1_range_filter", "p7_surrogate_key", "a1_hourly_pivot").foreach { q =>
       // AQE hides codegen stages until execution — run, then read the final plan

@@ -75,6 +75,26 @@ class ScaleGuardSpec extends SparkSuite {
     }
   }
 
+  test("triangle counting: wedge volume stays near-linear in edges (degree orientation holds)") {
+    def stats(d: String): (Long, Long, Long) = {
+      val r = graft.ext.Graph.triangleStats(
+        graft.ext.Graph.coOccurrenceEdges(
+          Tables.lineitem(spark, d), "l_orderkey", "l_partkey")).collect().head
+      (r.getAs[Long]("edges"), r.getAs[Long]("wedges"), r.getAs[Long]("triangles"))
+    }
+    val (eS, wS, _) = stats(small)
+    val (eB, wB, tB) = stats(big)
+    // measured: 10× data → 10.3× edges, 10.6× wedges (orientation keeps
+    // wedge volume ~linear in m on this near-regular graph); a lost
+    // orientation (wedges at both endpoints / unordered) measures ≥3.5×
+    // more, an all-pairs-per-component regression ~100×. Guard at 3×
+    // the edge-growth rate — far above noise, far below either failure.
+    val edgeGrowth = eB.toDouble / eS
+    assert(wB.toDouble / wS <= 3.0 * edgeGrowth,
+      s"wedges grew ${wB.toDouble / wS}× for ${edgeGrowth}× edges — orientation regressing")
+    assert(tB <= wB, s"triangles $tB exceed wedges $wB")
+  }
+
   test("range join: bounded by the point side at both scales (sessions don't overlap)") {
     Seq(small, big).foreach { d =>
       val out = SparkEntry.queries("x_range_join")(spark, d).count()
