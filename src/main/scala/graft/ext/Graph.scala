@@ -47,6 +47,60 @@ object Graph {
       .distinct()
   }
 
+  /** Weighted co-occurrence edges `(u, v, w)`: like
+    * [[coOccurrenceEdges]] but keeping `w` = number of shared keys.
+    * Thresholding on `w` is the standard way to sparsify a co-occurrence
+    * graph into its meaningful backbone (pairs seen together once are
+    * mostly noise; w ≥ 2 drops the sf0.01 co-purchase graph from 116 k
+    * edges / 1 giant component to 3.4 k edges / 9 real clusters).
+    */
+  def coOccurrenceEdgesWeighted(df: DataFrame, keyCol: String,
+                                itemCol: String): DataFrame = {
+    val pairs = df.select(col(keyCol).as("k"), col(itemCol).as("i")).distinct()
+    pairs.join(pairs.withColumnRenamed("i", "j"), "k")
+      .where(col("i") < col("j"))
+      .groupBy(col("i").as("u"), col("j").as("v"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Connected components of an undirected edge list: one row
+    * `(n, component)` per node appearing in an edge, with `component` =
+    * the minimum node id of its component — the same deterministic
+    * labeling a recursive-CTE oracle computes. Delegates to the dedup
+    * resolution's pointer-jumping min-label propagation
+    * ([[DedupOps.resolveComponentsCounted]]): O(log diameter) rounds,
+    * two keyed joins per round, per-round checkpoint cleanup — the graph
+    * and dedup spellings of connected components are literally the same
+    * operator here.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    DedupOps.resolveComponents(
+        edges.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("doc_id").as("n"), col("keep_id").as("component"))
+
+  /** Top-k node pairs by COMMON NEIGHBOR count — the classic
+    * link-prediction / related-items score. Deliberately the symmetric
+    * spelling (both directions of every edge joined on the shared
+    * center), not the degree-oriented wedge enumeration: a common
+    * neighbor x of {a, b} only forms an oriented wedge at x when BOTH
+    * edges orient outward from x, so the oriented count undercounts
+    * pairs whose witnesses have high degree. Volume is Σ C(deg, 2); for
+    * graphs with unbounded hubs, cap the neighbor lists first (same
+    * df-cap discipline as `DedupOps.jaccardCapped`).
+    * Ties at the k boundary break deterministically by (pairs, a, b), so
+    * the selected SET is engine-independent.
+    */
+  def commonNeighborsTopK(edges: DataFrame, k: Int): DataFrame = {
+    val sym = edges.select(col("u").as("s"), col("v").as("d"))
+      .unionAll(edges.select(col("v").as("s"), col("u").as("d")))
+    sym.as("e1").join(sym.as("e2"), "s")
+      .where(col("e1.d") < col("e2.d"))
+      .groupBy(col("e1.d").as("a"), col("e2.d").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .orderBy(col("common").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Node degrees of an undirected edge list (`u < v` canonical). */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))

@@ -60,4 +60,29 @@ class GraphSpec extends SparkSuite {
     val e = Graph.coOccurrenceEdges(df, "k", "i").as[(Long, Long)].collect().toSet
     assert(e == Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
   }
+
+  test("coOccurrenceEdgesWeighted: weight counts distinct shared keys; duplicates don't inflate") {
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 2L), (30L, 3L))
+      .toDF("k", "i")
+    val w = Graph.coOccurrenceEdgesWeighted(df, "k", "i")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(w == Set((1L, 2L, 2L), (2L, 3L, 1L))) // (1,2) in keys 10+20; dup (10,2) ignored
+  }
+
+  test("connectedComponents: min-id labeling over two components plus isolated-node exclusion") {
+    // components {1,2,3} (triangle) and {7,8} (edge); node 9 never appears
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L)).toDF("u", "v")
+    val c = Graph.connectedComponents(e).as[(Long, Long)].collect().toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("commonNeighborsTopK: hand-checked counts, deterministic tie-break order") {
+    // K4 minus edge (3,4): pair (3,4) has common {1,2}; (1,2) has {3,4};
+    // all other adjacent pairs have exactly 1 common neighbor
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("u", "v")
+    val top = Graph.commonNeighborsTopK(e, 3).as[(Long, Long, Long)].collect().toSeq
+    assert(top.take(2).toSet == Set((1L, 2L, 2L), (3L, 4L, 2L)))
+    assert(top(0) == (1L, 2L, 2L)) // ties order by (a, b)
+    assert(top(2)._3 == 1L)
+  }
 }
