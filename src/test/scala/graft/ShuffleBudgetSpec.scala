@@ -40,6 +40,33 @@ class ShuffleBudgetSpec extends SparkSuite {
       s"partial agg emitted ${m.shuffleRecordsWritten} rows pre-shuffle")
   }
 
+  test("x_triangle_stats: the wedge stream never crosses a shuffle") {
+    // sf0.01: 115,729 edges generate 3.86 M oriented wedges. With the
+    // broadcast closure join, shuffle traffic is EDGE-scale (derivation +
+    // orientation + degree aggs — measured 119,693 records); a closure
+    // regression to a shuffled join adds the full wedge stream. The 1 M
+    // budget sits 8× above edge-scale and 4× below wedge-scale.
+    val m = QueryMetrics.measure(
+      SparkEntry.queries("x_triangle_stats")(spark, sf001))()
+    assert(m.shuffleRecordsWritten > 0)
+    assert(m.shuffleRecordsWritten < 1000000L,
+      s"triangle query shuffled ${m.shuffleRecordsWritten} records — " +
+        "the wedge stream is crossing an exchange")
+    assert(m.spillBytes == 0, s"spilled ${m.spillBytes} bytes at sf0.01")
+  }
+
+  test("x_pagerank: rounds shuffle partial sums, never the rank-joined edge stream") {
+    // 3 rounds × broadcast rank join + groupBy(dst) with map-side
+    // combine: measured 11,886 records (≈ nodes × map tasks per round).
+    // If the rank joins regress to shuffling sym (231 k rows), traffic
+    // jumps ~60×; budget sits 8× above measured, far below that.
+    val m = QueryMetrics.measure(SparkEntry.queries("x_pagerank")(spark, sf001))()
+    assert(m.shuffleRecordsWritten > 0)
+    assert(m.shuffleRecordsWritten < 100000L,
+      s"pagerank shuffled ${m.shuffleRecordsWritten} records — rank joins " +
+        "are no longer broadcast")
+  }
+
   test("x_corpus_e2e: the fused chain stays within its two-shuffle byte budget") {
     val docs = Tables.documents(spark, sf001)
     val docBytes = QueryMetrics.measure(docs)().inputBytesRead
