@@ -229,4 +229,34 @@ object Graph {
     }
     ranks
   }
+
+  /** Weighted PageRank over `(u, v, w)` edges: identical contract to
+    * [[pageRankScaled]] but rank splits proportionally to edge weight —
+    * per-edge contribution is `(rank · w) div strength(src)` with
+    * strength = Σ incident weights. Still exact integers end to end
+    * (rank ≤ n·scale and weights are counts, so the product stays far
+    * inside Long), so the unrolled DuckDB twin is bit-identical. Same
+    * plan shape: node-sized strength/rank tables broadcast, one
+    * groupBy(dst) per round.
+    */
+  def pageRankScaledWeighted(wEdges: DataFrame, iters: Int,
+                             scale: Long = 1000000L): DataFrame = {
+    val sym = wEdges.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(wEdges.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val strength = sym.groupBy("src").agg(sum(col("w")).as("sw"))
+      .localCheckpoint(eager = false)
+    val withS = sym.join(strength, "src").localCheckpoint(eager = false)
+    var ranks = strength.select(col("src").as("n"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = withS
+        .join(broadcast(ranks), withS("src") === ranks("n"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(rank * w) div sw")).as("s"))
+      ranks = strength.select(col("src").as("n"))
+        .join(broadcast(contrib.withColumnRenamed("dst", "n")), Seq("n"), "left")
+        .select(col("n"),
+          expr(s"(15 * ${scale}L + 85 * coalesce(s, 0L)) div 100").as("rank"))
+    }
+    ranks
+  }
 }

@@ -38,6 +38,11 @@ object GraphQueries {
     "x_graph_components" -> ((s, d) =>
       Graph.connectedComponents(backbone(s, d))),
 
+    // weighted PageRank on the w>=2 backbone: rank splits by edge
+    // weight ((rank*w) div strength), exact integers end to end
+    "x_pagerank_weighted" -> ((s, d) =>
+      Graph.pageRankScaledWeighted(weightedBackbone(s, d), iters = 3)),
+
     // link-prediction score on the w>=2 BACKBONE: top-30 pairs by
     // common-neighbor count, deterministic (count desc, a, b) tie-break.
     // Backbone, not the raw graph, deliberately: the full co-purchase
@@ -48,12 +53,15 @@ object GraphQueries {
       Graph.commonNeighborsTopK(backbone(s, d), k = 30))
   )
 
-  /** w>=2 co-occurrence backbone — the sparsified graph both
-    * [[Graph.connectedComponents]] and the link-prediction query run on.
+  /** w>=2 co-occurrence backbone (with weights) — the sparsified graph
+    * the components / link-prediction / weighted-rank queries run on.
     */
-  private def backbone(s: SparkSession, d: String): DataFrame =
+  private def weightedBackbone(s: SparkSession, d: String): DataFrame =
     Graph.coOccurrenceEdgesWeighted(Tables.lineitem(s, d), "l_orderkey", "l_partkey")
       .where(org.apache.spark.sql.functions.col("w") >= 2)
+
+  private def backbone(s: SparkSession, d: String): DataFrame =
+    weightedBackbone(s, d)
       .select(org.apache.spark.sql.functions.col("u"),
         org.apache.spark.sql.functions.col("v"))
 
@@ -135,6 +143,35 @@ object GraphQueries {
         |SELECT e1.d AS a, e2.d AS b, CAST(count(*) AS BIGINT) AS common
         |FROM sym e1 JOIN sym e2 USING (s) WHERE e1.d < e2.d
         |GROUP BY 1, 2 ORDER BY common DESC, a, b LIMIT 30""".stripMargin,
+
+    // weighted twin: strength = sum of incident weights; contribution
+    // (rank*w) // strength — same unrolled 3-round shape on the backbone
+    "x_pagerank_weighted" -> {
+      def round(prev: String, cN: String, rN: String): String =
+        s"""$cN AS (
+           |  SELECT sym.dst, sum((${prev}.rank * sym.w) // st.sw) AS s
+           |  FROM sym JOIN st USING (src) JOIN ${prev} ON ${prev}.n = sym.src
+           |  GROUP BY sym.dst),
+           |$rN AS (
+           |  SELECT st.src AS n,
+           |    CAST((15 * 1000000 + 85 * coalesce($cN.s, 0)) // 100 AS BIGINT) AS rank
+           |  FROM st LEFT JOIN $cN ON $cN.dst = st.src)""".stripMargin
+      s"""WITH inc AS (
+         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+         |wpairs AS (
+         |  SELECT a.i AS u, b.i AS v, count(*) AS w
+         |  FROM inc a JOIN inc b USING (k) WHERE a.i < b.i GROUP BY 1, 2),
+         |bb AS (SELECT u, v, w FROM wpairs WHERE w >= 2),
+         |sym AS (
+         |  SELECT u AS src, v AS dst, w FROM bb
+         |  UNION ALL SELECT v, u, w FROM bb),
+         |st AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM sym GROUP BY src),
+         |r0 AS (SELECT src AS n, CAST(1000000 AS BIGINT) AS rank FROM st),
+         |${round("r0", "c1", "r1")},
+         |${round("r1", "c2", "r2")},
+         |${round("r2", "c3", "r3")}
+         |SELECT n, rank FROM r3""".stripMargin
+    },
 
     // 3 unrolled rounds; rank // outdeg and (15e6 + 85*s) // 100 are
     // floor divisions over non-negative BIGINTs in both engines

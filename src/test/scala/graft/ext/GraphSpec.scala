@@ -76,6 +76,25 @@ class GraphSpec extends SparkSuite {
     assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("pageRankScaledWeighted: unit weights reduce exactly to the unweighted ranks") {
+    // (rank·c) div (c·deg) == rank div deg as exact rationals, so the
+    // weighted form with uniform weights must be bit-identical
+    val weighted = fixture.withColumn("w", lit(1L))
+    val a = Graph.pageRankScaledWeighted(weighted, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRankScaled(fixture, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("pageRankScaledWeighted: weight asymmetry shifts rank toward the heavy edge") {
+    // path 1-2-3 with 2's mass split 3:1 toward node 1
+    val e = Seq((1L, 2L, 3L), (2L, 3L, 1L)).toDF("u", "v", "w")
+    val r = Graph.pageRankScaledWeighted(e, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(3L), s"expected heavy-edge endpoint to outrank: $r")
+  }
+
   test("commonNeighborsTopK: hand-checked counts, deterministic tie-break order") {
     // K4 minus edge (3,4): pair (3,4) has common {1,2}; (1,2) has {3,4};
     // all other adjacent pairs have exactly 1 common neighbor
