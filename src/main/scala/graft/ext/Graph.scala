@@ -1,8 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shims
 
 /** Distributed graph operators over edge DataFrames — the web-graph /
   * citation-graph analytics a pretraining-data pipeline runs for
@@ -36,12 +37,39 @@ object Graph {
     // one shuffle but its ObjectHashAggregate falls back to sort-based
     // aggregation at many groups and measures 2.5× SLOWER at 10× data
     // (51 s vs 20 s on the 12 M-edge sf1 graph) — the extra shuffle is
-    // cheaper than leaving whole-stage codegen. Per-key fan-out is
-    // C(items-per-key, 2), so the join is safe whenever group size is
-    // bounded (TPC-H orders: ≤ 7 lineitems → ≤ 21 pairs; for heavy keys
-    // apply a df-cap upstream like `DedupOps.jaccardCapped` does).
+    // cheaper than leaving whole-stage codegen.
     val pairs = df.select(col(keyCol).as("k"), col(itemCol).as("i")).distinct()
     pairs.join(pairs.withColumnRenamed("i", "j"), "k")
+      .where(col("i") < col("j"))
+      .select(col("i").as("u"), col("j").as("v"))
+      .distinct()
+  }
+
+  /** [[coOccurrenceEdges]] with the hot-key guard applied INSIDE the
+    * operator: keys whose distinct item count exceeds `maxItemsPerKey`
+    * are dropped before the pair fan-out — the same df-cap discipline as
+    * `DedupOps.jaccardCapped`, transplanted to the graph family. The
+    * fan-out is then hard-bounded at C(cap, 2) rows per key, so the
+    * operator stays near-linear even when a key family ISN'T
+    * order-bounded (a viral link shared by 10⁶ documents would
+    * otherwise alone emit 5·10¹¹ pairs).
+    *
+    * Semantics: pairs co-occurring ONLY under dropped hot keys
+    * disappear (usually desired: membership in a huge group is weak
+    * evidence of pairwise affinity — the same reasoning as capping
+    * stopword shingles in Jaccard dedup). Pairs that also share a
+    * bounded key are unaffected.
+    */
+  def coOccurrenceEdgesCapped(df: DataFrame, keyCol: String, itemCol: String,
+                              maxItemsPerKey: Long): DataFrame = {
+    val pairs = df.select(col(keyCol).as("k"), col(itemCol).as("i")).distinct()
+    // distinct (k, i) → count per k = the key's fan-out base; one
+    // map-side-combined aggregation + a semi-join, same shape as the
+    // jaccardCapped df filter
+    val bounded = pairs.groupBy(col("k")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxItemsPerKey).select(col("k"))
+    val kept = pairs.join(bounded, Seq("k"), "left_semi")
+    kept.join(kept.withColumnRenamed("i", "j"), "k")
       .where(col("i") < col("j"))
       .select(col("i").as("u"), col("j").as("v"))
       .distinct()
@@ -146,16 +174,20 @@ object Graph {
     */
   def triangleStats(edges: DataFrame,
                     broadcastEdgeLimit: Long = 30000000L): DataFrame = {
+    // EAGER: the checkpoint materializes the edge list at
+    // DataFrame-CONSTRUCTION time (documented at the registry entry).
     // The four scalar branches would each re-derive their whole input
     // plan (Catalyst does not dedupe common subplans across crossJoins)
     // — with a derived edge list like coOccurrenceEdges that means
     // re-running the upstream self-join up to 6×. Checkpoint the edge
     // list and the oriented form once; every branch reads the
     // materialized blocks instead (measured 11.5 s → ~3 s at sf0.1).
-    val e = edges.localCheckpoint(eager = false)
-    // materializes the checkpoint; doubles as the `edges` output stat
-    val eCount = e.count()
-    val o = orientByDegree(e).localCheckpoint(eager = false)
+    val e = shims.checkpointWithStats(edges)
+    // exact count from the checkpoint's injected stats — no extra job;
+    // used ONLY for the broadcast-vs-shuffle decision (the `edges`
+    // output column is an agg branch over the checkpointed frame)
+    val eCount = shims.statsRowCount(e).getOrElse(e.count())
+    val o = shims.checkpointWithStats(orientByDegree(e))
     val e1 = o.select(col("src"), col("dst").as("v1"), col("dd").as("d1"))
     val e2 = o.select(col("src"), col("dst").as("v2"), col("dd").as("d2"))
     val wedges = e1.join(e2, "src")
@@ -166,10 +198,15 @@ object Graph {
     // (src,dst), so the marker left-join cannot duplicate wedge rows —
     // count(*) = wedges, count(hit) = closed wedges = triangles.
     // (A left-semi for triangles would force a second full wedge join.)
-    // The join strategy must be explicit: a checkpointed frame carries
-    // no size stats, so AQE would default to sort-merge and pay a full
-    // sort of the wedge stream (measured 21 s vs 2 s at sf0.1 / 41 M
-    // wedges for broadcast).
+    // The strategy threshold stays EXPLICIT even though the checkpoint
+    // now carries real stats: the generic broadcast threshold (10 MB)
+    // is sized for "build side is cheap to ship", but here the
+    // alternative is shuffling a wedge stream that outweighs the edge
+    // side ~30× — broadcasting far past the generic threshold (up to
+    // the executor-memory cliff measured at ~30 M edges) is the right
+    // trade, and only this operator knows that ratio. Past the cliff:
+    // SHUFFLE_HASH, never sort-merge (a wedge-stream sort measured
+    // 21 s vs 2 s at sf0.1 / 41 M wedges).
     val edgeSide = o.select(col("src").as("v1"), col("dst").as("v2"),
       lit(1).as("hit"))
     val marked =
@@ -181,8 +218,68 @@ object Graph {
       .agg(count(lit(1)).as("wedges"), count(col("hit")).as("triangles"))
     degrees(e).agg(count(lit(1)).as("nodes"))
       .crossJoin(wt)
-      .select(col("nodes"), lit(eCount).as("edges"),
-        col("wedges"), col("triangles"))
+      .crossJoin(e.agg(count(lit(1)).as("edges")))
+      .select(col("nodes"), col("edges"), col("wedges"), col("triangles"))
+  }
+
+  /** Sampled triangle ESTIMATOR for graphs whose wedge volume is past
+    * enumerable scale (SCALE.md names this the path beyond ~4 B wedges,
+    * where even the oriented wedge stream dominates the job).
+    *
+    * Sampling is at the wedge-generating CENTER vertex, before any
+    * enumeration: only centers whose md5 bucket falls below
+    * `sampleBuckets` (of 16) generate their out-wedges, so the
+    * enumerated volume drops by sampleBuckets/16 BEFORE the self-join —
+    * sample-don't-enumerate, the same move as the banded `x_lsh_recall`
+    * truth set. Every wedge (and so every triangle) belongs to exactly
+    * one center in the degree orientation, making
+    * `closed · 16 div sampleBuckets` an unbiased triangle estimate;
+    * closure of sampled wedges is verified EXACTLY against the full
+    * edge side. md5 of the decimal node id renders identically in
+    * Spark and DuckDB, so the estimator (not just the expectation) is
+    * engine-reproducible bit for bit.
+    *
+    * Returns one row:
+    * (centers_sampled, wedges_sampled, triangles_sampled, triangles_est).
+    */
+  def triangleSample(edges: DataFrame, sampleBuckets: Int = 4,
+                     broadcastEdgeLimit: Long = 30000000L): DataFrame = {
+    require(sampleBuckets >= 1 && sampleBuckets <= 16,
+      s"sampleBuckets must be in [1,16], got $sampleBuckets")
+    // single-hex-digit LEXICAL bound: 'g' sorts above every hex digit,
+    // so 16 buckets means "keep all"
+    val bucketBound =
+      if (sampleBuckets == 16) "g"
+      else java.lang.Long.toHexString(sampleBuckets.toLong)
+    val e = shims.checkpointWithStats(edges)
+    val eCount = shims.statsRowCount(e).getOrElse(e.count())
+    val o = shims.checkpointWithStats(orientByDegree(e))
+    // the center filter lands on the checkpointed scan BEFORE the
+    // self-join — both join legs shrink by the sample fraction
+    val oS = o.filter(
+      substring(md5(col("src").cast("string")), 1, 1) < lit(bucketBound))
+    val e1 = oS.select(col("src"), col("dst").as("v1"), col("dd").as("d1"))
+    val e2 = oS.select(col("src"), col("dst").as("v2"), col("dd").as("d2"))
+    val wedges = e1.join(e2, "src")
+      .where(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+      .select(col("v1"), col("v2"))
+    val edgeSide = o.select(col("src").as("v1"), col("dst").as("v2"),
+      lit(1).as("hit"))
+    val marked =
+      if (eCount <= broadcastEdgeLimit)
+        wedges.join(broadcast(edgeSide), Seq("v1", "v2"), "left")
+      else
+        wedges.join(edgeSide.hint("SHUFFLE_HASH"), Seq("v1", "v2"), "left")
+    val wt = marked.agg(
+      count(lit(1)).as("wedges_sampled"),
+      count(col("hit")).as("triangles_sampled"))
+    oS.select(col("src")).distinct()
+      .agg(count(lit(1)).as("centers_sampled"))
+      .crossJoin(wt)
+      .select(col("centers_sampled"), col("wedges_sampled"),
+        col("triangles_sampled"),
+        expr(s"triangles_sampled * 16 div $sampleBuckets").as("triangles_est"))
   }
 
   /** PageRank with damping 0.85 over the undirected edge list (both
@@ -202,33 +299,12 @@ object Graph {
     * would persist between runs (incremental PageRank); the fixed-k
     * loop here matches how quality scores are refreshed in practice.
     */
-  def pageRankScaled(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
-    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-    // deg is re-read every iteration (rank re-init join) — checkpoint it
-    // too, or each round re-derives the whole upstream edge plan
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(eager = false)
-    val withDeg = sym.join(deg, "src").localCheckpoint(eager = false)
-    var ranks = deg.select(col("src").as("n"), lit(scale).as("rank"))
-    for (_ <- 1 to iters) {
-      // rank tables are node-sized (≪ edge-sized): broadcast them so the
-      // edge stream never shuffles for the joins — each round's only
-      // edge-sized exchange is the groupBy(dst). (Checkpointed frames
-      // carry no size stats, so AQE would fall back to sort-merge and
-      // shuffle the edges 3× per round.) At node counts past driver
-      // memory, pre-partition edges and ranks by the node key instead.
-      val contrib = withDeg
-        .join(broadcast(ranks), withDeg("src") === ranks("n"))
-        .groupBy(col("dst"))
-        .agg(sum(expr("rank div outdeg")).as("s"))
-      ranks = deg.select(col("src").as("n"))
-        .join(broadcast(contrib.withColumnRenamed("dst", "n")), Seq("n"), "left")
-        .select(col("n"),
-          expr(s"(15 * ${scale}L + 85 * coalesce(s, 0L)) div 100").as("rank"))
-    }
-    ranks
-  }
+  def pageRankScaled(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+                     broadcastBytesLimit: Long = -1L,
+                     copartParts: Int = 0): DataFrame =
+    pageRankLoop(
+      symDeg(edges), expr("rank div den"), iters, scale, None,
+      broadcastBytesLimit, copartParts)
 
   /** Weighted PageRank over `(u, v, w)` edges: identical contract to
     * [[pageRankScaled]] but rank splits proportionally to edge weight —
@@ -236,27 +312,151 @@ object Graph {
     * strength = Σ incident weights. Still exact integers end to end
     * (rank ≤ n·scale and weights are counts, so the product stays far
     * inside Long), so the unrolled DuckDB twin is bit-identical. Same
-    * plan shape: node-sized strength/rank tables broadcast, one
-    * groupBy(dst) per round.
+    * plan shape and scale posture as the unweighted loop.
     */
   def pageRankScaledWeighted(wEdges: DataFrame, iters: Int,
-                             scale: Long = 1000000L): DataFrame = {
+                             scale: Long = 1000000L,
+                             broadcastBytesLimit: Long = -1L,
+                             copartParts: Int = 0): DataFrame =
+    pageRankLoop(
+      symDegWeighted(wEdges), expr("(rank * w) div den"), iters, scale, None,
+      broadcastBytesLimit, copartParts)
+
+  /** Persist a rank table for later [[pageRankResume]] — the stored-index
+    * amortization pattern (`Similarity.writeIvfIndex`): at warehouse
+    * scale ranks persist between runs and each refresh pays only its
+    * incremental rounds, not the cold-start iterations.
+    */
+  def writeRanks(ranks: DataFrame, path: String): Unit =
+    ranks.write.mode("overwrite").parquet(path)
+
+  def readRanks(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Resume PageRank from a stored rank table: runs `iters` MORE rounds
+    * of the identical update starting from `ranks0` instead of the
+    * uniform init. `resume(writeRanks(pageRank(e, k)), j)` ≡
+    * `pageRank(e, k + j)` — the oracle-checkable warm-start contract
+    * (exact integer arithmetic makes the equivalence bit-for-bit).
+    * `ranks0` must cover the graph's node set (it does when produced by
+    * [[pageRankScaled]] on the same edge list).
+    */
+  def pageRankResume(edges: DataFrame, ranks0: DataFrame, iters: Int,
+                     scale: Long = 1000000L,
+                     broadcastBytesLimit: Long = -1L,
+                     copartParts: Int = 0): DataFrame =
+    pageRankLoop(
+      symDeg(edges), expr("rank div den"), iters, scale, Some(ranks0),
+      broadcastBytesLimit, copartParts)
+
+  /** Symmetrized edges + per-source denominator for the unweighted walk:
+    * (src, dst, den = outdeg).
+    */
+  private def symDeg(edges: DataFrame): (DataFrame, DataFrame) = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    (sym, sym.groupBy("src").agg(count(lit(1)).as("den")))
+  }
+
+  /** Weighted twin: (src, dst, w, den = strength = Σ incident w). */
+  private def symDegWeighted(wEdges: DataFrame): (DataFrame, DataFrame) = {
     val sym = wEdges.select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionAll(wEdges.select(col("v").as("src"), col("u").as("dst"), col("w")))
-    val strength = sym.groupBy("src").agg(sum(col("w")).as("sw"))
-      .localCheckpoint(eager = false)
-    val withS = sym.join(strength, "src").localCheckpoint(eager = false)
-    var ranks = strength.select(col("src").as("n"), lit(scale).as("rank"))
-    for (_ <- 1 to iters) {
-      val contrib = withS
-        .join(broadcast(ranks), withS("src") === ranks("n"))
+    (sym, sym.groupBy("src").agg(sum(col("w")).as("den")))
+  }
+
+  /** The shared damped-walk loop. EAGER contract: each round is
+    * materialized via a stats-carrying checkpoint at CONSTRUCTION time
+    * (documented at the registry entries); the returned frame is the
+    * last round's plan over the previous round's blocks, so plan
+    * inspection still sees one full round.
+    *
+    * Strategy is chosen from MEASURED stats, not hints:
+    *
+    *  - node table fits the session broadcast threshold → plain joins;
+    *    Catalyst auto-broadcasts the rank side from the checkpoint's
+    *    injected sizeInBytes, and each round's only edge-sized exchange
+    *    is the groupBy(dst). No `broadcast()` anywhere.
+    *  - past the threshold (web-graph node counts: a driver-assembled
+    *    broadcast dies) → CO-PARTITIONED rounds: edges are hash-
+    *    partitioned by src ONCE outside the loop, every round's rank
+    *    table is re-partitioned on the same key/count (node-sized
+    *    exchange), and the rank join is a SHUFFLE_HASH join that
+    *    builds only the node-sized side per partition — the edge
+    *    stream never re-shuffles for the join, its only per-round
+    *    exchange is still the groupBy(dst).
+    *
+    * @param broadcastBytesLimit decision bound in BYTES for the node
+    *   table (-1 = the session's `spark.sql.autoBroadcastJoinThreshold`)
+    * @param copartParts partition count for the co-partitioned path
+    *   (0 = the session's shuffle-partition width)
+    */
+  private def pageRankLoop(symAndDen: (DataFrame, DataFrame),
+                           contribution: Column,
+                           iters: Int, scale: Long,
+                           ranks0: Option[DataFrame],
+                           broadcastBytesLimit: Long,
+                           copartParts: Int): DataFrame = {
+    val (sym, denPlan) = symAndDen
+    val spark = sym.sparkSession
+    val deg = shims.checkpointWithStats(denPlan)
+    val degBytes = deg.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bcLimit = BigInt(
+      if (broadcastBytesLimit >= 0) broadcastBytesLimit
+      else shims.autoBroadcastThresholdBytes(spark))
+    val copart = degBytes > bcLimit
+    val parts =
+      if (copartParts > 0) copartParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // the edge-side table is built once, outside the loop; in the
+    // co-partitioned path it is hash-partitioned by src here so no
+    // round ever moves it again
+    val withDegPlan = sym.join(deg, "src")
+    val withDeg = shims.checkpointWithStats(
+      if (copart) withDegPlan.repartition(parts, col("src")) else withDegPlan)
+
+    def align(r: DataFrame): DataFrame =
+      if (copart) r.repartition(parts, col("n")) else r
+
+    var ranks: DataFrame = shims.checkpointWithStats(align(
+      ranks0.getOrElse(
+        deg.select(col("src").as("n"), lit(scale).as("rank")))))
+    var spentRounds: List[DataFrame] = Nil
+    var result: DataFrame = ranks
+    for (i <- 1 to iters) {
+      // co-partitioned mode hints SHUFFLE_HASH on the node-sized side of
+      // both joins: with both inputs already hash-partitioned on the key
+      // the join is exchange-free, and the hash build is per-partition
+      // node-sized — a sort-merge here would sort the edge partitions
+      // every round for nothing
+      val rankSide = if (copart) ranks.hint("SHUFFLE_HASH") else ranks
+      val contrib = withDeg
+        .join(rankSide, withDeg("src") === ranks("n"))
         .groupBy(col("dst"))
-        .agg(sum(expr("(rank * w) div sw")).as("s"))
-      ranks = strength.select(col("src").as("n"))
-        .join(broadcast(contrib.withColumnRenamed("dst", "n")), Seq("n"), "left")
+        .agg(sum(contribution).as("s"))
+      val contribSide0 = contrib.withColumnRenamed("dst", "n")
+      val contribSide =
+        if (copart) contribSide0.hint("SHUFFLE_HASH") else contribSide0
+      val next = deg.select(col("src").as("n"))
+        .join(contribSide, Seq("n"), "left")
         .select(col("n"),
           expr(s"(15 * ${scale}L + 85 * coalesce(s, 0L)) div 100").as("rank"))
+      if (i < iters) {
+        val cp = shims.checkpointWithStats(align(next))
+        // blocks from two rounds back are no longer reachable
+        spentRounds.foreach(shims.unpersistLocalCheckpoint)
+        spentRounds = List(ranks)
+        ranks = cp
+      } else {
+        // last round stays lazy (plans remain inspectable); it reads only
+        // `ranks`, deg and withDeg — the round before is now spent
+        spentRounds.foreach(shims.unpersistLocalCheckpoint)
+        spentRounds = Nil
+        result = next
+      }
     }
-    ranks
+    if (iters == 0) result = ranks.select(col("n"), col("rank"))
+    result
   }
 }

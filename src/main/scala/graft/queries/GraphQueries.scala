@@ -8,10 +8,17 @@ import graft.ext.Graph
 /** Driver registrations for the graph family (ext/Graph.scala): the
   * co-occurrence graph is parts-bought-together (lineitem keyed by
   * l_orderkey), the same shape a pretraining pipeline builds over
-  * links-shared-by-documents. All three queries are exact integer
+  * links-shared-by-documents. Every query here is exact integer
   * arithmetic end to end, so the DuckDB twins reproduce them
-  * bit-for-bit — including the 3-round PageRank, whose floor-division
+  * bit-for-bit — including the PageRank rounds, whose floor-division
   * update is deliberately order-independent (see Graph.pageRankScaled).
+  *
+  * EAGER-CONSTRUCTION contract: the triangle and PageRank entries
+  * materialize their edge tables (stats-carrying local checkpoints) at
+  * DataFrame-construction time — building the frame runs Spark jobs,
+  * and re-executing a returned frame re-reads the frozen blocks, not
+  * the source. Schema-only consumers should expect the jobs; consumers
+  * needing fresh data re-call the registry function.
   */
 object GraphQueries {
 
@@ -28,9 +35,37 @@ object GraphQueries {
     // degree-orientation-minimal vertex (O(Σ outdeg²) ≤ O(m^1.5))
     "x_triangle_stats" -> ((s, d) => Graph.triangleStats(coEdges(s, d))),
 
-    // 3 rounds of damped PageRank in scaled-integer arithmetic;
-    // each round = one keyed shuffle + a broadcast-able rank join
+    // sampled triangle ESTIMATOR: wedges enumerated only at md5-sampled
+    // center vertices (4 of 16 buckets), closure verified exactly — the
+    // beyond-broadcast scale path named in SCALE.md; the DuckDB twin
+    // runs the identical estimator, so even the estimate is bit-stable
+    "x_triangle_sample" -> ((s, d) =>
+      Graph.triangleSample(coEdges(s, d), sampleBuckets = 4)),
+
+    // 3 rounds of damped PageRank in scaled-integer arithmetic; each
+    // round = one keyed shuffle + a stats-driven broadcast rank join
     "x_pagerank" -> ((s, d) => Graph.pageRankScaled(coEdges(s, d), iters = 3)),
+
+    // warm-start refresh: 3 rounds computed, persisted via writeRanks,
+    // then 2 MORE rounds resumed from the stored table — bit-identical
+    // to 5 cold rounds (the oracle runs 5 unrolled rounds). This is the
+    // incremental-PageRank amortization a warehouse runs: refreshes pay
+    // only their incremental rounds against stored ranks.
+    "x_pagerank_resumed" -> ((s, d) => {
+      val edges = coEdges(s, d)
+      val store = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_pagerank_store").toString
+      Graph.writeRanks(Graph.pageRankScaled(edges, iters = 3), store)
+      Graph.pageRankResume(edges, Graph.readRanks(s, store), iters = 2)
+    }),
+
+    // hot-key-guarded co-occurrence: orders with > 5 distinct parts are
+    // dropped before the pair fan-out (C(cap,2) bound per key) — the
+    // jaccardCapped df-cap discipline on the graph family's one
+    // potentially-quadratic surface
+    "x_graph_cooccur_capped" -> ((s, d) =>
+      Graph.coOccurrenceEdgesCapped(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", maxItemsPerKey = 5L)),
 
     // components of the w>=2 BACKBONE graph (thresholding sparsifies the
     // co-purchase graph from 1 giant component into real clusters);
@@ -73,6 +108,34 @@ object GraphQueries {
       |pairs AS (
       |  SELECT DISTINCT a.i AS u, b.i AS v
       |  FROM inc a JOIN inc b USING (k) WHERE a.i < b.i)""".stripMargin
+
+  /** `n` unrolled PageRank rounds over the co-occurrence graph —
+    * `rank // outdeg` and `(15e6 + 85*s) // 100` are floor divisions
+    * over non-negative BIGINTs in both engines, so any round count is
+    * bit-identical to the Spark loop. Shared by the cold 3-round query
+    * and the 3-stored + 2-resumed warm-start twin (whose contract is
+    * exactly "equals 5 cold rounds").
+    */
+  private def pageRankRoundsSql(n: Int): String = {
+    val rounds = (1 to n).map { i =>
+      s"""c$i AS (
+         |  SELECT sym.dst, sum(r${i - 1}.rank // deg.outdeg) AS s
+         |  FROM sym JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.n = sym.src
+         |  GROUP BY sym.dst),
+         |r$i AS (
+         |  SELECT deg.src AS n,
+         |    CAST((15 * 1000000 + 85 * coalesce(c$i.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM deg LEFT JOIN c$i ON c$i.dst = deg.src)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgeCte,
+       |sym AS (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL SELECT v, u FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM sym GROUP BY src),
+       |r0 AS (SELECT src AS n, CAST(1000000 AS BIGINT) AS rank FROM deg),
+       |$rounds
+       |SELECT n, rank FROM r$n""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -173,39 +236,52 @@ object GraphQueries {
          |SELECT n, rank FROM r3""".stripMargin
     },
 
-    // 3 unrolled rounds; rank // outdeg and (15e6 + 85*s) // 100 are
-    // floor divisions over non-negative BIGINTs in both engines
-    "x_pagerank" ->
+    "x_pagerank" -> pageRankRoundsSql(3),
+
+    // the warm-start contract IS "3 stored + 2 resumed == 5 cold rounds"
+    "x_pagerank_resumed" -> pageRankRoundsSql(5),
+
+    // sampled estimator twin: same md5 center-bucket filter, same exact
+    // closure check against the FULL oriented edge set, same integer
+    // scale-up — the estimate itself is engine-reproducible
+    "x_triangle_sample" ->
       s"""$edgeCte,
-        |sym AS (
-        |  SELECT u AS src, v AS dst FROM pairs
-        |  UNION ALL SELECT v, u FROM pairs),
-        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM sym GROUP BY src),
-        |r0 AS (SELECT src AS n, CAST(1000000 AS BIGINT) AS rank FROM deg),
-        |c1 AS (
-        |  SELECT sym.dst, sum(r0.rank // deg.outdeg) AS s
-        |  FROM sym JOIN deg USING (src) JOIN r0 ON r0.n = sym.src
-        |  GROUP BY sym.dst),
-        |r1 AS (
-        |  SELECT deg.src AS n,
-        |    CAST((15 * 1000000 + 85 * coalesce(c1.s, 0)) // 100 AS BIGINT) AS rank
-        |  FROM deg LEFT JOIN c1 ON c1.dst = deg.src),
-        |c2 AS (
-        |  SELECT sym.dst, sum(r1.rank // deg.outdeg) AS s
-        |  FROM sym JOIN deg USING (src) JOIN r1 ON r1.n = sym.src
-        |  GROUP BY sym.dst),
-        |r2 AS (
-        |  SELECT deg.src AS n,
-        |    CAST((15 * 1000000 + 85 * coalesce(c2.s, 0)) // 100 AS BIGINT) AS rank
-        |  FROM deg LEFT JOIN c2 ON c2.dst = deg.src),
-        |c3 AS (
-        |  SELECT sym.dst, sum(r2.rank // deg.outdeg) AS s
-        |  FROM sym JOIN deg USING (src) JOIN r2 ON r2.n = sym.src
-        |  GROUP BY sym.dst),
-        |r3 AS (
-        |  SELECT deg.src AS n,
-        |    CAST((15 * 1000000 + 85 * coalesce(c3.s, 0)) // 100 AS BIGINT) AS rank
-        |  FROM deg LEFT JOIN c3 ON c3.dst = deg.src)
-        |SELECT n, rank FROM r3""".stripMargin
+        |deg AS (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)
+        |  GROUP BY n),
+        |o AS (
+        |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+        |              THEN u ELSE v END AS src,
+        |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+        |              THEN v ELSE u END AS dst,
+        |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+        |              THEN d2.deg ELSE d1.deg END AS dd
+        |  FROM pairs JOIN deg d1 ON d1.n = pairs.u JOIN deg d2 ON d2.n = pairs.v),
+        |os AS (
+        |  SELECT * FROM o
+        |  WHERE substring(md5(CAST(src AS VARCHAR)), 1, 1) < '4'),
+        |wedges AS (
+        |  SELECT e1.dst AS v1, e2.dst AS v2
+        |  FROM os e1 JOIN os e2 USING (src)
+        |  WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+        |closed AS (
+        |  SELECT w.v1, w.v2 FROM wedges w
+        |  WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.v1 AND o.dst = w.v2))
+        |SELECT
+        |  (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM os)  AS centers_sampled,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wedges)         AS wedges_sampled,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM closed)         AS triangles_sampled,
+        |  (SELECT CAST((count(*) * 16) // 4 AS BIGINT) FROM closed) AS triangles_est""".stripMargin,
+
+    // capped co-occurrence: the HAVING prefilter mirrors
+    // coOccurrenceEdgesCapped's semi-join on bounded keys
+    "x_graph_cooccur_capped" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+        |ok AS (SELECT k FROM inc GROUP BY k HAVING count(*) <= 5),
+        |ki AS (SELECT inc.k, inc.i FROM inc JOIN ok USING (k))
+        |SELECT DISTINCT a.i AS u, b.i AS v
+        |FROM ki a JOIN ki b USING (k) WHERE a.i < b.i""".stripMargin
   )
 }

@@ -135,6 +135,14 @@ object shims {
     org.apache.spark.sql.classic.Dataset.ofRows(session, restated)
   }
 
+  /** The session's auto-broadcast threshold in bytes (`sessionState` is
+    * `@Unstable` and the byte-size parse lives in SQLConf — read it
+    * there instead of re-parsing the conf string).
+    */
+  def autoBroadcastThresholdBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.autoBroadcastJoinThreshold
+
   /** Exact row count of a [[checkpointWithStats]] frame, read from the
     * injected statistics — no job. None for other plans.
     */

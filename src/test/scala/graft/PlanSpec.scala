@@ -239,8 +239,8 @@ class PlanSpec extends SparkSuite {
     // the wedge stream is the biggest intermediate in the repo (41 M rows
     // at sf0.1, 4.1 B at sf10); a sort-merge closure join sorts it just
     // to probe edge membership (measured 21 s vs 2 s at sf0.1). The
-    // strategy must be explicit because checkpointed inputs carry no
-    // stats for AQE to pick broadcast itself.
+    // strategy threshold is explicit in the operator because the generic
+    // broadcast threshold can't see that wedges outweigh edges ~30×.
     val df = SparkEntry.queries("x_triangle_stats")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
@@ -251,18 +251,33 @@ class PlanSpec extends SparkSuite {
     // closure join regressed to sorting the wedge STREAM itself
     assert(countOccurrences(p, "SortMergeJoin") <= 1,
       s"wedge stream is being sorted:\n$p")
-    assert(!p.contains("CartesianProduct") ||
-      p.contains("BroadcastNestedLoopJoin"), // 1-row stat assembly only
-      s"cartesian in triangle plan:\n$p")
+    // 1-row stat-assembly joins are broadcast-nested-loop by design; a
+    // genuine CartesianProduct must never appear anywhere in the plan,
+    // and the BNLJ population is exactly the stat crossJoins
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), s"cartesian in triangle plan:\n$p")
+    assert(finalSection.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 3,
+      s"more BNLJs than the three 1-row stat-assembly joins:\n$p")
   }
 
-  test("x_pagerank: rank joins broadcast — the edge stream shuffles only for groupBy(dst)") {
+  test("x_pagerank: rank joins never sort or shuffle the edge stream; only groupBy(dst) exchanges it") {
+    // rounds are materialized through stats-carrying checkpoints, so the
+    // executed plan shows the LAST round over the previous round's
+    // blocks: the contrib join auto-broadcasts the node-sized rank scan
+    // (from measured checkpoint stats — no broadcast() hint in Graph),
+    // the reinit join gets AQE-converted the same way
     val df = SparkEntry.queries("x_pagerank")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // 3 iterations × (contrib join + rank re-init join) = 6 broadcasts
-    assert(countOccurrences(p, "BroadcastHashJoin") >= 6,
-      s"rank joins fell back to shuffling the edge stream:\n$p")
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"),
+      s"measured checkpoint stats no longer drive the rank-join broadcast:\n$p")
+    assert(!finalSection.contains("SortMergeJoin"),
+      s"rank join fell back to sorting:\n$p")
+    // one edge-sized exchange (the contribution groupBy); the reinit
+    // join's probe side may add one node-sized exchange
+    assert(finalSection.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"edge stream shuffling more than groupBy(dst):\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 

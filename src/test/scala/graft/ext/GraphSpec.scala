@@ -95,6 +95,83 @@ class GraphSpec extends SparkSuite {
     assert(r(1L) > r(3L), s"expected heavy-edge endpoint to outrank: $r")
   }
 
+  test("pageRank co-partitioned mode: bit-identical to the broadcast mode") {
+    // broadcastBytesLimit = 1 forces the past-the-cliff path on any input;
+    // exact integer arithmetic means the two plans must agree exactly
+    val bc = Graph.pageRankScaled(fixture, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val cp = Graph.pageRankScaled(fixture, iters = 3,
+        broadcastBytesLimit = 1L, copartParts = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(bc == cp)
+    val wEdges = fixture.withColumn("w", lit(2L))
+    val bcW = Graph.pageRankScaledWeighted(wEdges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val cpW = Graph.pageRankScaledWeighted(wEdges, iters = 3,
+        broadcastBytesLimit = 1L, copartParts = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(bcW == cpW)
+  }
+
+  test("pageRank co-partitioned mode: rank joins are exchange-free shuffled-hash; edges never re-shuffle") {
+    val df = Graph.pageRankScaled(fixture, iters = 2,
+      broadcastBytesLimit = 1L, copartParts = 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"copart mode lost SHUFFLE_HASH:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"edge partitions being sorted:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"past-the-cliff mode must not assemble a broadcast:\n$p")
+    // visible round = contrib join (exchange-free: both sides
+    // pre-partitioned) + groupBy(dst) + reinit join (node-sized
+    // exchanges only). The edge-side scan must NOT sit under an
+    // exchange. Count the AQE FINAL section only (the dump repeats the
+    // initial plan below it).
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = finalSection.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"too many exchanges for one round ($exchanges):\n$p")
+  }
+
+  test("pageRankResume: k stored + j resumed rounds == k+j cold rounds, through parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ranks_spec").toString
+    val r3 = Graph.pageRankScaled(fixture, iters = 3)
+    Graph.writeRanks(r3, tmp)
+    val resumed = Graph.pageRankResume(fixture,
+        Graph.readRanks(spark, tmp), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val cold = Graph.pageRankScaled(fixture, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(resumed == cold)
+  }
+
+  test("triangleSample: all 16 buckets reproduce the exact count; fewer buckets stay consistent") {
+    val exact = Graph.triangleStats(fixture).collect().head
+    val full = Graph.triangleSample(fixture, sampleBuckets = 16).collect().head
+    assert(full.getAs[Long]("triangles_sampled") == exact.getAs[Long]("triangles"))
+    assert(full.getAs[Long]("wedges_sampled") == exact.getAs[Long]("wedges"))
+    assert(full.getAs[Long]("triangles_est") == exact.getAs[Long]("triangles"))
+    // a strict sample: counts can only shrink, estimator scales exactly
+    val half = Graph.triangleSample(fixture, sampleBuckets = 8).collect().head
+    assert(half.getAs[Long]("wedges_sampled") <= full.getAs[Long]("wedges_sampled"))
+    assert(half.getAs[Long]("triangles_est") ==
+      half.getAs[Long]("triangles_sampled") * 16L / 8L)
+  }
+
+  test("coOccurrenceEdgesCapped: hot keys dropped, bounded keys unaffected") {
+    // key 10 has 4 items (hot at cap=3); key 20 keeps its pair
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (20L, 2L), (20L, 5L))
+      .toDF("k", "i")
+    val capped = Graph.coOccurrenceEdgesCapped(df, "k", "i", maxItemsPerKey = 3L)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((2L, 5L)))
+    // cap >= max group size: identical to the uncapped operator
+    val uncapped = Graph.coOccurrenceEdges(df, "k", "i").as[(Long, Long)].collect().toSet
+    val wide = Graph.coOccurrenceEdgesCapped(df, "k", "i", maxItemsPerKey = 10L)
+      .as[(Long, Long)].collect().toSet
+    assert(wide == uncapped)
+  }
+
   test("commonNeighborsTopK: hand-checked counts, deterministic tie-break order") {
     // K4 minus edge (3,4): pair (3,4) has common {1,2}; (1,2) has {3,4};
     // all other adjacent pairs have exactly 1 common neighbor
