@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shims
 
 import graft.functions.Numeric
 
@@ -168,8 +169,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, nClusters: Int = 4, iterations: Int = 2,
               nProbe: Int = 2, k: Int = 3): DataFrame = {
-    val cents = ivfCentroids(corpus, idCol, vecCol, nClusters, iterations)
-      .localCheckpoint(true) // tiny model table; stop re-deriving k-means per use
+    // stats-carrying checkpoint: stops re-deriving k-means per use AND
+    // lets the probe/score joins see the model table's real (tiny) size
+    // instead of a stats-less scan — no broadcast hints needed downstream
+    val cents = shims.checkpointWithStats(
+      ivfCentroids(corpus, idCol, vecCol, nClusters, iterations))
     val lists = ivfAssign(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         col("cluster_id"), norm2Scaled(col(vecCol)).as("c_n2"))
@@ -187,9 +191,12 @@ object Similarity {
       norm2Scaled(col("cvec")).as("c_n2s"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("dist_s"), col("cluster_id"))
+    // `c` arrives with usable stats on both call paths (stats-carrying
+    // checkpoint in ivfTopK, parquet scan in the stored path), so the
+    // planner broadcasts it from measured size — no hint
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         norm2Scaled(col(vecCol)).as("q_n2"))
-      .crossJoin(broadcast(c))
+      .crossJoin(c)
       .withColumn("dist_s", col("c_n2s") - lit(2L) * dotScaled(col("q_vec"), col("cvec")))
       .withColumn("__rn", row_number().over(probeW)).filter(col("__rn") <= nProbe)
       .select(col("query_id"), col("q_vec"), col("q_n2"),
@@ -213,8 +220,8 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     nClusters: Int, iterations: Int, path: String): Unit = {
-    val cents = ivfCentroids(corpus, idCol, vecCol, nClusters, iterations)
-      .localCheckpoint(true)
+    val cents = shims.checkpointWithStats(
+      ivfCentroids(corpus, idCol, vecCol, nClusters, iterations))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     ivfAssign(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),

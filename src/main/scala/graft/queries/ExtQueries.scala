@@ -203,10 +203,19 @@ object ExtQueries {
         "doc_id", "n_tokens")
     }),
 
-    // ---- embedding-cosine near-dup: exact all-pairs baseline (O(n²))
+    // ---- embedding-cosine near-dup: exact baseline, SAMPLED — the
+    //      all-pairs spelling runs on a deterministic md5-bucket half of
+    //      the vectors (the x_lsh_recall move), so its cost is bounded by
+    //      the fraction dial (fraction² pairs; ~1e-3 at corpus scale) and
+    //      no registered query is quadratic in the full corpus. It exists
+    //      to ground the LSH recall contract; the production path is
+    //      x_embed_neardup_lsh. The unsampled equivalence lives in
+    //      SimilaritySpec/ExtSpec on the tiny fixtures only.
     "x_embed_neardup" -> ((s, d) =>
-      Similarity.cosineNearDupExact(Tables.embeddings(s, d), "vec_id",
-        "embedding", NearDupTau)),
+      Similarity.cosineNearDupExact(
+        Tables.embeddings(s, d).filter(
+          substring(md5(col("vec_id").cast("string")), 1, 1) < lit("8")),
+        "vec_id", "embedding", NearDupTau)),
 
     // ---- embedding-cosine near-dup via sign-bit LSH bands: candidates
     //      from a band equi-join, exact-verified (⊆ the exact result).
@@ -615,12 +624,14 @@ object ExtQueries {
        |  SELECT e.src, l.label FROM edges e JOIN lab l ON l.doc_id = e.dst)""".stripMargin
   }
 
-  private val annNormCte =
+  private def annNormCteFrom(src: String) =
     s"""nrm AS (
        |  SELECT vec_id, embedding, label,
        |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS n2
-       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+       |  FROM $src, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
        |  GROUP BY vec_id, embedding, label)""".stripMargin
+
+  private val annNormCte = annNormCteFrom("embeddings")
 
   /** Pairwise scaled-cosine over a candidate CTE `cand(vec_a, vec_b)`:
     * joins both sides to `nrm`, computes the exact scaled dot, rounds —
@@ -1375,8 +1386,12 @@ object ExtQueries {
          |           PARTITION BY comp_id ORDER BY q DESC, doc_id) = 1)
          |SELECT s.doc_id, b.keep_id FROM scored s JOIN best b USING (comp_id)""".stripMargin,
 
+    // same deterministic md5-bucket half as the Spark side
     "x_embed_neardup" ->
-      s"""WITH $annNormCte,
+      s"""WITH emb_s AS (
+         |  SELECT * FROM embeddings
+         |  WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'),
+         |${annNormCteFrom("emb_s")},
          |${pairCosineSql("nrm a JOIN nrm b ON a.vec_id < b.vec_id")}""".stripMargin,
 
     // the x_embed_neardup_lsh_demo pair CTEs + the recursive min-label

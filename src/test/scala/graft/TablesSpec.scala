@@ -35,7 +35,7 @@ class TablesSpec extends SparkSuite {
     }
   }
 
-  test("normalizeTs: nanos division is integer-exact above 2^53 ns (year 2262 boundary region)") {
+  test("normalizeTs: nanos division is integer-exact above the double-exact 2^53 ns threshold") {
     // a double intermediate loses sub-microsecond precision here
     val bigNanos = (1L << 53) + 7001L // not a multiple of 1000
     val out = Tables.normalizeTs(Seq((1L, bigNanos)).toDF("id", "ts"))
