@@ -16,7 +16,10 @@ import graft.functions.Numeric
   * patterns*: correlated scalar subqueries, per-group min/avg
   * decorrelation, EXISTS / NOT EXISTS self-joins, disjunctive pushdown,
   * HAVING-driven semi-joins, left-join count distributions, and
-  * scalar-max self-selection.
+  * scalar-max self-selection. With q11/q16 on a DERIVED partsupp
+  * (DISTINCT (l_partkey, l_suppkey) + deterministic key-arithmetic
+  * value/qty columns, reproducible in any engine), all 22 TPC-H shapes
+  * are registered.
   *
   * Determinism rules (same as the rest of the registry): money sums via
   * [[Numeric.scaledSum]] (order-independent integer accumulation),
@@ -318,6 +321,60 @@ object TpchQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("numcust"),
           Numeric.scaledSum(col("c_acctbal"), 2).as("totacctbal"))
+    }),
+
+    // ---- Q11 shape: HAVING against a GLOBAL scalar fraction. partsupp
+    //      derived as DISTINCT (l_partkey, l_suppkey); value is pure key
+    //      arithmetic ((pk·31+sk·7)%1000+1 cents × (pk·37+sk·17)%100+1
+    //      qty), so both engines hold identical BIGINTs. Per-part value
+    //      over one nation's suppliers; parts keeping > 1/1000 of the
+    //      national total pass — the total rides a 1-row broadcast (the
+    //      A2 pattern) and the comparison is exact integer
+    //      (part_value·1000 > total), no float threshold anywhere.
+    "q11_important_stock" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+        .withColumn("value_cents",
+          (pmod(col("ps_partkey") * 31 + col("ps_suppkey") * 7, lit(1000L)) + 1L) *
+            (pmod(col("ps_partkey") * 37 + col("ps_suppkey") * 17, lit(100L)) + 1L))
+      val supp7 = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val perPart = ps
+        .join(broadcast(supp7), col("ps_suppkey") === col("s_suppkey"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("value_cents")).as("part_value"))
+      val total = perPart.agg(sum(col("part_value")).as("total_value"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_value") * 1000 > col("total_value"))
+        .select(col("ps_partkey"), col("part_value"))
+    }),
+
+    // ---- Q16 shape: NOT IN → broadcast anti-join (the exclusion list —
+    //      complaint-proxy suppliers with negative balance — is tiny and
+    //      its key is non-null, so anti-join ≡ NOT IN), then
+    //      count-distinct suppliers per (brand, type, size) bucket after
+    //      a broadcast part filter.
+    "q16_supplier_cnt" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+      val excluded = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#13" &&
+          !col("p_type").startsWith("MEDIUM") &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      ps.join(broadcast(excluded),
+          col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
     })
   )
 
@@ -501,6 +558,44 @@ object TpchQueries {
          |  AND NOT EXISTS (SELECT 1 FROM orders
          |                  WHERE o_custkey = c_custkey
          |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
-         |GROUP BY c_mktsegment""".stripMargin
+         |GROUP BY c_mktsegment""".stripMargin,
+
+    // DuckDB sums BIGINT into HUGEINT — cast back so schemas align;
+    // keys are positive so % matches Spark's pmod
+    "q11_important_stock" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |  FROM lineitem),
+        |psv AS (
+        |  SELECT ps_partkey, ps_suppkey,
+        |    ((ps_partkey * 31 + ps_suppkey * 7) % 1000 + 1)
+        |      * ((ps_partkey * 37 + ps_suppkey * 17) % 100 + 1) AS value_cents
+        |  FROM ps),
+        |fil AS (
+        |  SELECT psv.ps_partkey, psv.value_cents FROM psv
+        |  JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE n_name = 'NATION_7'),
+        |pp AS (
+        |  SELECT ps_partkey, CAST(sum(value_cents) AS BIGINT) AS part_value
+        |  FROM fil GROUP BY ps_partkey),
+        |tot AS (SELECT CAST(sum(part_value) AS BIGINT) AS total_value FROM pp)
+        |SELECT ps_partkey, part_value FROM pp, tot
+        |WHERE part_value * 1000 > total_value""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |  FROM lineitem),
+        |kept AS (
+        |  SELECT * FROM ps
+        |  WHERE ps_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM kept JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin
   )
 }
