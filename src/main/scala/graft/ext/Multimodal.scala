@@ -16,14 +16,18 @@ import org.apache.spark.sql.functions._
   * (also in the JDK): sample rate, channels, frame count, duration, and
   * mean absolute amplitude from actual samples (`audioFeatures`). VIDEO
   * frame extraction is REAL for GIF containers (`decodeGifFrames` via
-  * ImageIO's multi-image reader), and MP4-class container METADATA is a
-  * REAL ISO-BMFF box parse (`parseMp4Meta`: brand, movie timescale +
-  * duration, track count, track dimensions — oracle-checked end to end
-  * via the in-house muxer `synthMp4`). The only remaining stub is
-  * MP4-class PIXEL decode (`decodeHeaderStub` fallback in
-  * `sampleFrames`), because this container ships no video codecs; the
-  * dispatch point and call-site shape are exactly where an FFmpeg-style
-  * codec would slot in.
+  * ImageIO's multi-image reader) AND for MJPEG AVI containers
+  * (`decodeAviFrames`: RIFF chunk walk to the movi LIST, each
+  * `##dc`/`##db` chunk an independent JPEG through the same ImageIO
+  * pixel path), and MP4-class container METADATA is a REAL ISO-BMFF box
+  * parse (`parseMp4Meta`: brand, movie timescale + duration, track
+  * count, track dimensions — oracle-checked end to end via the in-house
+  * muxer `synthMp4`). The only remaining stub is pixel decode for
+  * codec-compressed containers (H.264-class MP4/MKV — the
+  * `decodeHeaderStub` fallback in `sampleFrames`), because this
+  * container image ships no video codecs; the dispatch point and
+  * call-site shape are exactly where an FFmpeg-style codec would slot
+  * in.
   * The surrounding Spark plumbing is the production shape and is tested:
   * the (content binary, meta struct) schema, `mapPartitions` batch shape
   * (per-partition decoder setup — here `ImageIO.setUseCache(false)`, with
@@ -514,17 +518,133 @@ object Multimodal {
     } finally { reader.dispose(); iis.close() }
   }
 
+  /** RIFF/AVI container sniff ('RIFF' magic, 'AVI ' form type). */
+  def isAvi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+  /** REAL frame extraction for MJPEG AVI containers, JDK-only: an
+    * AVI/RIFF chunk walk (same little-endian chunk grammar the WAV sniff
+    * uses) down to the `movi` LIST, where every `##dc`/`##db` stream
+    * chunk whose payload starts with a JPEG SOI marker is an
+    * independently-encoded JPEG frame — that is the MJPEG codec — and
+    * goes through the SAME ImageIO pixel path as still images, re-encoded
+    * as PNG like the GIF frame path. Nested `rec ` grouping LISTs are
+    * walked recursively. Non-JPEG stream chunks (a codec this JVM can't
+    * decode) fail loudly, like every other sniffed-then-undecodable path
+    * here.
+    */
+  def decodeAviFrames(bytes: Array[Byte], stride: Int): Seq[(Int, Array[Byte])] = {
+    require(isAvi(bytes), s"not a RIFF/AVI payload (${bytes.length} bytes)")
+    def le32(o: Int): Long = (bytes(o) & 0xff).toLong |
+      ((bytes(o + 1) & 0xff).toLong << 8) |
+      ((bytes(o + 2) & 0xff).toLong << 16) | ((bytes(o + 3) & 0xff).toLong << 24)
+    def fourcc(o: Int) = new String(bytes, o, 4, "ISO-8859-1")
+    javax.imageio.ImageIO.setUseCache(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    var frameIdx = 0
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(off)
+        val size = le32(off + 4)
+        require(size >= 0 && off + 8 + size <= end,
+          s"malformed AVI chunk size $size for '$id'")
+        if (id == "LIST") {
+          val listType = fourcc(off + 8)
+          if (listType == "movi" || (inMovi && listType == "rec "))
+            walk(off + 12, off + 8 + size.toInt, inMovi = true)
+          // hdrl / strl / odml lists carry no frame data — skipped
+        } else if (inMovi && id.length == 4 &&
+            (id.endsWith("dc") || id.endsWith("db"))) {
+          val p = off + 8
+          require(size >= 2 &&
+              bytes(p) == 0xff.toByte && bytes(p + 1) == 0xd8.toByte,
+            s"stream chunk '$id' is not MJPEG (no JPEG SOI) — codec not decodable here")
+          if (frameIdx % stride == 0) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, p, size.toInt))
+            require(img != null, s"MJPEG frame $frameIdx failed to decode")
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            out += ((frameIdx, bos.toByteArray))
+          }
+          frameIdx += 1
+        }
+        off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    out.toSeq
+  }
+
+  /** MJPEG-AVI twin of [[synthMp4]]: a minimal RIFF/AVI (hdrl with an
+    * avih header, then a movi LIST of `1 + id%3` real ImageIO-encoded
+    * JPEG frames) with closed-form frame count and dimensions
+    * (16+(id%8)·8 × 16+((id/8)%8)·8, uniform gray 50+40·frameIdx).
+    * Dimensions and frame indexes survive the lossy JPEG round trip
+    * exactly (only sample values are quantized), so a driver query over
+    * the REAL chunk-walk + pixel decode is still oracle-checkable on
+    * (frame_idx, width, height).
+    */
+  def synthMjpegAvi(id: Long): Array[Byte] = {
+    val nFrames = 1 + (id % 3).toInt
+    val w = 16 + (id % 8).toInt * 8
+    val h = 16 + ((id / 8) % 8).toInt * 8
+    def chunk(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(tpe.getBytes("ISO-8859-1")).putInt(payload.length).put(payload)
+      b.array() // trailing pad byte (if any) stays zero: word alignment
+    }
+    def list(listType: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("ISO-8859-1") ++ payload)
+    val avih = chunk("avih", {
+      val b = ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40000) // microseconds per frame (25 fps)
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(nFrames).putInt(0)
+      b.putInt(1) // streams
+      b.putInt(0).putInt(w).putInt(h)
+      b.array()
+    })
+    val frames = (0 until nFrames).map { i =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = 50 + 40 * i
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.getRaster.setSample(x, y, 0, g); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      chunk("00dc", bos.toByteArray)
+    }
+    val body = "AVI ".getBytes("ISO-8859-1") ++
+      list("hdrl", avih) ++ list("movi", frames.reduce(_ ++ _))
+    chunk("RIFF", body)
+  }
+
   /** Frame sampling for video-kind payloads — the explode-shaped stage a
-    * real video pipeline has. GIF containers get REAL frames
-    * ([[decodeGifFrames]]); codec-requiring containers (MP4-class) fall
-    * back to the stub slicing of every `stride`-th `frameSize`-byte
-    * payload chunk, the one remaining decode stub in this module.
+    * real video pipeline has. GIF containers and MJPEG AVIs get REAL
+    * frames ([[decodeGifFrames]] / [[decodeAviFrames]]); only
+    * codec-compressed containers this JVM can't decode (H.264-class
+    * MP4/MKV) fall back to the stub slicing of every `stride`-th
+    * `frameSize`-byte payload chunk — the one remaining decode stub in
+    * this module.
     */
   def sampleFrames(ds: Dataset[MediaFile], frameSize: Int, stride: Int): Dataset[FrameSample] = {
     import ds.sparkSession.implicits._
     ds.flatMap { m =>
       if (isDecodableVideo(m.content))
         decodeGifFrames(m.content, stride).map { case (idx, png) =>
+          FrameSample(m.media_id, idx, png)
+        }
+      else if (isAvi(m.content))
+        decodeAviFrames(m.content, stride).map { case (idx, png) =>
           FrameSample(m.media_id, idx, png)
         }
       else {

@@ -315,6 +315,39 @@ object ExtQueries {
           col("height").cast("bigint").as("height"))
     }),
 
+    // ---- REAL MJPEG-AVI frame extraction (in-house muxer → real RIFF
+    //      chunk walk → real ImageIO pixel decode of every frame): the
+    //      oracle checks the fields that survive the lossy JPEG round
+    //      trip EXACTLY — frame index, width, height ((frame_idx,
+    //      media_id) keys also pin the stride/ordering contract). Pixel
+    //      values are asserted (±DC-quantization) in MultimodalSpec.
+    "x_avi_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 100).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val avi = graft.ext.Multimodal.synthMjpegAvi(id)
+            graft.ext.Multimodal.MediaFile(id, "video", avi,
+              graft.ext.Multimodal.MediaMeta(s"v_$id.avi", "video/x-msvideo",
+                avi.length.toLong))
+          }
+        }
+      graft.ext.Multimodal.sampleFrames(media, frameSize = 1024, stride = 1).toDF()
+        .select(col("media_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+          col("frame_bytes"))
+        .as[(Long, Long, Array[Byte])]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { case (id, idx, png) =>
+            val (w, h, _, _) = graft.ext.Multimodal.decodeImage(png)
+            (id, idx, w.toLong, h.toLong)
+          }
+        }
+        .toDF("media_id", "frame_idx", "width", "height")
+    }),
+
     // ---- deterministic 80/10/10 train/val/test split by md5 bucket
     "x_train_split" -> ((s, d) =>
       Corpus.assignSplit(Tables.documents(s, d).select(col("doc_id")), "doc_id")),
@@ -1335,6 +1368,17 @@ object ExtQueries {
         |  CAST(160 + (doc_id % 8) * 16 AS BIGINT) AS width,
         |  CAST(90 + ((doc_id // 8) % 8) * 18 AS BIGINT) AS height
         |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    // closed-form frame grid of the MJPEG muxer: the Spark side earns
+    // every row through a real RIFF walk + real JPEG pixel decode
+    "x_avi_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS nf,
+        |         16 + (doc_id % 8) * 8 AS w, 16 + ((doc_id // 8) % 8) * 8 AS h
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+        |FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS frame_idx) t""".stripMargin,
 
     "x_simhash" -> DedupOps.simhashOracleSql("documents", "doc_id", "text"),
 

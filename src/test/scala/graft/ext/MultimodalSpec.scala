@@ -261,4 +261,53 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.decodeHeaderStub(Array[Byte](1, 2, 3))
     }
   }
+
+  test("decodeAviFrames: REAL pixels from a synthesized 3-frame MJPEG AVI") {
+    // id = 2 → 3 frames of 32×16 uniform gray (50, 90, 130)
+    val avi = synthMjpegAvi(2L)
+    assert(isAvi(avi) && !isDecodableVideo(avi) && !isDecodableImage(avi))
+    val frames = decodeAviFrames(avi, stride = 1)
+    assert(frames.map(_._1) == Seq(0, 1, 2))
+    frames.foreach { case (idx, png) =>
+      // each extracted frame is a decodable PNG with the source dims and
+      // pixel values within JPEG DC-quantization distance of the source
+      val (w, h, bands, mean) = decodeImage(png)
+      assert((w, h, bands) == (32, 16, 1), s"frame $idx decoded ${w}x$h")
+      val expected = 50 + 40 * idx
+      assert(math.abs(mean - expected) <= 3.0,
+        s"frame $idx mean $mean vs uniform source $expected — not real pixels")
+    }
+    // stride skips frames by index
+    assert(decodeAviFrames(avi, stride = 2).map(_._1) == Seq(0, 2))
+  }
+
+  test("sampleFrames dispatches AVI to the real MJPEG path, keeps the stub for unknown kinds") {
+    val avi = MediaFile(1L, "video", synthMjpegAvi(1L),
+      MediaMeta("v_1.avi", "video/x-msvideo", 0L))
+    val blob = fakeMedia(2L, "video", 4, 4, 1, Array.fill(32)(7.toByte))
+    val got = sampleFrames(spark.createDataset(Seq(avi, blob)),
+        frameSize = 16, stride = 1)
+      .collect().groupBy(_.media_id)
+    // id 1 → 2 real PNG frames; id 2 → stub slices
+    assert(got(1L).length == 2)
+    got(1L).foreach(f => assert(isDecodableImage(f.frame_bytes)))
+    assert(got(2L).nonEmpty)
+    got(2L).foreach(f => assert(!isDecodableImage(f.frame_bytes)))
+  }
+
+  test("decodeAviFrames fails loudly on a non-MJPEG stream chunk") {
+    // hand-build an AVI whose 00dc payload is not JPEG
+    val bogus = {
+      def chunk(tpe: String, payload: Array[Byte]): Array[Byte] = {
+        val b = ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put(tpe.getBytes("ISO-8859-1")).putInt(payload.length).put(payload)
+        b.array()
+      }
+      val movi = chunk("LIST", "movi".getBytes("ISO-8859-1") ++
+        chunk("00dc", Array[Byte](1, 2, 3, 4)))
+      chunk("RIFF", "AVI ".getBytes("ISO-8859-1") ++ movi)
+    }
+    intercept[IllegalArgumentException] { decodeAviFrames(bogus, 1) }
+  }
 }
