@@ -58,10 +58,33 @@ object GraphScaleProbe {
         ext.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"),
         broadcastEdgeLimit = bLimit).show()
     }
-    time("pagerank x3") {
+    time("triangle sample 4/16") {
+      ext.Graph.triangleSample(
+        ext.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"),
+        sampleBuckets = 4, broadcastEdgeLimit = bLimit).show()
+    }
+    time("pagerank x3 (broadcast)") {
       ext.Graph.pageRankScaled(
         ext.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"), iters = 3)
         .agg(sum(col("rank"))).show()
+    }
+    time("pagerank x3 (copartitioned)") {
+      // broadcastBytesLimit = 1 forces the past-the-cliff mode so its
+      // per-round cost is measurable at any scale
+      ext.Graph.pageRankScaled(
+        ext.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"), iters = 3,
+        broadcastBytesLimit = 1L)
+        .agg(sum(col("rank"))).show()
+    }
+    time("pagerank resume +2 (stored)") {
+      val store = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_probe_ranks").toString
+      val edges = ext.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      ext.Graph.writeRanks(ext.Graph.pageRankScaled(edges, iters = 3), store)
+      val t0 = System.nanoTime()
+      ext.Graph.pageRankResume(edges, ext.Graph.readRanks(spark, store), iters = 2)
+        .agg(sum(col("rank"))).show()
+      println(f"[graphprobe]   resume-only portion ${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
     spark.stop()
   }

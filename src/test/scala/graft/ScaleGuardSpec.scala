@@ -95,6 +95,43 @@ class ScaleGuardSpec extends SparkSuite {
     assert(tB <= wB, s"triangles $tB exceed wedges $wB")
   }
 
+  test("triangle sampling: enumerated wedge volume shrinks by the bucket fraction") {
+    // the estimator's whole point is sample-don't-enumerate: with 4 of 16
+    // center buckets, the wedge join's volume must drop to ~1/4 — a
+    // post-enumeration filter (sampling AFTER the join) would show full
+    // volume upstream and defeat the scale path. Counts are md5-
+    // deterministic, so exact across runs.
+    Seq(small, big).foreach { d =>
+      val edges = graft.ext.Graph.coOccurrenceEdges(
+        Tables.lineitem(spark, d), "l_orderkey", "l_partkey")
+      val full = graft.ext.Graph.triangleStats(edges).collect().head
+      val samp = graft.ext.Graph.triangleSample(edges, sampleBuckets = 4).collect().head
+      val (wFull, wSamp) = (full.getAs[Long]("wedges"), samp.getAs[Long]("wedges_sampled"))
+      assert(wSamp <= (wFull * 45L) / 100L,
+        s"$d: sampled wedges $wSamp not ≲ 1/4 of $wFull — sampling not pre-join")
+      assert(samp.getAs[Long]("triangles_sampled") <= wSamp)
+      // unbiasedness sanity at 10× data (enough mass): estimate within 3×
+      if (d == big) {
+        val est = samp.getAs[Long]("triangles_est")
+        val exact = full.getAs[Long]("triangles")
+        assert(est <= 3 * exact && exact <= 3 * est,
+          s"estimator drifted: est $est vs exact $exact")
+      }
+    }
+  }
+
+  test("capped co-occurrence: pair fan-out stays linear in incidences at both scales") {
+    Seq(small, big).foreach { d =>
+      val li = Tables.lineitem(spark, d)
+      val incidences = li.select(col("l_orderkey"), col("l_partkey")).distinct().count()
+      val pairs = graft.ext.Graph.coOccurrenceEdgesCapped(
+        li, "l_orderkey", "l_partkey", maxItemsPerKey = 5L).count()
+      // per kept key: C(n,2) ≤ (cap-1)/2 · n = 2n ⇒ pairs ≤ 2 · incidences
+      assert(pairs <= 2L * incidences,
+        s"$d: capped pairs $pairs exceed the linear bound for $incidences incidences")
+    }
+  }
+
   test("range join: bounded by the point side at both scales (sessions don't overlap)") {
     Seq(small, big).foreach { d =>
       val out = SparkEntry.queries("x_range_join")(spark, d).count()
