@@ -327,8 +327,8 @@ object TpchQueries {
     //      derived as DISTINCT (l_partkey, l_suppkey); value is pure key
     //      arithmetic ((pk·31+sk·7)%1000+1 cents × (pk·37+sk·17)%100+1
     //      qty), so both engines hold identical BIGINTs. Per-part value
-    //      over one nation's suppliers; parts keeping > 1/1000 of the
-    //      national total pass — the total rides a 1-row broadcast (the
+    //      over one nation group's suppliers; parts keeping > 1/1000 of
+    //      the group total pass — the total rides a 1-row broadcast (the
     //      A2 pattern) and the comparison is exact integer
     //      (part_value·1000 > total), no float threshold anywhere.
     "q11_important_stock" -> ((s, d) => {
@@ -339,8 +339,12 @@ object TpchQueries {
         .withColumn("value_cents",
           (pmod(col("ps_partkey") * 31 + col("ps_suppkey") * 7, lit(1000L)) + 1L) *
             (pmod(col("ps_partkey") * 37 + col("ps_suppkey") * 17, lit(100L)) + 1L))
+      // nation GROUP (key ≡ 3 mod 5), not a single nation: sf0.001 has
+      // only 10 suppliers and some nations hold zero, which would empty
+      // the driver's rows>0 smoke — the plan shape (broadcast dim filter
+      // → per-part agg → global scalar HAVING) is unchanged
       val supp7 = Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+        .join(broadcast(Tables.nation(s, d).filter(pmod(col("n_nationkey"), lit(5)) === 3)),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
       val perPart = ps
@@ -575,7 +579,7 @@ object TpchQueries {
         |  SELECT psv.ps_partkey, psv.value_cents FROM psv
         |  JOIN supplier ON s_suppkey = ps_suppkey
         |  JOIN nation ON n_nationkey = s_nationkey
-        |  WHERE n_name = 'NATION_7'),
+        |  WHERE n_nationkey % 5 = 3),
         |pp AS (
         |  SELECT ps_partkey, CAST(sum(value_cents) AS BIGINT) AS part_value
         |  FROM fil GROUP BY ps_partkey),
