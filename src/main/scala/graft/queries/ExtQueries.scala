@@ -231,10 +231,14 @@ object ExtQueries {
     //      small fixtures, but candidate count degenerates toward n²/16
     //      past ~10k vectors (measured, SCALE.md) — kept under an
     //      explicit _demo suffix so nobody benchmarks it as the scale
-    //      path
+    //      path, and SAMPLED (same md5 half-bucket as x_embed_neardup)
+    //      so even the demo's degenerate band join is bounded by the
+    //      fraction dial rather than the corpus size
     "x_embed_neardup_lsh_demo" -> ((s, d) =>
-      Similarity.cosineNearDupLsh(Tables.embeddings(s, d), "vec_id",
-        "embedding", NearDupTau, NearDupPlanes, NearDupRowsPerBand, EmbDims)),
+      Similarity.cosineNearDupLsh(
+        Tables.embeddings(s, d).filter(
+          substring(md5(col("vec_id").cast("string")), 1, 1) < lit("8")),
+        "vec_id", "embedding", NearDupTau, NearDupPlanes, NearDupRowsPerBand, EmbDims)),
 
     // ---- REAL image decode, oracle-checked end-to-end: synthesize
     //      PNGs from closed-form parameters (Multimodal.synthImage),
@@ -1454,8 +1458,12 @@ object ExtQueries {
          |  SELECT e.src, l.label FROM edges e JOIN lab l ON l.vid = e.dst)
          |SELECT vid AS vec_id, min(label) AS keep_id FROM lab GROUP BY vid""".stripMargin,
 
+    // same deterministic md5-bucket half as the Spark side
     "x_embed_neardup_lsh_demo" ->
-      s"""WITH $annNormCte,
+      s"""WITH emb_s AS (
+         |  SELECT * FROM embeddings
+         |  WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'),
+         |${annNormCteFrom("emb_s")},
          |$signBitBandCtesSql,
          |${pairCosineSql(
            "cand c JOIN nrm a ON a.vec_id = c.vec_a JOIN nrm b ON b.vec_id = c.vec_b")}""".stripMargin,
