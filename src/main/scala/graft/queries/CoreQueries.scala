@@ -227,6 +227,14 @@ object CoreQueries {
     "t3_streaming_dedup" -> ((s, d) =>
       graft.streaming.StreamingDedup.availableNowDedupKeys(s, d)),
 
+    // ---- stream-stream interval join drained end-to-end: purchases
+    //      matched to same-user clicks in the preceding hour, watermark
+    //      state bounded on both sides. The emitted (user, purchase,
+    //      click) id triples are a pure match set — hash-equal to the
+    //      batch interval join whatever the micro-batch boundaries.
+    "t5_stream_interval_join" -> ((s, d) =>
+      graft.streaming.StreamingJoin.availableNowAttribution(s, d)),
+
     // ---- §7.3 flagship slice: extract → key → dedup → quality gate → hourly agg.
     //      Composed lazily so Catalyst fuses the whole medallion chain
     //      (view-inlining parity, SURVEY §3.2).
@@ -384,6 +392,14 @@ object CoreQueries {
 
     "t3_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "t5_stream_interval_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 3600 SECONDS
+        | AND c.ts <= p.ts""".stripMargin,
 
     "q_pipeline_e2e" ->
       s"""WITH stg AS (

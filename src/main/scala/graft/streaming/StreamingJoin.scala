@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Stream-stream interval join — the streaming counterpart of
   * [[graft.operators.RangeJoin]]/[[graft.operators.AsOf]]: match each
@@ -45,5 +46,47 @@ object StreamingJoin {
         col(rightTime) >= col(leftTime) - expr(s"INTERVAL $lookbackSec SECONDS") &&
         col(rightTime) <= col(leftTime))
     keys.foldLeft(joined)((df, k) => df.drop(r(k)))
+  }
+
+  /** The whole stream-stream attribution chain drained end-to-end (the
+    * `t5_stream_interval_join` driver query): two file streams over the
+    * same events source — purchases on the left, clicks on the right —
+    * joined per user on "click within the hour before the purchase",
+    * append-mode parquet sink, `Trigger.AvailableNow`.
+    *
+    * The emitted columns are the two event ids (plus the user key), so
+    * the result is a pure match SET — hash-checkable against the batch
+    * interval join regardless of micro-batch boundaries. Exact parity
+    * holds when each match's two sides land within the watermark of
+    * each other (trivially true for a single-file drain, the
+    * driver-testdata shape); pairs separated farther belong to the
+    * batch as-of/range operators, the same lambda-collapse split as
+    * [[StreamingDedup]].
+    */
+  def availableNowAttribution(spark: org.apache.spark.sql.SparkSession,
+                              sfDir: String,
+                              lookbackSec: Long = 3600): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+    val out = s"$work/matches"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def stream(): DataFrame = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(s"$sfDir/{events.parquet}"))
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val q = intervalJoin(purchases, clicks, Seq("user_id"), "p_ts", "c_ts",
+        lookbackSec, watermarkSec = lookbackSec)
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$work/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
   }
 }

@@ -63,6 +63,21 @@ class StreamingJoinSpec extends SparkSuite {
     assert(joined.isStreaming)
   }
 
+  test("drained attribution chain equals the batch interval join on testdata") {
+    val got = StreamingJoin.availableNowAttribution(spark, "/root/testdata/sf0.001")
+      .select("user_id", "purchase_id", "click_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val want = StreamingJoin.intervalJoin(p, c, Seq("user_id"), "p_ts", "c_ts", 3600, 3600)
+      .select("user_id", "purchase_id", "click_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("same-named time columns are rejected") {
     val df = Seq(("2026-01-01 10:00:00", "a", 1L)).toDF("ts_s", "user", "id")
       .select(col("ts_s").cast("timestamp").as("ts"), col("user"), col("id"))
