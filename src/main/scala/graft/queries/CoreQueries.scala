@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Keys, Numeric}
-import graft.operators.{Dedup, Merge, Pivot}
+import graft.operators.{Dedup, Merge, Pivot, SnapshotDiff}
 import graft.quality.Checks
 
 /** Driver-contract queries covering SURVEY §2's relational operator rows
@@ -258,7 +258,28 @@ object CoreQueries {
     "chk_relationships" -> ((s, d) =>
       Checks.relationships(Tables.lineitem(s, d), "l_orderkey",
         Tables.orders(s, d), "o_orderkey")),
-    "chk_is_between" -> ((s, d) => Checks.isBetween(Tables.events(s, d), "value", -1000, 1000))
+    "chk_is_between" -> ((s, d) => Checks.isBetween(Tables.events(s, d), "value", -1000, 1000)),
+
+    // ---- snapshot diff (load audit / CDC seed): the "new" snapshot is
+    //      derived from orders by pure key arithmetic — keys ≡0 mod 97
+    //      deleted, custkey bumped for ≡0 mod 13, re-keyed copies added
+    //      for ≡0 mod 53 — so both engines reconstruct the identical
+    //      pair of versions and the diff itself is what's under test.
+    //      Digest compare happens BEFORE the full-outer join (the
+    //      exchange carries key + 32 hex chars, not row width).
+    "x_snapshot_diff" -> ((s, d) => {
+      val vals = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+      val o = Tables.orders(s, d)
+        .select(("o_orderkey" +: vals).map(col): _*)
+      val base = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      val changed = base.withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(13)) === 0, col("o_custkey") + 1)
+          .otherwise(col("o_custkey")))
+      val added = o.filter(pmod(col("o_orderkey"), lit(53)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+      SnapshotDiff.changes(o, changed.unionByName(added),
+        Seq("o_orderkey"), vals)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -400,6 +421,35 @@ object CoreQueries {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL 3600 SECONDS
         | AND c.ts <= p.ts""".stripMargin,
+
+    // direct value compare instead of the engine's digest compare —
+    // equivalent statuses, so a digest bug surfaces as a hash mismatch
+    "x_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |  FROM orders),
+        |base AS (SELECT * FROM o WHERE o_orderkey % 97 <> 0),
+        |chg AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1
+        |         ELSE o_custkey END AS o_custkey,
+        |    o_orderstatus, o_orderpriority
+        |  FROM base),
+        |added AS (
+        |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+        |    o_orderstatus, o_orderpriority
+        |  FROM o WHERE o_orderkey % 53 = 0),
+        |nw AS (SELECT * FROM chg UNION ALL SELECT * FROM added),
+        |d AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.o_custkey <> n.o_custkey
+        |           OR o.o_orderstatus <> n.o_orderstatus
+        |           OR o.o_orderpriority <> n.o_orderpriority THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM o FULL JOIN nw n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, status FROM d WHERE status <> 'unchanged'""".stripMargin,
 
     "q_pipeline_e2e" ->
       s"""WITH stg AS (
