@@ -129,6 +129,43 @@ object Graph {
       .limit(k)
   }
 
+  /** `rounds` simultaneous peeling rounds toward the k-core: each round
+    * drops every node whose CURRENT degree is below `k` (both endpoints
+    * must survive for an edge to survive), then recomputes degrees on
+    * what's left. Full k-core = peel to fixpoint; the fixed-round form
+    * is the oracle-checkable contract (an unrolled-CTE twin reproduces
+    * it bit for bit), and at fixpoint the two coincide. Returns the
+    * surviving nodes with their degree in the peeled graph.
+    *
+    * Scale shape, per round: one map-side-combined degree aggregation +
+    * two semi-joins of the edge stream against the node-sized keep set.
+    * Rounds materialize through stats-carrying checkpoints (the
+    * PageRank pattern): lineage stays round-sized instead of growing
+    * 3× per round (the symmetrized list has three consumers), and the
+    * keep side auto-broadcasts from measured stats — no hints. Prior
+    * rounds' blocks are freed as soon as the next round materializes.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var sym = shims.checkpointWithStats(
+      edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst"))))
+    var prev = sym
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      val pruned = sym
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+      sym = shims.checkpointWithStats(pruned)
+      shims.unpersistLocalCheckpoint(prev)
+      prev = sym
+    }
+    // the final checkpoint stays live: the returned frame reads its blocks
+    sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Node degrees of an undirected edge list (`u < v` canonical). */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))

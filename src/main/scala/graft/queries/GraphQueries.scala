@@ -78,6 +78,14 @@ object GraphQueries {
     "x_pagerank_weighted" -> ((s, d) =>
       Graph.pageRankScaledWeighted(weightedBackbone(s, d), iters = 3)),
 
+    // 3 peeling rounds toward the 3-core of the w>=2 backbone: per
+    // round, one degree agg + two semi-joins against the node-sized
+    // keep set — stats-checkpointed rounds, same posture as PageRank.
+    // (Fixed rounds, not fixpoint, is the oracle-checkable contract;
+    // sf0.01 peels 1880 -> 1019 nodes over the 3 rounds.)
+    "x_kcore" -> ((s, d) =>
+      Graph.kCorePeel(backbone(s, d), k = 3, rounds = 3)),
+
     // link-prediction score on the w>=2 BACKBONE: top-30 pairs by
     // common-neighbor count, deterministic (count desc, a, b) tie-break.
     // Backbone, not the raw graph, deliberately: the full co-purchase
@@ -237,6 +245,30 @@ object GraphQueries {
     },
 
     "x_pagerank" -> pageRankRoundsSql(3),
+
+    // unrolled simultaneous peel: keep sets are degree-HAVING filters,
+    // an inner join against a GROUP BY set == the engine's semi-join
+    "x_kcore" -> {
+      def round(i: Int): String =
+        s"""k$i AS (SELECT src FROM sym${i - 1} GROUP BY src HAVING count(*) >= 3),
+           |sym$i AS (
+           |  SELECT s.src, s.dst FROM sym${i - 1} s
+           |  JOIN k$i a ON a.src = s.src JOIN k$i b ON b.src = s.dst)""".stripMargin
+      s"""WITH inc AS (
+         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+         |wpairs AS (
+         |  SELECT a.i AS u, b.i AS v, count(*) AS w
+         |  FROM inc a JOIN inc b USING (k) WHERE a.i < b.i GROUP BY 1, 2),
+         |pairs AS (SELECT u, v FROM wpairs WHERE w >= 2),
+         |sym0 AS (
+         |  SELECT u AS src, v AS dst FROM pairs
+         |  UNION ALL SELECT v, u FROM pairs),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT src AS n, CAST(count(*) AS BIGINT) AS deg
+         |FROM sym3 GROUP BY src""".stripMargin
+    },
 
     // the warm-start contract IS "3 stored + 2 resumed == 5 cold rounds"
     "x_pagerank_resumed" -> pageRankRoundsSql(5),

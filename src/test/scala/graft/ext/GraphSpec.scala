@@ -172,6 +172,25 @@ class GraphSpec extends SparkSuite {
     assert(wide == uncapped)
   }
 
+  test("kCorePeel: pendant chain peels away, the triangle core survives") {
+    // fixture: triangle (1,2,3) + chain 3-4-5. 2-core = the triangle:
+    // round 1 drops 5 (deg 1), round 2 drops 4 (its deg fell to 1),
+    // round 3 is the fixed point — every survivor at degree 2.
+    val got = Graph.kCorePeel(fixture, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+
+    // fewer rounds than the peel depth: node 4 still present after 1
+    val r1 = Graph.kCorePeel(fixture, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1.keySet == Set(1L, 2L, 3L, 4L))
+
+    // a graph already at the core is a fixed point of more rounds
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    assert(Graph.kCorePeel(k3, 2, 5).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("commonNeighborsTopK: hand-checked counts, deterministic tie-break order") {
     // K4 minus edge (3,4): pair (3,4) has common {1,2}; (1,2) has {3,4};
     // all other adjacent pairs have exactly 1 common neighbor
