@@ -49,7 +49,8 @@ object Multimodal {
                            mean_intensity: Double, content_hash: String)
   case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
                            n_frames: Long, duration_sec: Double,
-                           mean_abs_amplitude: Double, content_hash: String)
+                           mean_abs_amplitude: Double, zero_crossings: Long,
+                           energy: Long, content_hash: String)
   case class FrameSample(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
   case class VideoMeta(media_id: Long, brand: String, duration_sec: Double,
                        timescale: Long, n_tracks: Int, width: Int, height: Int,
@@ -139,11 +140,19 @@ object Multimodal {
       }
 
   /** REAL audio decode via `javax.sound.sampled` (in the JDK, like
-    * ImageIO): (sampleRate, channels, frames, duration, mean |amplitude|
-    * over all samples). PCM 16-bit (either endianness) and 8-bit
-    * supported — the formats the JDK itself parses.
+    * ImageIO): (sampleRate, channels, frames, duration, mean |amplitude|,
+    * zeroCrossings, energy) over all samples. PCM 16-bit (either
+    * endianness) and 8-bit supported — the formats the JDK itself
+    * parses.
+    *
+    * zeroCrossings and energy are EXACT integers (count of adjacent
+    * sign flips over the interleaved sample stream — both neighbors
+    * strictly nonzero with opposite signs; Σ sample², centered for
+    * 8-bit), so the oracle can closed-form them from the synth
+    * parameters — a decode that mangles any single sample, not just the
+    * mean, hash-mismatches.
     */
-  def decodeAudio(bytes: Array[Byte]): (Int, Int, Long, Double, Double) = {
+  def decodeAudio(bytes: Array[Byte]): (Int, Int, Long, Double, Double, Long, Long) = {
     val ais = javax.sound.sampled.AudioSystem
       .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
     try {
@@ -151,21 +160,35 @@ object Multimodal {
       val frames = ais.getFrameLength
       val duration = frames.toDouble / fmt.getSampleRate
       val data = ais.readAllBytes()
+      var zc = 0L; var energy = 0L; var prev = 0L
       val mean = fmt.getSampleSizeInBits match {
         case 16 =>
           val bb = ByteBuffer.wrap(data).order(
             if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
             else java.nio.ByteOrder.LITTLE_ENDIAN)
           var s = 0L; var n = 0
-          while (bb.remaining() >= 2) { s += math.abs(bb.getShort.toLong); n += 1 }
+          while (bb.remaining() >= 2) {
+            val v = bb.getShort.toLong
+            s += math.abs(v); energy += v * v
+            if (prev * v < 0) zc += 1
+            if (v != 0) prev = v
+            n += 1
+          }
           if (n == 0) 0.0 else s.toDouble / n
         case 8 =>
-          if (data.isEmpty) 0.0
-          else data.map(b => math.abs((b & 0xff) - 128).toLong).sum.toDouble / data.length
+          var s = 0L; var i = 0
+          while (i < data.length) {
+            val v = ((data(i) & 0xff) - 128).toLong
+            s += math.abs(v); energy += v * v
+            if (prev * v < 0) zc += 1
+            if (v != 0) prev = v
+            i += 1
+          }
+          if (data.isEmpty) 0.0 else s.toDouble / data.length
         case other =>
           throw new IllegalArgumentException(s"unsupported PCM width: $other bits")
       }
-      (fmt.getSampleRate.toInt, fmt.getChannels, frames, duration, mean)
+      (fmt.getSampleRate.toInt, fmt.getChannels, frames, duration, mean, zc, energy)
     } finally ais.close()
   }
 
@@ -179,10 +202,10 @@ object Multimodal {
     ds.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.filter(m => isDecodableAudio(m.content)).map { m =>
-        val (sr, ch, frames, dur, mean) = decodeAudio(m.content)
+        val (sr, ch, frames, dur, mean, zc, energy) = decodeAudio(m.content)
         md.reset()
         val hash = md.digest(m.content).map("%02x".format(_)).mkString
-        AudioFeatures(m.media_id, sr, ch, frames, dur, mean, hash)
+        AudioFeatures(m.media_id, sr, ch, frames, dur, mean, zc, energy, hash)
       }
     }
   }

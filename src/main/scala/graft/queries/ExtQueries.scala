@@ -276,7 +276,8 @@ object ExtQueries {
       graft.ext.Multimodal.audioFeatures(media).toDF()
         .select(col("media_id"), col("sample_rate").cast("bigint").as("sample_rate"),
           col("channels").cast("bigint").as("channels"), col("n_frames"),
-          col("duration_sec"), col("mean_abs_amplitude"))
+          col("duration_sec"), col("mean_abs_amplitude"),
+          col("zero_crossings"), col("energy"))
     }),
 
     // ---- REAL nearest-neighbor resize → decode → features: the mapping
@@ -1336,12 +1337,20 @@ object ExtQueries {
         |    / (w * h) AS mean_intensity
         |FROM p""".stripMargin,
 
+    // the synth wave is ±amp square with 25-frame half-periods, so the
+    // sample-level stats are closed-form: sign flips at every 25-frame
+    // boundary → (frames-1)//25 crossings; every sample contributes
+    // amp² → energy = frames·amp². A decode that mangles ANY sample
+    // breaks one of these, not just the mean.
     "x_audio_features" ->
       """SELECT doc_id AS media_id,
         |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
         |  CAST(100 + (doc_id % 50) * 10 AS BIGINT) AS n_frames,
         |  CAST(100 + (doc_id % 50) * 10 AS DOUBLE) / 8000.0 AS duration_sec,
-        |  CAST(100 + doc_id % 900 AS DOUBLE) AS mean_abs_amplitude
+        |  CAST(100 + doc_id % 900 AS DOUBLE) AS mean_abs_amplitude,
+        |  CAST((100 + (doc_id % 50) * 10 - 1) // 25 AS BIGINT) AS zero_crossings,
+        |  CAST((100 + (doc_id % 50) * 10)
+        |    * (100 + doc_id % 900) * (100 + doc_id % 900) AS BIGINT) AS energy
         |FROM documents WHERE doc_id < 200""".stripMargin,
 
     // resized pixel (x,y) = base + ⌊x·w/8⌋ + ⌊y·h/8⌋; the mean over the
