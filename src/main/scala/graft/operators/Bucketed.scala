@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Hive-style bucketed tables: the pre-shuffle that makes repeated
+  * big-to-big joins free. Writing both sides bucketed (and sorted) by
+  * the join key hash-partitions the DATA AT REST into `numBuckets`
+  * files per side; every later join on that key scans co-located
+  * buckets and runs a sort-merge join with ZERO Exchange and ZERO Sort
+  * on either side — the shuffle is paid once at write time and
+  * amortized over every subsequent query. This is the canonical 100 TB
+  * fact-to-fact posture (broadcast handles small dims; bucketing
+  * handles the joins where NEITHER side fits memory), the same
+  * amortization move as the stored IVF index in `Similarity.scala`.
+  * BucketedSpec pins the plan property (no Exchange below the join).
+  *
+  * Reference analog: BigQuery clustered tables co-locate sort keys for
+  * pruning (`scripts/load_to_bigquery.py` cluster spec); bucketing is
+  * the Spark-native form that additionally buys shuffle-free joins.
+  *
+  * Bucket count is a physical layout decision: it fixes the join's
+  * parallelism floor (each bucket pair is one task), so size it to
+  * target-cluster cores × a small factor — 16 here for local[32]
+  * testdata; thousands on a real warehouse. Both sides MUST agree on
+  * numBuckets or Spark re-shuffles the mismatched side.
+  */
+object Bucketed {
+
+  /** Write `df` as an EXTERNAL parquet table at `path`, bucketed and
+    * sorted by `key` into `numBuckets` buckets, registered in the
+    * session catalog as `name` (replacing any prior registration —
+    * reruns are idempotent, the S12 discipline).
+    */
+  def writeBucketed(df: DataFrame, name: String, path: String, key: String,
+      numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.format("parquet")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(name)
+  }
+
+  /** Join two bucketed catalog tables on `leftKey = rightKey`. When both
+    * tables were written by [[writeBucketed]] with the same bucket
+    * count, the physical plan is a sort-merge join over bucketed scans —
+    * no Exchange, no Sort (the buckets are pre-sorted).
+    */
+  def coLocatedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
+}

@@ -564,6 +564,46 @@ object AnalyticsQueries {
         .unionByName(statsFor("l_linenumber"))
     }),
 
+    // ---- histogram-sketch quantiles: constant 2 KB of state per group
+    //      at ANY row count (vs x_approx_quantiles' bottom-k sample,
+    //      whose error grows once groups outgrow k) — one buffer, one
+    //      pass, three percents; all integer arithmetic, so the sketch
+    //      answer itself is oracle-checked bit for bit
+    "x_hist_quantiles" -> ((s, d) => {
+      val qs = graft.functions.HistQuantile.histQuantiles(
+        col("n_chars"), lo = 0L, width = 4L, buckets = 256, Seq(50, 90, 99))
+      Tables.documents(s, d).filter(col("n_chars").isNotNull)
+        .groupBy(col("source"))
+        .agg(qs.as("qs"), count(lit(1)).as("n_docs"))
+        .select(col("source"),
+          col("qs").getItem(0).as("p50_chars"),
+          col("qs").getItem(1).as("p90_chars"),
+          col("qs").getItem(2).as("p99_chars"),
+          col("n_docs"))
+    }),
+
+    // ---- co-bucketed fact join: both sides written bucketBy(16, key)
+    //      + sortBy, so the join runs with ZERO Exchange/Sort on either
+    //      side (BucketedSpec pins the plan) — the pay-the-shuffle-once
+    //      posture for repeated big-to-big joins at 100 TB. The money
+    //      sum is floor-scaled to exact integer cents so the hash is
+    //      summation-order-free.
+    "x_bucketed_join" -> ((s, d) => {
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bucketed").toString
+      graft.operators.Bucketed.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", s"$tmp/orders", "o_custkey", numBuckets = 16)
+      graft.operators.Bucketed.writeBucketed(
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        "b_customer", s"$tmp/customer", "c_custkey", numBuckets = 16)
+      graft.operators.Bucketed.coLocatedJoin(s, "b_orders", "b_customer",
+          "o_custkey", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("cents_total"))
+    }),
+
     // ---- null-safe equality, guarded division, null-propagating concat
     "p_null_safety" -> ((s, d) => {
       val k = get_json_object(col("props"), "$.k").cast("bigint")
@@ -695,6 +735,43 @@ object AnalyticsQueries {
            |FROM lineitem""".stripMargin
       Seq("l_orderkey", "l_quantity", "l_linenumber").map(one).mkString("\nUNION ALL\n")
     },
+
+    // identical clamp / ceil-rank / lower-edge arithmetic as the
+    // HistQuantile aggregate — integers end to end, so the SKETCH
+    // answer (not a tolerance band) is what hash-matches
+    "x_hist_quantiles" -> {
+      def q(p: Int, alias: String) =
+        s"CAST(min(CASE WHEN cum >= (${graft.functions.HistQuantile
+          .targetRankSql("n", p)}) THEN bk * 4 END) AS BIGINT) AS $alias"
+      s"""WITH b AS (
+         |  SELECT source,
+         |    LEAST(255, GREATEST(0, n_chars // 4)) AS bk
+         |  FROM documents WHERE n_chars IS NOT NULL
+         |), c AS (
+         |  SELECT source, bk, count(*) AS cnt FROM b GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT source, bk,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY bk) AS cum,
+         |    sum(cnt) OVER (PARTITION BY source) AS n
+         |  FROM c
+         |)
+         |SELECT source,
+         |  ${q(50, "p50_chars")},
+         |  ${q(90, "p90_chars")},
+         |  ${q(99, "p99_chars")},
+         |  CAST(max(n) AS BIGINT) AS n_docs
+         |FROM cum GROUP BY source""".stripMargin
+    },
+
+    // the bucketed layout is a physical-plan property; the ANSWER is a
+    // plain join-aggregate — exact integer cents in both engines
+    "x_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     // The oracle states as-of declaratively (nearest-per-left via
     // QUALIFY over a non-equi join — fine at oracle scale, the exact

@@ -86,6 +86,21 @@ object GraphQueries {
     "x_kcore" -> ((s, d) =>
       Graph.kCorePeel(backbone(s, d), k = 3, rounds = 3)),
 
+    // multi-source BFS on the w>=2 backbone: exact hop distance from
+    // the md5-bucket-'0' landmark nodes (~1/16 of nodes,
+    // deterministic), capped at 3 rounds. Engine runs frontier-driven
+    // rounds (O(m) total work); the oracle is the unrolled
+    // propagate-everything min-merge — same function (min walk ≤ i =
+    // min path ≤ i), different work bound.
+    "x_bfs_hops" -> ((s, d) => {
+      val bb = backbone(s, d)
+      val seeds = Graph.degrees(bb).select(org.apache.spark.sql.functions.col("n"))
+        .filter(org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("n").cast("string")), 1, 1) === "0")
+      Graph.bfsHops(bb, seeds, rounds = 3)
+    }),
+
     // link-prediction score on the w>=2 BACKBONE: top-30 pairs by
     // common-neighbor count, deterministic (count desc, a, b) tie-break.
     // Backbone, not the raw graph, deliberately: the full co-purchase
@@ -272,6 +287,36 @@ object GraphQueries {
 
     // the warm-start contract IS "3 stored + 2 resumed == 5 cold rounds"
     "x_pagerank_resumed" -> pageRankRoundsSql(5),
+
+    // unrolled min-merge rounds: d_i(v) = min walk length <= i from the
+    // seed set = min PATH length <= i — exactly what the engine's
+    // frontier BFS settles by round i
+    "x_bfs_hops" -> {
+      def round(i: Int): String =
+        s"""d$i AS (
+           |  SELECT n, min(h) AS h FROM (
+           |    SELECT n, h FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT sym.dst, d${i - 1}.h + 1
+           |    FROM sym JOIN d${i - 1} ON sym.src = d${i - 1}.n)
+           |  GROUP BY n)""".stripMargin
+      s"""WITH inc AS (
+         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+         |wpairs AS (
+         |  SELECT a.i AS u, b.i AS v, count(*) AS w
+         |  FROM inc a JOIN inc b USING (k) WHERE a.i < b.i GROUP BY 1, 2),
+         |pairs AS (SELECT u, v FROM wpairs WHERE w >= 2),
+         |sym AS (
+         |  SELECT u AS src, v AS dst FROM pairs
+         |  UNION ALL SELECT v, u FROM pairs),
+         |d0 AS (
+         |  SELECT DISTINCT src AS n, CAST(0 AS BIGINT) AS h FROM sym
+         |  WHERE substring(md5(CAST(src AS VARCHAR)), 1, 1) = '0'),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT n, h AS hops FROM d3""".stripMargin
+    },
 
     // sampled estimator twin: same md5 center-bucket filter, same exact
     // closure check against the FULL oriented edge set, same integer

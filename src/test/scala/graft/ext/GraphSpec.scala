@@ -191,6 +191,29 @@ class GraphSpec extends SparkSuite {
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("bfsHops: exact hop distances, round cap, unreached nodes absent") {
+    val g = fixture.unionAll(Seq((6L, 7L)).toDF("u", "v")) // 6-7 disconnected
+    val seeds = Seq(1L).toDF("n")
+    // full depth: 1→0, 2/3→1 (direct), 4→2 (via 3), 5→3 (via 4)
+    val full = Graph.bfsHops(g, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L),
+      s"got $full") // 6,7 unreached → absent
+    // the cap truncates, it doesn't approximate: rounds=1 settles only
+    // the direct neighbors
+    val r1 = Graph.bfsHops(g, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bfsHops: multi-source takes the min over seeds; duplicate seeds collapse") {
+    val seeds = Seq(1L, 5L, 5L).toDF("n")
+    val d = Graph.bfsHops(fixture, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // 4 is adjacent to seed 5 → 1, not 2-via-3
+    assert(d == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("commonNeighborsTopK: hand-checked counts, deterministic tie-break order") {
     // K4 minus edge (3,4): pair (3,4) has common {1,2}; (1,2) has {3,4};
     // all other adjacent pairs have exactly 1 common neighbor
