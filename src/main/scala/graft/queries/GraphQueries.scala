@@ -92,8 +92,12 @@ object GraphQueries {
     // rounds (O(m) total work); the oracle is the unrolled
     // propagate-everything min-merge — same function (min walk ≤ i =
     // min path ≤ i), different work bound.
+    // (the backbone is stats-checkpointed ONCE: both the seed
+    // derivation and the symmetrized edge list read its blocks —
+    // without it the co-occurrence self-join runs twice, measured
+    // 12.2 s → expected backbone-once cost at sf0.1)
     "x_bfs_hops" -> ((s, d) => {
-      val bb = backbone(s, d)
+      val bb = org.apache.spark.sql.graft.shims.checkpointWithStats(backbone(s, d))
       val seeds = Graph.degrees(bb).select(org.apache.spark.sql.functions.col("n"))
         .filter(org.apache.spark.sql.functions.substring(
           org.apache.spark.sql.functions.md5(
