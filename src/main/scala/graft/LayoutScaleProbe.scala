@@ -45,6 +45,21 @@ object LayoutScaleProbe {
       println(s"[layoutprobe]   groups = $n")
     }
 
+    // ---- global row numbering: bucket-rank + offset (one data
+    //      shuffle) vs the single-reducer global window it replaces
+    val li = Tables.lineitem(spark, dir)
+      .select((col("l_orderkey") * 8 + col("l_linenumber")).as("k"))
+    time("global_rownum (bucketed)") {
+      val n = operators.GlobalIndex.rowNumber(li, Seq("k"), buckets = 256)
+        .agg(max(col("rn"))).collect()(0).getLong(0)
+      println(s"[layoutprobe]   rows = $n")
+    }
+    time("global_rownum (1-reducer)") {
+      import org.apache.spark.sql.expressions.Window
+      li.withColumn("rn", row_number().over(Window.orderBy(col("k"))))
+        .agg(max(col("rn"))).collect()
+    }
+
     // ---- bucketed join amortization: plain shuffle join vs one-time
     //      bucketed write + repeated shuffle-free joins
     val orders = Tables.orders(spark, dir)

@@ -47,6 +47,7 @@ object Multimodal {
   case class MediaFile(media_id: Long, kind: String, content: Array[Byte], meta: MediaMeta)
   case class ImageFeatures(media_id: Long, width: Int, height: Int, channels: Int,
                            mean_intensity: Double, content_hash: String)
+  case class ImageHash(media_id: Long, phash: String)
   case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
                            n_frames: Long, duration_sec: Double,
                            mean_abs_amplitude: Double, zero_crossings: Long,
@@ -347,6 +348,58 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(out, "png", bos)
     bos.toByteArray
+  }
+
+  /** Average-hash (aHash) perceptual fingerprint: nearest-sample the
+    * decoded image onto a `grid`×`grid` lattice (same `x·sw/out` floor
+    * mapping as [[resizeImage]]), threshold each cell against the
+    * lattice MEAN, and emit the bits row-major as a '0'/'1' string —
+    * the classic perceptual-dedup hash (Hamming-near hashes = visually
+    * near images; equal hashes collapse brightness-shifted duplicates,
+    * because adding a constant to every pixel moves each cell and the
+    * mean together). The threshold is exact integer arithmetic
+    * (`grid²·cell ≥ Σcells`, no division), and the hash is a string,
+    * so cross-engine parity is bit-exact with no 64-bit sign games.
+    * Grayscale reduction is the band SUM (mean-threshold is scale
+    * invariant, so sum vs average changes nothing).
+    *
+    * Map-only at any scale; downstream dedup is a hash-groupBy (exact)
+    * or the SimHash Hamming-band machinery (near) — the hash is
+    * designed to feed both.
+    */
+  def imageAHash(ds: Dataset[MediaFile], grid: Int = 8): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.filter(m => isDecodableImage(m.content)).map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        require(img != null,
+          s"image-sniffed payload failed to decode (${m.content.length} bytes)")
+        val raster = img.getRaster
+        val (sw, sh, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val cells = new Array[Long](grid * grid)
+        var idx = 0
+        var yI = 0
+        while (yI < grid) {
+          val sy = (yI.toLong * sh / grid).toInt
+          var xI = 0
+          while (xI < grid) {
+            val sx = (xI.toLong * sw / grid).toInt
+            var s = 0L
+            var b = 0
+            while (b < bands) { s += raster.getSample(sx, sy, b); b += 1 }
+            cells(idx) = s; idx += 1; xI += 1
+          }
+          yI += 1
+        }
+        val total = cells.sum
+        val n = (grid * grid).toLong
+        val sb = new java.lang.StringBuilder(grid * grid)
+        cells.foreach(v => sb.append(if (v * n >= total) '1' else '0'))
+        ImageHash(m.media_id, sb.toString)
+      }
+    }
   }
 
   /** Resize every decodable image in a media table — the batch stage:

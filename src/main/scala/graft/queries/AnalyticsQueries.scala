@@ -604,6 +604,29 @@ object AnalyticsQueries {
           sum(floor(col("o_totalprice") * 100).cast("long")).as("cents_total"))
     }),
 
+    // ---- bounded-state grouped top-k: the aggregate carries at most
+    //      k entries per group through map-side partials (16·k bytes),
+    //      where the oracle's window spelling shuffles and sorts EVERY
+    //      row — the per-group-leaderboard shape at 100 TB. Scores are
+    //      floor-scaled integer cents (exact cross-engine).
+    "x_topk_agg" -> ((s, d) => {
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.TopKAgg.topK(
+          floor(col("value") * 100), col("event_id"), 5).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.score").as("score_cents"), col("col.id").as("event_id"))
+    }),
+
+    // ---- distributed global row numbering: bucket-rank + offset, ONE
+    //      hash shuffle — the oracle's row_number() OVER (ORDER BY k)
+    //      is the single-reducer spelling this operator exists to avoid
+    "x_global_rownum" -> ((s, d) =>
+      graft.operators.GlobalIndex.rowNumber(
+        Tables.orders(s, d).select("o_orderkey"),
+        Seq("o_orderkey"), buckets = 64)),
+
     // ---- null-safe equality, guarded division, null-propagating concat
     "p_null_safety" -> ((s, d) => {
       val k = get_json_object(col("props"), "$.k").cast("bigint")
@@ -772,6 +795,26 @@ object AnalyticsQueries {
         |    AS cents_total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // the window spelling IS the oracle: rank <= k over a full
+    // per-group sort — fine at oracle scale, the shape TopKAgg avoids
+    "x_topk_agg" ->
+      """SELECT event_type, CAST(rn AS BIGINT) AS rank,
+        |  score AS score_cents, id AS event_id
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS score, event_id AS id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(floor(value * 100) AS BIGINT) DESC, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL)
+        |WHERE rn <= 5""".stripMargin,
+
+    // single-reducer global window — fine at oracle scale, the exact
+    // shape GlobalIndex exists to avoid at engine scale
+    "x_global_rownum" ->
+      """SELECT o_orderkey,
+        |  CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn
+        |FROM orders""".stripMargin,
 
     // The oracle states as-of declaratively (nearest-per-left via
     // QUALIFY over a non-equi join — fine at oracle scale, the exact

@@ -263,6 +263,27 @@ object ExtQueries {
           col("channels").cast("bigint").as("channels"), col("mean_intensity"))
     }),
 
+    // ---- perceptual image hash (aHash) through the REAL decode path:
+    //      same synth-PNG round trip as x_image_features; the oracle
+    //      recomputes the 8x8 lattice bits closed-form. Equal hashes
+    //      collapse brightness-shifted duplicates (the base term
+    //      cancels in the mean threshold) — perceptual dedup, not
+    //      byte dedup.
+    "x_image_phash" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val png = graft.ext.Multimodal.synthImage(id)
+            graft.ext.Multimodal.MediaFile(id, "image", png,
+              graft.ext.Multimodal.MediaMeta(s"img_$id.png", "image/png", png.length.toLong))
+          }
+        }
+      graft.ext.Multimodal.imageAHash(media).toDF()
+    }),
+
     // ---- REAL WAV decode, same oracle-checked round-trip shape
     "x_audio_features" -> ((s, d) => {
       import s.implicits._
@@ -1336,6 +1357,27 @@ object ExtQueries {
         |  CAST(w * h * base + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2) AS DOUBLE)
         |    / (w * h) AS mean_intensity
         |FROM p""".stripMargin,
+
+    // closed-form lattice twin of the aHash: cell value is
+    // base + (x·w)//8 + (y·h)//8, and 64·cell >= Σcells iff
+    // 64·(sx+sy) >= Σ(sx+sy) — the base term cancels, so the oracle
+    // drops it (that cancellation IS the brightness invariance the
+    // Spark side earns through the real decode)
+    "x_image_phash" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (SELECT unnest(generate_series(0, 7)) AS v),
+        |cells AS (
+        |  SELECT p.doc_id, gy.v * 8 + gx.v AS idx,
+        |    (gx.v * w) // 8 + (gy.v * h) // 8 AS cell
+        |  FROM p, g gy, g gx),
+        |tot AS (SELECT doc_id, sum(cell) AS total FROM cells GROUP BY doc_id)
+        |SELECT c.doc_id AS media_id,
+        |  string_agg(CASE WHEN 64 * c.cell >= t.total THEN '1' ELSE '0' END,
+        |             '' ORDER BY c.idx) AS phash
+        |FROM cells c JOIN tot t USING (doc_id)
+        |GROUP BY c.doc_id""".stripMargin,
 
     // the synth wave is ±amp square with 25-frame half-periods, so the
     // sample-level stats are closed-form: sign flips at every 25-frame

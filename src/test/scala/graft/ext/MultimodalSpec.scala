@@ -256,6 +256,38 @@ class MultimodalSpec extends SparkSuite {
     assert(got(3L).duration_sec == 3.5 && got(3L).width == 208)
   }
 
+  test("imageAHash: hand-checked lattice bits on a half-dark image") {
+    // 2x1 image [0, 255]: 8x8 nearest sampling takes x<4 -> pixel 0,
+    // x>=4 -> pixel 255; mean sits between -> each row is 00001111
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 0)
+    img.getRaster.setSample(1, 0, 0, 255)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = spark.createDataset(Seq(
+      MediaFile(1L, "image", bos.toByteArray,
+        MediaMeta("half.png", "image/png", bos.size.toLong))))
+    val out = Multimodal.imageAHash(media).collect()
+    assert(out.length == 1)
+    assert(out.head.phash == "00001111" * 8)
+  }
+
+  test("imageAHash: brightness-shifted duplicates collapse; different shapes differ") {
+    // synthImage(id): w = 1 + id%16, h = 1 + (id/16)%16, base = id%200.
+    // ids 3 and 259 share (w=4, h=1) with bases 3 vs 59 -> same hash;
+    // id 19 has (w=4, h=2) -> extra sy term in the lower rows -> differs
+    def media(ids: Long*) = spark.createDataset(ids.map { id =>
+      val png = synthImage(id)
+      MediaFile(id, "image", png, MediaMeta(s"$id.png", "image/png", png.length.toLong))
+    })
+    val h = Multimodal.imageAHash(media(3L, 259L, 19L)).collect()
+      .map(r => r.media_id -> r.phash).toMap
+    assert(h(3L) == h(259L), "brightness shift must not change the hash")
+    assert(h(3L) != h(19L), "different aspect must change the hash")
+    assert(h.values.forall(p => p.length == 64 && p.forall(c => c == '0' || c == '1')))
+  }
+
   test("decode stub fails loudly on truncated payloads") {
     intercept[IllegalArgumentException] {
       Multimodal.decodeHeaderStub(Array[Byte](1, 2, 3))
