@@ -386,6 +386,13 @@ object ExtQueries {
     "x_tfidf_top" -> ((s, d) =>
       Corpus.tfidfTop(Tables.documents(s, d), "doc_id", "text", 3)),
 
+    // ---- BM25 retrieval (exact-integer rational variant, see
+    //      Retrieval scaladoc): top-20 docs for a 3-term query; only
+    //      docs holding >= 1 term are candidates (posting semantics)
+    "x_bm25_topk" -> ((s, d) =>
+      graft.ext.Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("vector", "spark", "window"), k = 20)),
+
     // ---- composite quality gate: token band + stopword floor + language
     "x_quality_filter" -> ((s, d) =>
       Corpus.qualityFilter(Tables.documents(s, d), "doc_id", "text",
@@ -1165,6 +1172,27 @@ object ExtQueries {
          |      FROM tf JOIN dfq USING (token))
          |SELECT doc_id, token, tf, df, score FROM s
          |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) <= 3""".stripMargin,
+
+    // identical floor-division spelling of the rational BM25: the
+    // score itself (not a tolerance band) hash-matches
+    "x_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tl FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE token IN ('vector', 'spark', 'window') GROUP BY 1, 2),
+        |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |c AS (
+        |  SELECT tf.doc_id, tf.tf, dl.dl, s.n_docs, s.tl,
+        |    ((2 * (s.n_docs - dft.df) + 1) * 1000) // (2 * dft.df + 1) AS idf_s
+        |  FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s)
+        |SELECT doc_id,
+        |  CAST(sum((idf_s * 22 * tf * tl)
+        |           // (10 * tl * tf + 3 * tl + 9 * dl * n_docs)) AS BIGINT)
+        |    AS bm25_scaled
+        |FROM c GROUP BY doc_id
+        |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin,
 
     "x_quality_filter" ->
       s"""WITH c AS (SELECT doc_id,
