@@ -58,18 +58,79 @@ object Retrieval {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tl"))
     val tf = tok.filter(col("token").isin(terms: _*))
       .groupBy(id, col("token")).agg(count(lit(1)).as("tf"))
+    score(tf, dl, stats, idCol, k, scale)
+  }
+
+  /** Shared scoring tail: tf postings (id, token, tf) + doc lengths +
+    * 1-row corpus stats → top-k. df is derived from the postings of
+    * the PROBED terms only (each term's df needs only its own posting
+    * list — why the stored probe can prune to the query's partitions).
+    */
+  private def score(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+      idCol: String, k: Int, scale: Long): DataFrame = {
     val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val contrib = tf
-      .join(broadcast(dfT), "token")
+    tf.join(broadcast(dfT), "token")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("idf_s",
         expr(s"((2 * (n_docs - df) + 1) * $scale) div (2 * df + 1)"))
       .withColumn("contrib",
         expr("(idf_s * 22 * tf * tl) div (10 * tl * tf + 3 * tl + 9 * dl * n_docs)"))
-    contrib.groupBy(id)
+      .groupBy(col(idCol))
       .agg(sum(col("contrib")).as("bm25_scaled"))
-      .orderBy(col("bm25_scaled").desc, id)
+      .orderBy(col("bm25_scaled").desc, col(idCol))
       .limit(k)
+  }
+
+  /** md5-derived partition band of a token — computed identically at
+    * index-build time (partition column) and probe time (literal
+    * partition filter), so the probe statically prunes to the query
+    * terms' directories.
+    */
+  private def tokenBand(token: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(token.getBytes("UTF-8"))
+    f"${d(0) & 0xff}%02x".substring(0, 1)
+  }
+
+  /** Build the postings index ONCE: full (id, token, tf) postings
+    * partitioned by the token's md5 band (16 dirs), plus doc-length
+    * and 1-row corpus-stats side tables — the stored-IVF amortization
+    * applied to retrieval. The token explode is paid at build time;
+    * every later query reads only its terms' partitions.
+    */
+  def writePostings(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val id = col(idCol)
+    val tok = docs.select(id, explode(TextOps.tokens(col(textCol))).as("token"))
+    val dl = tok.groupBy(id).agg(count(lit(1)).as("dl"))
+    // band via the codegen'd md5 expression — [[tokenBand]] is its
+    // driver-side twin for the probe's literal partition filter
+    tok.groupBy(id, col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("tok_band", substring(md5(col("token")), 1, 1))
+      .write.mode("overwrite").partitionBy("tok_band")
+      .parquet(s"$path/postings")
+    dl.write.mode("overwrite").parquet(s"$path/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Probe the stored index: identical results to [[bm25TopK]] on the
+    * indexed corpus (parity pinned in RetrievalSpec), but the scan is
+    * statically pruned to the query terms' md5-band partitions —
+    * `PartitionFilters` in the plan, ≤ |terms|/16 of the index read.
+    */
+  def bm25TopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, terms: Seq[String], k: Int,
+      scale: Long = 1000L): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val bands = terms.map(tokenBand).distinct
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("tok_band").isin(bands: _*))
+      .filter(col("token").isin(terms: _*))
+      .select(col(idCol), col("token"), col("tf"))
+    val dl = spark.read.parquet(s"$path/doclen")
+    val stats = spark.read.parquet(s"$path/stats")
+    score(tf, dl, stats, idCol, k, scale)
   }
 }

@@ -393,6 +393,18 @@ object ExtQueries {
       graft.ext.Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         Seq("vector", "spark", "window"), k = 20)),
 
+    // ---- same query against the STORED postings index: build once
+    //      (token explode paid at build), probe reads only the query
+    //      terms' md5-band partitions — identical results by contract
+    "x_bm25_stored" -> ((s, d) => {
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_postings").toString
+      graft.ext.Retrieval.writePostings(
+        Tables.documents(s, d), "doc_id", "text", path)
+      graft.ext.Retrieval.bm25TopKStored(s, path, "doc_id",
+        Seq("vector", "spark", "window"), k = 20)
+    }),
+
     // ---- composite quality gate: token band + stopword floor + language
     "x_quality_filter" -> ((s, d) =>
       Corpus.qualityFilter(Tables.documents(s, d), "doc_id", "text",
@@ -850,6 +862,28 @@ object ExtQueries {
        |SELECT * FROM cos
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= $k""".stripMargin
 
+  /** Shared by `x_bm25_topk` and `x_bm25_stored`: the stored probe's
+    * contract is bit-identical answers off the indexed layout.
+    */
+  private val Bm25OracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tl FROM dl),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+      |       WHERE token IN ('vector', 'spark', 'window') GROUP BY 1, 2),
+      |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |c AS (
+      |  SELECT tf.doc_id, tf.tf, dl.dl, s.n_docs, s.tl,
+      |    ((2 * (s.n_docs - dft.df) + 1) * 1000) // (2 * dft.df + 1) AS idf_s
+      |  FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s)
+      |SELECT doc_id,
+      |  CAST(sum((idf_s * 22 * tf * tl)
+      |           // (10 * tl * tf + 3 * tl + 9 * dl * n_docs)) AS BIGINT)
+      |    AS bm25_scaled
+      |FROM c GROUP BY doc_id
+      |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "x_text_stats" ->
@@ -1175,24 +1209,11 @@ object ExtQueries {
 
     // identical floor-division spelling of the rational BM25: the
     // score itself (not a tolerance band) hash-matches
-    "x_bm25_topk" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tl FROM dl),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-        |       WHERE token IN ('vector', 'spark', 'window') GROUP BY 1, 2),
-        |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        |c AS (
-        |  SELECT tf.doc_id, tf.tf, dl.dl, s.n_docs, s.tl,
-        |    ((2 * (s.n_docs - dft.df) + 1) * 1000) // (2 * dft.df + 1) AS idf_s
-        |  FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s)
-        |SELECT doc_id,
-        |  CAST(sum((idf_s * 22 * tf * tl)
-        |           // (10 * tl * tf + 3 * tl + 9 * dl * n_docs)) AS BIGINT)
-        |    AS bm25_scaled
-        |FROM c GROUP BY doc_id
-        |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin,
+    "x_bm25_topk" -> Bm25OracleSql,
+
+    // the stored index is a LAYOUT; the answer contract is "identical
+    // to the cold query" — same oracle by definition
+    "x_bm25_stored" -> Bm25OracleSql,
 
     "x_quality_filter" ->
       s"""WITH c AS (SELECT doc_id,

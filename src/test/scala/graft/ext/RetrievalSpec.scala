@@ -44,4 +44,20 @@ class RetrievalSpec extends SparkSuite {
       Seq("zzz", "b"), k = 10).as[(Long, Long)].collect().toMap
     assert(out.keySet == Set(1L, 2L))
   }
+
+  test("stored postings: bit-identical to the cold query, probe prunes to the terms' bands") {
+    val wide = (1L to 300L)
+      .map(i => (i, s"w${i % 7} w${i % 11} a b w${i % 5}")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_postings_spec").toString
+    Retrieval.writePostings(wide, "doc_id", "text", path)
+    val cold = Retrieval.bm25TopK(wide, "doc_id", "text", Seq("a", "w3"), 25)
+      .as[(Long, Long)].collect().toSeq
+    val stored = Retrieval.bm25TopKStored(spark, path, "doc_id", Seq("a", "w3"), 25)
+    assert(stored.as[(Long, Long)].collect().toSeq == cold)
+    // static partition pruning: the postings scan carries a tok_band
+    // PartitionFilter, so only the query terms' band dirs are read
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tok_band"),
+      s"postings scan is not partition-pruned:\n$plan")
+  }
 }
