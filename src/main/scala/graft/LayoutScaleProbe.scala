@@ -60,6 +60,20 @@ object LayoutScaleProbe {
         .agg(max(col("rn"))).collect()
     }
 
+    // ---- BM25 amortization: cold query (explode per query) vs stored
+    //      postings probe (explode paid once, band-pruned scan)
+    val docs = Tables.documents(spark, dir)
+    val terms = Seq("vector", "spark", "window")
+    time("bm25 cold")(
+      ext.Retrieval.bm25TopK(docs, "doc_id", "text", terms, 20).collect())
+    val ppath = java.nio.file.Files.createTempDirectory("graft_post_probe").toString
+    time("bm25 postings build (once)")(
+      ext.Retrieval.writePostings(docs, "doc_id", "text", ppath))
+    time("bm25 stored probe")(
+      ext.Retrieval.bm25TopKStored(spark, ppath, "doc_id", terms, 20).collect())
+    time("bm25 stored probe (repeat)")(
+      ext.Retrieval.bm25TopKStored(spark, ppath, "doc_id", terms, 20).collect())
+
     // ---- bucketed join amortization: plain shuffle join vs one-time
     //      bucketed write + repeated shuffle-free joins
     val orders = Tables.orders(spark, dir)
