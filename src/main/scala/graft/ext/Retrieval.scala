@@ -119,18 +119,25 @@ object Retrieval {
     * indexed corpus (parity pinned in RetrievalSpec), but the scan is
     * statically pruned to the query terms' md5-band partitions —
     * `PartitionFilters` in the plan, ≤ |terms|/16 of the index read.
+    * Schemas are DECLARED (ids are BIGINT, the repo-wide id contract),
+    * so an empty index — zero docs indexed → zero part files — reads
+    * as zero candidates instead of failing schema inference.
     */
   def bm25TopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, terms: Seq[String], k: Int,
       scale: Long = 1000L): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     val bands = terms.map(tokenBand).distinct
-    val tf = spark.read.parquet(s"$path/postings")
+    val tf = spark.read
+      .schema(s"$idCol BIGINT, token STRING, tf BIGINT, tok_band STRING")
+      .parquet(s"$path/postings")
       .filter(col("tok_band").isin(bands: _*))
       .filter(col("token").isin(terms: _*))
       .select(col(idCol), col("token"), col("tf"))
-    val dl = spark.read.parquet(s"$path/doclen")
-    val stats = spark.read.parquet(s"$path/stats")
+    val dl = spark.read.schema(s"$idCol BIGINT, dl BIGINT")
+      .parquet(s"$path/doclen")
+    val stats = spark.read.schema("n_docs BIGINT, tl BIGINT")
+      .parquet(s"$path/stats")
     score(tf, dl, stats, idCol, k, scale)
   }
 }
