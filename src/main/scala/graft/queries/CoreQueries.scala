@@ -235,6 +235,14 @@ object CoreQueries {
     "t5_stream_interval_join" -> ((s, d) =>
       graft.streaming.StreamingJoin.availableNowAttribution(s, d)),
 
+    // ---- streaming histogram quantiles drained end-to-end: the
+    //      HistQuantile sketch IS the per-key streaming state (2 KB
+    //      forever), and its integer merge-order-freedom makes the
+    //      drain bit-identical to the batch spelling whatever the
+    //      micro-batch splits — t2's contract for a CUSTOM aggregate
+    "t6_streaming_quantiles" -> ((s, d) =>
+      graft.streaming.StreamingQuantiles.availableNowQuantiles(s, d)),
+
     // ---- §7.3 flagship slice: extract → key → dedup → quality gate → hourly agg.
     //      Composed lazily so Catalyst fuses the whole medallion chain
     //      (view-inlining parity, SURVEY §3.2).
@@ -413,6 +421,29 @@ object CoreQueries {
 
     "t3_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // batch twin of the streamed histogram sketch: same clamp /
+    // ceil-rank / lower-edge integer arithmetic as x_hist_quantiles,
+    // over integer cents
+    "t6_streaming_quantiles" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    LEAST(255, GREATEST(0, CAST(floor(value * 100) AS BIGINT) // 256)) AS bk
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, bk, count(*) AS cnt FROM b GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, bk,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bk) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM c
+        |)
+        |SELECT event_type,
+        |  CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bk * 256 END) AS BIGINT) AS p50_cents,
+        |  CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bk * 256 END) AS BIGINT) AS p90_cents,
+        |  CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bk * 256 END) AS BIGINT) AS p99_cents,
+        |  CAST(max(n) AS BIGINT) AS n_events
+        |FROM cum GROUP BY event_type""".stripMargin,
 
     "t5_stream_interval_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
