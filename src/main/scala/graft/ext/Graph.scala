@@ -210,6 +210,58 @@ object Graph {
     settled
   }
 
+  /** Weighted multi-source shortest paths, `rounds` Bellman-Ford
+    * relaxations over `(u, v, w)` edges (w = non-negative integer edge
+    * length; map similarity to cost upstream if "strong tie = short
+    * distance" is wanted). Returns `(n, dist)` for nodes reachable
+    * within `rounds` EDGES of a seed — after round i, dist(v) is the
+    * exact minimum cost over paths of ≤ i edges, so at rounds ≥
+    * graph diameter it is the true shortest-path distance. The
+    * weighted sibling of [[bfsHops]] (which this generalizes: unit
+    * weights reduce to hop counts — pinned in GraphSpec).
+    *
+    * Changed-frontier relaxation: round i propagates only from nodes
+    * whose distance IMPROVED in round i−1 (a node whose distance is
+    * unchanged re-offers exactly the offers already merged — the
+    * classic Bellman-Ford queue optimization, round-equivalent to
+    * propagate-everything, which is what the unrolled oracle runs).
+    * Distances are exact integer sums — no float path costs — so the
+    * engine and the unrolled-CTE twin agree bit for bit.
+    *
+    * Scale shape, per round: one edge-scan joined to the node-bounded
+    * changed set (auto-broadcast from checkpoint stats), one min-agg
+    * on candidates, one min-merge + improvement filter against the
+    * node-bounded distance table. kCorePeel checkpoint lifetimes.
+    */
+  def ssspRounds(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val sym = shims.checkpointWithStats(
+      edges.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst"), col("w"))))
+    var dist = shims.checkpointWithStats(
+      seeds.select(col("n")).distinct().select(col("n"), lit(0L).as("dist")))
+    var changed = dist // round 0: every seed just "improved" to 0
+    for (_ <- 1 to rounds) {
+      val cand = sym
+        .join(changed.select(col("n").as("src"), col("dist").as("d0")), Seq("src"))
+        .select(col("dst").as("n"), (col("d0") + col("w")).as("dist"))
+        .groupBy(col("n")).agg(min(col("dist")).as("dist"))
+      val merged = shims.checkpointWithStats(
+        dist.unionAll(cand).groupBy(col("n")).agg(min(col("dist")).as("dist")))
+      // improvement filter reads the OLD dist — materialize before the
+      // old round's blocks are freed
+      val improved = shims.checkpointWithStats(
+        merged.join(dist.withColumnRenamed("dist", "prev"), Seq("n"), "left")
+          .filter(col("prev").isNull || col("dist") < col("prev"))
+          .select(col("n"), col("dist")))
+      if (changed ne dist) shims.unpersistLocalCheckpoint(changed)
+      shims.unpersistLocalCheckpoint(dist)
+      dist = merged
+      changed = improved
+    }
+    dist
+  }
+
   /** Node degrees of an undirected edge list (`u < v` canonical). */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))

@@ -105,6 +105,24 @@ object GraphQueries {
       Graph.bfsHops(bb, seeds, rounds = 3)
     }),
 
+    // weighted shortest paths on the w>=2 backbone (edge length = w),
+    // 3 Bellman-Ford rounds from the same md5-'0' landmark seeds —
+    // after round i, dist is exact over paths of <= i edges. Engine
+    // relaxes only from nodes improved last round; oracle unrolls
+    // propagate-everything (round-equivalent, Graph.ssspRounds doc).
+    "x_sssp" -> ((s, d) => {
+      val bb = org.apache.spark.sql.graft.shims.checkpointWithStats(
+        weightedBackbone(s, d))
+      val seeds = Graph.degrees(
+          bb.select(org.apache.spark.sql.functions.col("u"),
+            org.apache.spark.sql.functions.col("v")))
+        .select(org.apache.spark.sql.functions.col("n"))
+        .filter(org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("n").cast("string")), 1, 1) === "0")
+      Graph.ssspRounds(bb, seeds, rounds = 3)
+    }),
+
     // link-prediction score on the w>=2 BACKBONE: top-30 pairs by
     // common-neighbor count, deterministic (count desc, a, b) tie-break.
     // Backbone, not the raw graph, deliberately: the full co-purchase
@@ -320,6 +338,36 @@ object GraphQueries {
          |${round(2)},
          |${round(3)}
          |SELECT n, h AS hops FROM d3""".stripMargin
+    },
+
+    // weighted min-merge rounds: after round i, d_i(v) = min path cost
+    // over <= i edges — the changed-frontier engine loop lands on the
+    // same values round for round
+    "x_sssp" -> {
+      def round(i: Int): String =
+        s"""d$i AS (
+           |  SELECT n, min(h) AS h FROM (
+           |    SELECT n, h FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT sym.dst, d${i - 1}.h + sym.w
+           |    FROM sym JOIN d${i - 1} ON sym.src = d${i - 1}.n)
+           |  GROUP BY n)""".stripMargin
+      s"""WITH inc AS (
+         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+         |wpairs AS (
+         |  SELECT a.i AS u, b.i AS v, count(*) AS w
+         |  FROM inc a JOIN inc b USING (k) WHERE a.i < b.i GROUP BY 1, 2),
+         |bb AS (SELECT u, v, w FROM wpairs WHERE w >= 2),
+         |sym AS (
+         |  SELECT u AS src, v AS dst, w FROM bb
+         |  UNION ALL SELECT v, u, w FROM bb),
+         |d0 AS (
+         |  SELECT DISTINCT src AS n, CAST(0 AS BIGINT) AS h FROM sym
+         |  WHERE substring(md5(CAST(src AS VARCHAR)), 1, 1) = '0'),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT n, h AS dist FROM d3""".stripMargin
     },
 
     // sampled estimator twin: same md5 center-bucket filter, same exact

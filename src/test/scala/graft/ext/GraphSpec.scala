@@ -214,6 +214,31 @@ class GraphSpec extends SparkSuite {
     assert(d == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("ssspRounds: cheap 2-edge path beats the direct heavy edge once enough rounds run") {
+    // 1-2 w5, 2-3 w5, 1-3 w20: from seed 1, d(3) is 20 after 1 round
+    // (direct edge) and improves to 10 at round 2 via the changed
+    // frontier — the improvement-replaces-earlier-value contract
+    val g = Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 20L)).toDF("u", "v", "w")
+    val seeds = Seq(1L).toDF("n")
+    val r1 = Graph.ssspRounds(g, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 5L, 3L -> 20L))
+    val r2 = Graph.ssspRounds(g, seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+  }
+
+  test("ssspRounds: unit weights reduce exactly to bfsHops") {
+    val g = fixture // 1-2 1-3 2-3 3-4 4-5
+    val unit = g.withColumn("w", lit(1L))
+    val seeds = Seq(1L, 5L).toDF("n")
+    val sssp = Graph.ssspRounds(unit, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val bfs = Graph.bfsHops(g, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(sssp == bfs)
+  }
+
   test("commonNeighborsTopK: hand-checked counts, deterministic tie-break order") {
     // K4 minus edge (3,4): pair (3,4) has common {1,2}; (1,2) has {3,4};
     // all other adjacent pairs have exactly 1 common neighbor
