@@ -284,6 +284,28 @@ object ExtQueries {
       graft.ext.Multimodal.imageAHash(media).toDF()
     }),
 
+    // ---- perceptual dedup GROUPS: images whose aHash collides are
+    //      visual duplicates (here: same gradient shape at different
+    //      brightness — the base term cancels in the threshold), keyed
+    //      by hash with the smallest media_id as keeper (A4 first-wins)
+    "x_phash_groups" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val png = graft.ext.Multimodal.synthImage(id)
+            graft.ext.Multimodal.MediaFile(id, "image", png,
+              graft.ext.Multimodal.MediaMeta(s"img_$id.png", "image/png", png.length.toLong))
+          }
+        }
+      graft.ext.Multimodal.imageAHash(media).toDF()
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("keeper_id"))
+        .filter(col("n_images") > 1)
+    }),
+
     // ---- REAL WAV decode, same oracle-checked round-trip shape
     "x_audio_features" -> ((s, d) => {
       import s.implicits._
@@ -1427,6 +1449,27 @@ object ExtQueries {
         |             '' ORDER BY c.idx) AS phash
         |FROM cells c JOIN tot t USING (doc_id)
         |GROUP BY c.doc_id""".stripMargin,
+
+    // same lattice twin, grouped: hash collisions ARE the duplicate
+    // groups (different base, same (w,h) gradient → same bits)
+    "x_phash_groups" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (SELECT unnest(generate_series(0, 7)) AS v),
+        |cells AS (
+        |  SELECT p.doc_id, gy.v * 8 + gx.v AS idx,
+        |    (gx.v * w) // 8 + (gy.v * h) // 8 AS cell
+        |  FROM p, g gy, g gx),
+        |tot AS (SELECT doc_id, sum(cell) AS total FROM cells GROUP BY doc_id),
+        |hashes AS (
+        |  SELECT c.doc_id,
+        |    string_agg(CASE WHEN 64 * c.cell >= t.total THEN '1' ELSE '0' END,
+        |               '' ORDER BY c.idx) AS phash
+        |  FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
+        |  min(doc_id) AS keeper_id
+        |FROM hashes GROUP BY phash HAVING count(*) > 1""".stripMargin,
 
     // the synth wave is ±amp square with 25-frame half-periods, so the
     // sample-level stats are closed-form: sign flips at every 25-frame
