@@ -34,6 +34,20 @@ object LayoutScaleProbe {
       println(s"[layoutprobe]   settled = ${r.count()}")
     }
 
+    // ---- weighted SSSP on the same backbone: per round one edge-scan
+    //      against the improved-node set only
+    time("sssp (3 rounds)") {
+      val wbb = org.apache.spark.sql.graft.shims.checkpointWithStats(
+        ext.Graph.coOccurrenceEdgesWeighted(
+            Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+          .where(col("w") >= 2))
+      val seeds = ext.Graph.degrees(wbb.select(col("u"), col("v")))
+        .select(col("n"))
+        .filter(substring(md5(col("n").cast("string")), 1, 1) === "0")
+      val r = ext.Graph.ssspRounds(wbb, seeds, rounds = 3)
+      println(s"[layoutprobe]   settled = ${r.count()}")
+    }
+
     // ---- histogram quantiles: map-side partials, one 2 KB buffer per
     //      group — expect byte-linear scan cost
     time("hist_quantiles") {
