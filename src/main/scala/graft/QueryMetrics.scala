@@ -23,9 +23,22 @@ object QueryMetrics {
                       shuffleBytesRead: Long, spillBytes: Long,
                       inputBytesRead: Long)
 
+  /** Like [[measure]], but the frame is passed BY NAME so jobs run at
+    * DataFrame-construction time (the eager-checkpoint graph queries)
+    * are counted too — `measure` would attach its listener after they
+    * already ran and see only the final scan.
+    */
+  def measureBuild(spark: org.apache.spark.sql.SparkSession)(mk: => DataFrame)(
+      action: DataFrame => Unit = _.write.format("noop")
+        .mode("overwrite").save()): Measured =
+    withListener(spark.sparkContext)(action(mk))
+
   def measure(df: DataFrame)(action: DataFrame => Unit = _.write.format("noop")
-      .mode("overwrite").save()): Measured = {
-    val sc = df.sparkSession.sparkContext
+      .mode("overwrite").save()): Measured =
+    withListener(df.sparkSession.sparkContext)(action(df))
+
+  private def withListener(sc: org.apache.spark.SparkContext)(
+      run: => Unit): Measured = {
     val bw = new LongAdder; val rw = new LongAdder
     val br = new LongAdder; val sp = new LongAdder; val in = new LongAdder
     val listener = new SparkListener {
@@ -42,7 +55,7 @@ object QueryMetrics {
     }
     sc.addSparkListener(listener)
     try {
-      action(df)
+      run
       org.apache.spark.sql.graft.shims.waitForListenerBus(sc)
     } finally sc.removeSparkListener(listener)
     Measured(bw.sum(), rw.sum(), br.sum(), sp.sum(), in.sum())

@@ -67,6 +67,51 @@ class ShuffleBudgetSpec extends SparkSuite {
         "are no longer broadcast")
   }
 
+  test("x_bfs_hops: frontier rounds shuffle node-scale sets, never the edge stream per round") {
+    // backbone sf0.01 ≈ 5k edges / 1.9k nodes; frontier joins broadcast
+    // the node-sized sets, so shuffle traffic is backbone-derivation +
+    // per-round candidate distincts — a frontier regression to shuffled
+    // edge joins multiplies traffic by edges × rounds
+    // measureBuild: the graph entries run their checkpoint jobs at
+    // construction time — by-value measure would see only the final scan
+    val m = QueryMetrics.measureBuild(spark)(
+      SparkEntry.queries("x_bfs_hops")(spark, sf001))()
+    assert(m.shuffleRecordsWritten > 0)
+    assert(m.shuffleRecordsWritten < 400000L,
+      s"bfs shuffled ${m.shuffleRecordsWritten} records")
+    assert(m.spillBytes == 0)
+  }
+
+  test("x_global_rownum: one data shuffle — traffic ≈ rows, not rows × passes") {
+    // 15k orders: bucket window shuffles each row once; counts/offsets
+    // are bucket-sized. Budget 2× rows catches a second data shuffle.
+    val m = QueryMetrics.measure(SparkEntry.queries("x_global_rownum")(spark, sf001))()
+    assert(m.shuffleRecordsWritten > 0)
+    assert(m.shuffleRecordsWritten < 30000L,
+      s"global rownum shuffled ${m.shuffleRecordsWritten} records for 15k rows")
+  }
+
+  test("x_topk_agg: partials carry ≤ k entries per (group × task), never the rows") {
+    // 100k events, 5 groups, k=5: partial top-k state crossing the
+    // shuffle is ≤ k × groups × map tasks (hundreds) — the window
+    // spelling would shuffle all 100k rows
+    val m = QueryMetrics.measure(SparkEntry.queries("x_topk_agg")(spark, sf001))()
+    assert(m.shuffleRecordsWritten > 0)
+    assert(m.shuffleRecordsWritten < 5000L,
+      s"top-k agg shuffled ${m.shuffleRecordsWritten} records — bounded " +
+        "state is no longer bounding the exchange")
+  }
+
+  test("x_bm25_topk: shuffle traffic is posting-scale (query terms), not corpus-scale") {
+    // the term filter lands before any shuffle: traffic = matching
+    // postings + doc-length rows, far below the full token explode
+    val m = QueryMetrics.measure(SparkEntry.queries("x_bm25_topk")(spark, sf001))()
+    assert(m.shuffleRecordsWritten > 0)
+    assert(m.shuffleRecordsWritten < 60000L,
+      s"bm25 shuffled ${m.shuffleRecordsWritten} records — the token " +
+        "explode is crossing an exchange unfiltered")
+  }
+
   test("x_corpus_e2e: the fused chain stays within its two-shuffle byte budget") {
     val docs = Tables.documents(spark, sf001)
     val docBytes = QueryMetrics.measure(docs)().inputBytesRead
