@@ -604,6 +604,23 @@ object AnalyticsQueries {
           sum(floor(col("o_totalprice") * 100).cast("long")).as("cents_total"))
     }),
 
+    // ---- per-key 3-sigma anomaly gate in EXACT integers: the z-score
+    //      test |v − mean| > 3σ multiplied through by n² becomes
+    //      (n·v − S)² > 9·(n·Q − S²) over integer dollars — no float
+    //      mean, no sqrt, so the flagged SET is oracle-checked exactly.
+    //      One pass for stats (broadcast back), one map-side filter.
+    "x_outlier_events" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value")).cast("long").as("v"))
+      val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+      ev.join(broadcast(stats), "event_type")
+        .filter(expr("(n * v - s) * (n * v - s) > 9 * (n * q - s * s)"))
+        .select(col("event_type"), col("event_id"), col("v"))
+    }),
+
     // ---- bounded-state grouped top-k: the aggregate carries at most
     //      k entries per group through map-side partials (16·k bytes),
     //      where the oracle's window spelling shuffles and sorts EVERY
@@ -795,6 +812,19 @@ object AnalyticsQueries {
         |    AS cents_total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // identical integer inequality — the set of flagged events, not a
+    // float z-score, is what hash-matches
+    "x_outlier_events" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(floor(value) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, sum(v) AS s, sum(v * v) AS q
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_type, e.event_id, e.v
+        |FROM e JOIN st USING (event_type)
+        |WHERE (n * e.v - s) * (n * e.v - s) > 9 * (n * q - s * s)""".stripMargin,
 
     // the window spelling IS the oracle: rank <= k over a full
     // per-group sort — fine at oracle scale, the shape TopKAgg avoids

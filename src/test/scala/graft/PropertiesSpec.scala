@@ -118,6 +118,51 @@ class PropertiesSpec extends SparkSuite {
       }
     })
 
+  check("globalRowNumber is the exact permutation of the sort order, any buckets",
+    Prop.forAll(
+      Gen.resize(40, Gen.nonEmptyListOf(Gen.choose(-10000L, 10000L))),
+      Gen.choose(1, 50)) { (keys, buckets) =>
+      // duplicate keys allowed: the id column is the unique tie-break
+      val rows = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      val out = graft.operators.GlobalIndex.rowNumber(
+          rows.toDF("k", "id").repartition(3), Seq("k", "id"), buckets)
+        .select(col("k"), col("id"), col("rn"))
+        .as[(Long, Long, Long)].collect().sortBy(_._3)
+      val expected = rows.sortBy(identity)
+      out.map(r => (r._1, r._2)).toList == expected &&
+        out.map(_._3).toList == (1L to rows.size.toLong).toList
+    })
+
+  check("TopKAgg equals sort-take for every group and k",
+    Prop.forAll(
+      Gen.resize(60, Gen.listOf(Gen.zip(
+        Gen.choose(0L, 3L), Gen.choose(-50L, 50L)))),
+      Gen.choose(1, 8)) { (rows, k) =>
+      rows.isEmpty || {
+        val withId = rows.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }
+        val got = withId.toDF("g", "s", "id").repartition(4)
+          .groupBy("g")
+          .agg(graft.functions.TopKAgg.topK(col("s"), col("id"), k).as("top"))
+          .as[(Long, Seq[(Long, Long)])].collect().toMap
+        withId.groupBy(_._1).forall { case (g, grp) =>
+          val expect = grp.map(t => (t._2, t._3)).sortBy { case (s, id) => (-s, id) }.take(k)
+          got(g) == expect
+        }
+      }
+    })
+
+  check("HistQuantile answer is within one bucket width below the true rank statistic",
+    Prop.forAll(Gen.resize(80, Gen.nonEmptyListOf(Gen.choose(0L, 999L))),
+      Gen.oneOf(10, 50, 90, 99)) { (vals, p) =>
+      val est = vals.toDF("v").repartition(5)
+        .agg(graft.functions.HistQuantile.histQuantiles(
+          col("v"), 0L, 50L, 20, Seq(p)).as("q"))
+        .select(col("q")).as[Seq[Long]].head().head
+      val sorted = vals.sorted
+      val truth = sorted(((vals.size.toLong * p + 99) / 100).toInt - 1)
+      est <= truth && truth < est + 50
+    })
+
   check("cosineNearDupLsh is a subset of the exact all-pairs result",
     Prop.forAll(Gen.resize(12, Gen.nonEmptyListOf(
       Gen.listOfN(8, Gen.choose(-0.5, 0.5))))) { vecs =>
