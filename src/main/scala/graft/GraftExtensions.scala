@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BottomKSample, CharNgrams, DotProductScaled, HllDistinct, MinHashAgg, MisraGries, WordShingles}
+import graft.functions.{BottomKSample, CharNgrams, DotProductScaled, HistQuantile, HllDistinct, MinHashAgg, MisraGries, TopKAgg, WordShingles}
 
 /** Session extension registering graft's native Catalyst expressions as
   * SQL functions, so the pure-SQL surface (`spark.sql`, thrift/connect
@@ -24,6 +24,12 @@ import graft.functions.{BottomKSample, CharNgrams, DotProductScaled, HllDistinct
   *    value to string to fix the hashed representation)
   *  - `bottom_k_sample(tag, value, k)` — mergeable uniform sample of
   *    the k smallest-tagged rows ([[graft.functions.BottomKSample]])
+  *  - `hist_quantiles(v, lo, width, buckets, percents_csv)` —
+  *    constant-state histogram quantile sketch, one array entry per
+  *    percent in the comma-separated literal
+  *    ([[graft.functions.HistQuantile]])
+  *  - `top_k(score, id, k)` — bounded-state grouped top-k by
+  *    (score desc, id asc) ([[graft.functions.TopKAgg]])
   *
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * (a STATIC conf — it must be set before the SparkContext exists, i.e.
@@ -106,6 +112,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             args(0), org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.catalyst.expressions.Cast(
             args(1), org.apache.spark.sql.types.DoubleType),
+          intLit(args(2), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hist_quantiles"),
+      info(classOf[HistQuantile], "hist_quantiles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "hist_quantiles(v, lo, width, buckets, percents_csv)")
+        val percents = lit[Any](args(4), "percents_csv").toString
+          .split(",").map(_.trim.toInt).toSeq
+        HistQuantile(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args(0), org.apache.spark.sql.types.LongType),
+          longLit(args(1), "lo"), longLit(args(2), "width"),
+          intLit(args(3), "buckets"), percents)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("top_k"),
+      info(classOf[TopKAgg], "top_k"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "top_k(score, id, k)")
+        TopKAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args(0), org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args(1), org.apache.spark.sql.types.LongType),
           intLit(args(2), "k"))
       }))
     // optimizer rule: the composable aggregate(zip_with(...)) dot-product

@@ -130,6 +130,37 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("hist_quantiles from SQL matches the Column API on known edges") {
+    withExtSession { s =>
+      // ids 0..99 over [0,100) width 10: p50 target 50 → bucket 4 edge 40,
+      // p100 → bucket 9 edge 90
+      val out = s.sql(
+        """SELECT hist_quantiles(id, 0, 10, 10, '50,100') AS q
+          |FROM range(0, 100)""".stripMargin)
+        .selectExpr("q[0]", "q[1]").collect().head
+      assert((out.getLong(0), out.getLong(1)) == (40L, 90L))
+    }
+  }
+
+  test("top_k from SQL equals the rank-window spelling") {
+    withExtSession { s =>
+      val agg = s.sql(
+        """SELECT g, top_k(s, id, 3) AS top FROM (
+          |  SELECT id % 2 AS g, (id * 37) % 100 AS s, id
+          |  FROM range(0, 50)) GROUP BY g""".stripMargin)
+        .selectExpr("g", "explode(top) AS e").selectExpr("g", "e.score", "e.id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val win = s.sql(
+        """SELECT g, s AS score, id FROM (
+          |  SELECT id % 2 AS g, (id * 37) % 100 AS s, id,
+          |    row_number() OVER (PARTITION BY id % 2
+          |      ORDER BY (id * 37) % 100 DESC, id) AS rn
+          |  FROM range(0, 50)) WHERE rn <= 3""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(agg == win)
+    }
+  }
+
   test("misra_gries aggregate from SQL is exact when capacity covers the items") {
     withExtSession { s =>
       val m = s.sql(
