@@ -141,4 +141,40 @@ class ScaleGuardSpec extends SparkSuite {
       assert(out <= points, s"$d: range join produced $out rows for $points points")
     }
   }
+
+  test("bm25: probed posting mass tracks the query terms' df, never the corpus") {
+    def postings(d: String): (Long, Long) = {
+      val tok = Tables.documents(spark, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val probed = tok.filter(col("token").isin("vector", "spark", "window"))
+        .select(col("doc_id"), col("token")).distinct().count()
+      (probed, tok.count())
+    }
+    val (pSmall, tSmall) = postings(small)
+    val (pBig, tBig) = postings(big)
+    // posting mass grows with the data (each term's df is ∝ docs) but
+    // stays a small fraction of total occurrences — the filter-before-
+    // shuffle contract; a vocabulary-wide probe would track tok.count
+    assert(pBig <= 2.0 * DataRatio * pSmall,
+      s"posting mass $pSmall → $pBig outgrew linear for 10× docs")
+    assert(pBig * 10 < tBig && pSmall * 10 < tSmall,
+      s"probed postings are no longer a small fraction of the corpus")
+  }
+
+  test("global rownum: value buckets stay balanced on the dense key at both scales") {
+    Seq(small, big).foreach { d =>
+      // the operator's parallelism claim assumes near-uniform buckets
+      // for this key family; a distribution shift that clumps the key
+      // would silently serialize the per-bucket sorts
+      val keys = Tables.orders(spark, d).select(col("o_orderkey").cast("long").as("k"))
+      val r = keys.agg(min(col("k")).as("lo"), max(col("k")).as("hi")).collect().head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val width = math.max(1L, (hi - lo + 64) / 64)
+      val counts = keys.groupBy(((col("k") - lo) / width).cast("long").as("bk"))
+        .count().select(col("count")).collect().map(_.getLong(0))
+      val mean = counts.sum.toDouble / counts.length
+      assert(counts.max <= 3.0 * mean,
+        s"$d: max bucket ${counts.max} vs mean $mean — key family clumped")
+    }
+  }
 }
