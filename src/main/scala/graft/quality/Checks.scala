@@ -34,6 +34,16 @@ object Checks {
     child.filter(col(childKey).isNotNull)
       .join(parent.select(col(parentKey).as(childKey)).distinct(), Seq(childKey), "left_anti")
 
+  /** dbt `accepted_values`: distinct out-of-domain values with their
+    * counts (dbt's own failure shape: value_field + n_records). NULLs
+    * pass — that is `not_null`'s job, matching dbt's split.
+    */
+  def acceptedValues(df: DataFrame, column: String,
+                     allowed: Seq[String]): DataFrame =
+    df.filter(col(column).isNotNull && !col(column).isin(allowed: _*))
+      .groupBy(col(column).as("value_field"))
+      .agg(count(lit(1)).as("n_records"))
+
   /** Custom generic test `is_between(min,max)` (tests/generic/is_between.sql). */
   def isBetween(df: DataFrame, column: String, min: Double, max: Double): DataFrame =
     df.filter(col(column).isNotNull && !col(column).between(min, max))

@@ -267,6 +267,12 @@ object CoreQueries {
       Checks.relationships(Tables.lineitem(s, d), "l_orderkey",
         Tables.orders(s, d), "o_orderkey")),
     "chk_is_between" -> ((s, d) => Checks.isBetween(Tables.events(s, d), "value", -1000, 1000)),
+    // dbt's 4th generic: out-of-domain values in dbt's own failure
+    // shape (value_field, n_records); 'error' left out of the allowed
+    // set so the failure path is exercised, not just the empty pass
+    "chk_accepted_values" -> ((s, d) => Checks.acceptedValues(
+      Tables.events(s, d), "event_type",
+      Seq("click", "view", "purchase", "signup"))),
 
     // ---- snapshot diff (load audit / CDC seed): the "new" snapshot is
     //      derived from orders by pure key arithmetic — keys ≡0 mod 97
@@ -504,6 +510,13 @@ object CoreQueries {
 
     "chk_not_null" ->
       s"SELECT $eventColsSql FROM events WHERE event_id IS NULL",
+
+    "chk_accepted_values" ->
+      """SELECT event_type AS value_field, CAST(count(*) AS BIGINT) AS n_records
+        |FROM events
+        |WHERE event_type IS NOT NULL
+        |  AND event_type NOT IN ('click', 'view', 'purchase', 'signup')
+        |GROUP BY 1""".stripMargin,
 
     "chk_relationships" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,

@@ -17,6 +17,14 @@ class ChecksSpec extends SparkSuite {
     assert(Checks.isNonNegative(child, "v").count() == 1)
   }
 
+  test("acceptedValues groups out-of-domain values, passes nulls and allowed") {
+    val df = Seq(Some("a"), Some("a"), Some("b"), Some("zz"), Some("zz"),
+      Some("yy"), None).toDF("c")
+    val out = Checks.acceptedValues(df, "c", Seq("a", "b"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("zz" -> 2L, "yy" -> 1L)) // NULL is not_null's job
+  }
+
   test("freshness passes within SLA, fails beyond") {
     import org.apache.spark.sql.functions._
     val df = Seq("2026-01-01 00:00:00").toDF("s")
