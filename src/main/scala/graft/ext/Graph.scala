@@ -492,6 +492,43 @@ object Graph {
       symDeg(edges), expr("rank div den"), iters, scale, Some(ranks0),
       broadcastBytesLimit, copartParts)
 
+  /** Store the unweighted walk table — symmetrized edges with the
+    * per-source denominator, `(src, dst, den)` — as a BUCKETED catalog
+    * table (bucketBy src). This moves the co-partitioned mode's
+    * once-per-run edge shuffle to WRITE time: every later PageRank
+    * refresh (cold or [[pageRankResume]]-style warm) reads the bucket
+    * layout straight off disk and runs its rounds with ZERO exchanges
+    * on the edge side, ever — the [[graft.operators.Bucketed]]
+    * amortization applied to the iterative-graph family. Combined with
+    * [[writeRanks]], a warehouse refresh touches only node-sized state
+    * and per-round contributions.
+    */
+  def writeWalkTable(edges: DataFrame, name: String, path: String,
+      buckets: Int): Unit = {
+    val (sym, den) = symDeg(edges)
+    graft.operators.Bucketed.writeBucketed(
+      sym.join(shims.checkpointWithStats(den), "src"), name, path, "src", buckets)
+  }
+
+  /** PageRank over a stored walk table: bit-identical ranks to
+    * [[pageRankScaled]] on the same edge list (pinned in GraphSpec).
+    * Always the co-partitioned shape — the bucketed scan IS the
+    * partitioning, so no in-memory edge checkpoint exists; each round
+    * re-reads the bucket files (at warehouse scale the graph doesn't
+    * fit memory anyway, and repeated local reads ride the page cache).
+    * `buckets` must match the written bucket count or Spark re-shuffles
+    * the mismatched side.
+    */
+  def pageRankOnWalkTable(spark: SparkSession, name: String, buckets: Int,
+      iters: Int, scale: Long = 1000000L,
+      ranks0: Option[DataFrame] = None): DataFrame = {
+    val withDeg = spark.table(name)
+    val deg = shims.checkpointWithStats(
+      withDeg.select(col("src"), col("den")).distinct())
+    pageRankRounds(withDeg, deg, expr("rank div den"), iters, scale,
+      ranks0, copart = true, parts = buckets)
+  }
+
   /** Symmetrized edges + per-source denominator for the unweighted walk:
     * (src, dst, den = outdeg).
     */
@@ -558,6 +595,21 @@ object Graph {
     val withDegPlan = sym.join(deg, "src")
     val withDeg = shims.checkpointWithStats(
       if (copart) withDegPlan.repartition(parts, col("src")) else withDegPlan)
+    pageRankRounds(withDeg, deg, contribution, iters, scale, ranks0,
+      copart, parts)
+  }
+
+  /** The round body shared by the in-memory loop and the stored-table
+    * entry ([[pageRankOnWalkTable]]): `withDeg` must already carry the
+    * co-partitioned layout when `copart` is set — from an explicit
+    * repartition+checkpoint (the loop above) or from a bucketed scan
+    * (the stored path, where DISK is the materialization).
+    */
+  private def pageRankRounds(withDeg: DataFrame, deg: DataFrame,
+                             contribution: Column,
+                             iters: Int, scale: Long,
+                             ranks0: Option[DataFrame],
+                             copart: Boolean, parts: Int): DataFrame = {
 
     def align(r: DataFrame): DataFrame =
       if (copart) r.repartition(parts, col("n")) else r

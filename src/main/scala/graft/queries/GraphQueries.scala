@@ -59,6 +59,17 @@ object GraphQueries {
       Graph.pageRankResume(edges, Graph.readRanks(s, store), iters = 2)
     }),
 
+    // PageRank over the STORED bucketed walk table: the co-partitioned
+    // edge shuffle moves to write time, rounds read hash(src) off disk
+    // with zero edge-side exchanges (GraphSpec plan pin) — bit-identical
+    // to the in-memory loop, so the oracle is the same unrolled rounds
+    "x_pagerank_bucketed" -> ((s, d) => {
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_walk_table").toString
+      Graph.writeWalkTable(coEdges(s, d), "graft_walk", s"$tmp/walk", buckets = 32)
+      Graph.pageRankOnWalkTable(s, "graft_walk", buckets = 32, iters = 3)
+    }),
+
     // hot-key-guarded co-occurrence: orders with > 5 distinct parts are
     // dropped before the pair fan-out (C(cap,2) bound per key) — the
     // jaccardCapped df-cap discipline on the graph family's one
@@ -282,6 +293,9 @@ object GraphQueries {
     },
 
     "x_pagerank" -> pageRankRoundsSql(3),
+
+    // the stored layout is physical only — identical rounds by contract
+    "x_pagerank_bucketed" -> pageRankRoundsSql(3),
 
     // unrolled simultaneous peel: keep sets are degree-HAVING filters,
     // an inner join against a GROUP BY set == the engine's semi-join

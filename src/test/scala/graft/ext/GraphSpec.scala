@@ -239,6 +239,24 @@ class GraphSpec extends SparkSuite {
     assert(sssp == bfs)
   }
 
+  test("pageRankOnWalkTable: bit-identical to the in-memory loop; edges never exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_walk_spec").toString
+    try {
+      Graph.writeWalkTable(fixture, "walk_spec", s"$tmp/walk", buckets = 4)
+      val stored = Graph.pageRankOnWalkTable(spark, "walk_spec", buckets = 4, iters = 3)
+      val inMem = Graph.pageRankScaled(fixture, iters = 3)
+      assert(stored.as[(Long, Long)].collect().toMap ==
+        inMem.as[(Long, Long)].collect().toMap)
+      // the visible last round: Bucketed scans provide hash(src) from
+      // disk — any exchange ON src means the stored layout is being
+      // re-shuffled, defeating the write-time amortization
+      val plan = stored.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"walk scan not bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(src"),
+        s"stored edges re-shuffled on src:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS walk_spec")
+  }
+
   test("commonNeighborsTopK: hand-checked counts, deterministic tie-break order") {
     // K4 minus edge (3,4): pair (3,4) has common {1,2}; (1,2) has {3,4};
     // all other adjacent pairs have exactly 1 common neighbor
