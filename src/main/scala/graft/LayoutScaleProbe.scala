@@ -74,6 +74,23 @@ object LayoutScaleProbe {
         .agg(max(col("rn"))).collect()
     }
 
+    // ---- stored walk table: cold PageRank (derive + shuffle edges per
+    //      run) vs bucketed-layout rounds (edge shuffle paid at write)
+    val coE = ext.Graph.coOccurrenceEdges(
+      Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+    time("pagerank cold (3 rounds)")(
+      ext.Graph.pageRankScaled(coE, iters = 3)
+        .write.format("noop").mode("overwrite").save())
+    val wtmp = java.nio.file.Files.createTempDirectory("graft_walk_probe").toString
+    time("walk table write (once)")(
+      ext.Graph.writeWalkTable(coE, "lp_walk", s"$wtmp/walk", buckets = 32))
+    time("pagerank on walk table")(
+      ext.Graph.pageRankOnWalkTable(spark, "lp_walk", 32, iters = 3)
+        .write.format("noop").mode("overwrite").save())
+    time("pagerank on walk table (repeat)")(
+      ext.Graph.pageRankOnWalkTable(spark, "lp_walk", 32, iters = 3)
+        .write.format("noop").mode("overwrite").save())
+
     // ---- BM25 amortization: cold query (explode per query) vs stored
     //      postings probe (explode paid once, band-pruned scan)
     val docs = Tables.documents(spark, dir)

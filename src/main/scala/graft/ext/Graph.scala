@@ -512,17 +512,30 @@ object Graph {
 
   /** PageRank over a stored walk table: bit-identical ranks to
     * [[pageRankScaled]] on the same edge list (pinned in GraphSpec).
-    * Always the co-partitioned shape — the bucketed scan IS the
-    * partitioning, so no in-memory edge checkpoint exists; each round
-    * re-reads the bucket files (at warehouse scale the graph doesn't
-    * fit memory anyway, and repeated local reads ride the page cache).
+    * Always the co-partitioned shape — the bucketed scan provides
+    * hash(src) from DISK, so the refresh's only edge-sized work is ONE
+    * decode into a stats checkpoint (partitioning survives the
+    * checkpoint — no shuffle anywhere; measured: iterating straight on
+    * the scan instead re-decodes the parquet every round, 1.6× the
+    * whole refresh at sf1), after which rounds run on blocks exactly
+    * like the in-memory loop minus its derivation + repartition.
     * `buckets` must match the written bucket count or Spark re-shuffles
     * the mismatched side.
     */
   def pageRankOnWalkTable(spark: SparkSession, name: String, buckets: Int,
       iters: Int, scale: Long = 1000000L,
       ranks0: Option[DataFrame] = None): DataFrame = {
-    val withDeg = spark.table(name)
+    // a BARE bucketed scan gets its layout disabled by the planner
+    // (autoBucketedScan sees no operator demanding the distribution —
+    // the demand comes three operators later, inside the rounds), which
+    // would checkpoint FILE-partitioned rows and re-shuffle every
+    // round; pin the layout on for the one decode
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf, "true")
+    spark.conf.set(conf, "false")
+    val withDeg =
+      try shims.checkpointWithStats(spark.table(name))
+      finally spark.conf.set(conf, prev)
     val deg = shims.checkpointWithStats(
       withDeg.select(col("src"), col("den")).distinct())
     pageRankRounds(withDeg, deg, expr("rank div den"), iters, scale,

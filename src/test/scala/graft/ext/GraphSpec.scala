@@ -247,11 +247,19 @@ class GraphSpec extends SparkSuite {
       val inMem = Graph.pageRankScaled(fixture, iters = 3)
       assert(stored.as[(Long, Long)].collect().toMap ==
         inMem.as[(Long, Long)].collect().toMap)
-      // the visible last round: Bucketed scans provide hash(src) from
-      // disk — any exchange ON src means the stored layout is being
-      // re-shuffled, defeating the write-time amortization
+      // layout contract, in two halves: with autoBucketedScan pinned
+      // off (as the operator does for its decode) the table scans
+      // bucket-aware, hash(src) from disk ...
+      val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      spark.conf.set(conf, "false")
+      val scanPlan =
+        try spark.table("walk_spec").queryExecution.executedPlan.toString
+        finally spark.conf.set(conf, "true")
+      assert(scanPlan.contains("Bucketed: true"), s"walk scan not bucketed:\n$scanPlan")
+      // ... and the refresh never exchanges ON src anywhere — the one
+      // edge decode lands in a partitioning-preserving checkpoint, so
+      // an Exchange on src means the layout is being re-shuffled
       val plan = stored.queryExecution.executedPlan.toString
-      assert(plan.contains("Bucketed: true"), s"walk scan not bucketed:\n$plan")
       assert(!plan.contains("Exchange hashpartitioning(src"),
         s"stored edges re-shuffled on src:\n$plan")
     } finally spark.sql("DROP TABLE IF EXISTS walk_spec")
