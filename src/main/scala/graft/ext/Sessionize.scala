@@ -136,16 +136,19 @@ object Sessionize {
       .parquet(s"$sfDir/{events.parquet}"))
       .select(col("user_id"), col("ts"), col("value"))
       .as[Evt]
-    val q = streamingSessions(events, gapMinutes, GroupStateTimeout.NoTimeout)
-      .toDF()
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$work/checkpoint")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // bounded drain → clamp the state-store width (DrainWidth scaladoc)
+    graft.streaming.DrainWidth.clamped(spark) {
+      val q = streamingSessions(events, gapMinutes, GroupStateTimeout.NoTimeout)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$work/checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
   }
 }

@@ -46,16 +46,19 @@ object StreamingDedup {
     val events = Tables.normalizeTs(spark.readStream
       .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .parquet(src))
-    val q = firstWins(events, keys, "ts")
-      .select(keys.map(col): _*)
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$work/checkpoint")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // bounded drain → clamp the state-store width (DrainWidth scaladoc)
+    DrainWidth.clamped(spark) {
+      val q = firstWins(events, keys, "ts")
+        .select(keys.map(col): _*)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$work/checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
   }
 }

@@ -120,13 +120,16 @@ object StreamingHourly {
     val sink =
       if (partitionedSink) partitionedMergeSink(mart, Seq("window_start", "event_type")) _
       else mergeSink(mart, Seq("window_start", "event_type")) _
-    val q = agg.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", s"$work/checkpoint")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch(sink)
-      .start()
-    q.awaitTermination()
+    // bounded drain → clamp the state-store width (DrainWidth scaladoc)
+    DrainWidth.clamped(spark) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(sink)
+        .start()
+      q.awaitTermination()
+    }
     // an all-empty drain leaves no readable partitioned mart (partitionBy
     // of zero rows writes no files) — a fresh day with no data is a valid
     // production state, not an error: return the empty aggregation shape

@@ -70,6 +70,7 @@ object StreamingJoin {
     val out = s"$work/matches"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    DrainWidth.clamped(spark) {
     def stream(): DataFrame = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(s"$sfDir/{events.parquet}"))
     val purchases = stream().filter(col("event_type") === "purchase")
@@ -87,6 +88,7 @@ object StreamingJoin {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    }
     spark.read.parquet(out)
   }
 }

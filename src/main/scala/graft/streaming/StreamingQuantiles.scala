@@ -52,13 +52,16 @@ object StreamingQuantiles {
         col("qs").getItem(1).as("p90_cents"),
         col("qs").getItem(2).as("p99_cents"),
         col("n_events"))
-    val q = agg.writeStream
-      .outputMode("update")
-      .foreachBatch(StreamingHourly.mergeSink(mart, Seq("event_type")) _)
-      .option("checkpointLocation", s"$work/chk")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // bounded drain → clamp the state-store width (DrainWidth scaladoc)
+    DrainWidth.clamped(spark) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch(StreamingHourly.mergeSink(mart, Seq("event_type")) _)
+        .option("checkpointLocation", s"$work/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(mart)
   }
 }
