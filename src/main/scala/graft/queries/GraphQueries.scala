@@ -52,7 +52,10 @@ object GraphQueries {
     // incremental-PageRank amortization a warehouse runs: refreshes pay
     // only their incremental rounds against stored ranks.
     "x_pagerank_resumed" -> ((s, d) => {
-      val edges = coEdges(s, d)
+      // stats-checkpointed once: both loop calls (3 cold + 2 resumed
+      // rounds) read the same materialized edge blocks instead of each
+      // re-running the co-occurrence self-join (the x_bfs_hops fix)
+      val edges = org.apache.spark.sql.graft.shims.checkpointWithStats(coEdges(s, d))
       val store = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_pagerank_store").toString
       Graph.writeRanks(Graph.pageRankScaled(edges, iters = 3), store)
