@@ -542,6 +542,35 @@ object Graph {
       ranks0, copart = true, parts = buckets)
   }
 
+  /** Weighted twin of [[writeWalkTable]]: stores `(src, dst, w, den =
+    * strength)` bucketed by src for [[pageRankWeightedOnWalkTable]].
+    */
+  def writeWalkTableWeighted(wEdges: DataFrame, name: String, path: String,
+      buckets: Int): Unit = {
+    val (sym, den) = symDegWeighted(wEdges)
+    graft.operators.Bucketed.writeBucketed(
+      sym.join(shims.checkpointWithStats(den), "src"), name, path, "src", buckets)
+  }
+
+  /** Weighted twin of [[pageRankOnWalkTable]]: contribution
+    * `(rank·w) div den`, bit-identical to [[pageRankScaledWeighted]]
+    * on the same weighted edges (pinned in GraphSpec).
+    */
+  def pageRankWeightedOnWalkTable(spark: SparkSession, name: String,
+      buckets: Int, iters: Int, scale: Long = 1000000L,
+      ranks0: Option[DataFrame] = None): DataFrame = {
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf, "true")
+    spark.conf.set(conf, "false")
+    val withDeg =
+      try shims.checkpointWithStats(spark.table(name))
+      finally spark.conf.set(conf, prev)
+    val deg = shims.checkpointWithStats(
+      withDeg.select(col("src"), col("den")).distinct())
+    pageRankRounds(withDeg, deg, expr("(rank * w) div den"), iters, scale,
+      ranks0, copart = true, parts = buckets)
+  }
+
   /** Symmetrized edges + per-source denominator for the unweighted walk:
     * (src, dst, den = outdeg).
     */

@@ -265,6 +265,20 @@ class GraphSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE IF EXISTS walk_spec")
   }
 
+  test("pageRankWeightedOnWalkTable: bit-identical to the in-memory weighted loop") {
+    val wg = Seq((1L, 2L, 3L), (2L, 3L, 1L), (1L, 3L, 2L), (3L, 4L, 5L))
+      .toDF("u", "v", "w")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wwalk_spec").toString
+    try {
+      Graph.writeWalkTableWeighted(wg, "wwalk_spec", s"$tmp/walk", buckets = 4)
+      val stored = Graph.pageRankWeightedOnWalkTable(
+        spark, "wwalk_spec", buckets = 4, iters = 3)
+      val inMem = Graph.pageRankScaledWeighted(wg, iters = 3)
+      assert(stored.as[(Long, Long)].collect().toMap ==
+        inMem.as[(Long, Long)].collect().toMap)
+    } finally spark.sql("DROP TABLE IF EXISTS wwalk_spec")
+  }
+
   test("commonNeighborsTopK: hand-checked counts, deterministic tie-break order") {
     // K4 minus edge (3,4): pair (3,4) has common {1,2}; (1,2) has {3,4};
     // all other adjacent pairs have exactly 1 common neighbor
