@@ -129,6 +129,31 @@ object Graph {
       .limit(k)
   }
 
+  /** Hub-capped link prediction: identical to [[commonNeighborsTopK]]
+    * except nodes with degree above `maxCenterDeg` contribute NO wedges
+    * as the shared-neighbor WITNESS — the volume bound drops from
+    * Σ C(deg, 2) to Σ_{deg≤cap} C(deg, 2) ≤ (cap−1)/2 · m, linear in
+    * edges. Same reasoning as the shingle df-cap and
+    * [[coOccurrenceEdgesCapped]]: membership in a huge neighborhood is
+    * weak pairwise evidence, so hubs are dropped as witnesses (they
+    * still appear as ENDPOINTS via their bounded-degree neighbors).
+    * This closes the graph family's last documented quadratic surface.
+    */
+  def commonNeighborsTopKCapped(edges: DataFrame, k: Int,
+      maxCenterDeg: Long): DataFrame = {
+    val ok = degrees(edges).filter(col("deg") <= maxCenterDeg)
+      .select(col("n").as("s"))
+    val sym = edges.select(col("u").as("s"), col("v").as("d"))
+      .unionAll(edges.select(col("v").as("s"), col("u").as("d")))
+      .join(ok, Seq("s"), "left_semi")
+    sym.as("e1").join(sym.as("e2"), "s")
+      .where(col("e1.d") < col("e2.d"))
+      .groupBy(col("e1.d").as("a"), col("e2.d").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .orderBy(col("common").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** `rounds` simultaneous peeling rounds toward the k-core: each round
     * drops every node whose CURRENT degree is below `k` (both endpoints
     * must survive for an edge to survive), then recomputes degrees on

@@ -144,7 +144,14 @@ object GraphQueries {
     // and noise-dominated — sparsify first is the production order of
     // operations, same as x_graph_components.
     "x_common_neighbors" -> ((s, d) =>
-      Graph.commonNeighborsTopK(backbone(s, d), k = 30))
+      Graph.commonNeighborsTopK(backbone(s, d), k = 30)),
+
+    // hub-capped variant: witnesses with degree > 9 excluded (p99 of
+    // the sf0.01 backbone — the cap BINDS, exercising the drop path);
+    // volume becomes (cap-1)/2 · m, the linear bound — the df-cap
+    // discipline closing the family's last quadratic surface
+    "x_common_neighbors_capped" -> ((s, d) =>
+      Graph.commonNeighborsTopKCapped(backbone(s, d), k = 30, maxCenterDeg = 9L))
   )
 
   /** w>=2 co-occurrence backbone (with weights) — the sparsified graph
@@ -296,6 +303,24 @@ object GraphQueries {
     },
 
     "x_pagerank" -> pageRankRoundsSql(3),
+
+    // hub-cap twin: the witness filter is a HAVING prefilter on the
+    // symmetric degree, everything after is the uncapped spelling
+    "x_common_neighbors_capped" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+        |wpairs AS (
+        |  SELECT a.i AS u, b.i AS v, count(*) AS w
+        |  FROM inc a JOIN inc b USING (k) WHERE a.i < b.i GROUP BY 1, 2),
+        |pairs AS (SELECT u, v FROM wpairs WHERE w >= 2),
+        |sym0 AS (
+        |  SELECT u AS s, v AS d FROM pairs
+        |  UNION ALL SELECT v, u FROM pairs),
+        |ok AS (SELECT s FROM sym0 GROUP BY s HAVING count(*) <= 9),
+        |sym AS (SELECT sym0.s, sym0.d FROM sym0 JOIN ok USING (s))
+        |SELECT e1.d AS a, e2.d AS b, CAST(count(*) AS BIGINT) AS common
+        |FROM sym e1 JOIN sym e2 USING (s) WHERE e1.d < e2.d
+        |GROUP BY 1, 2 ORDER BY common DESC, a, b LIMIT 30""".stripMargin,
 
     // the stored layout is physical only — identical rounds by contract
     "x_pagerank_bucketed" -> pageRankRoundsSql(3),

@@ -279,6 +279,20 @@ class GraphSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE IF EXISTS wwalk_spec")
   }
 
+  test("commonNeighborsTopKCapped: hub dropped as witness, kept as endpoint") {
+    // star 1-{2,3,4,5} + edge 2-3; cap 3 excludes node 1 (deg 4) as a
+    // witness: the 6 hub-mediated pairs vanish, but (1,2)/(1,3) —
+    // witnessed by the bounded-degree nodes 3/2 — survive with the hub
+    // as an ENDPOINT
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L)).toDF("u", "v")
+    val capped = Graph.commonNeighborsTopKCapped(g, k = 30, maxCenterDeg = 3L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 1L), (1L, 3L, 1L)))
+    val uncapped = Graph.commonNeighborsTopK(g, k = 30)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uncapped.contains((2L, 3L, 1L)) && uncapped.size == 8)
+  }
+
   test("commonNeighborsTopK: hand-checked counts, deterministic tie-break order") {
     // K4 minus edge (3,4): pair (3,4) has common {1,2}; (1,2) has {3,4};
     // all other adjacent pairs have exactly 1 common neighbor
