@@ -284,6 +284,9 @@ object Graph {
       dist = merged
       changed = improved
     }
+    // the final round's improvement set is not part of the result's
+    // lineage (dist reads its own merged blocks) — free it
+    if (changed ne dist) shims.unpersistLocalCheckpoint(changed)
     dist
   }
 
