@@ -137,6 +137,24 @@ object GraphQueries {
       Graph.ssspRounds(bb, seeds, rounds = 3)
     }),
 
+    // the family capstone: ONE stats-checkpointed backbone feeds
+    // degree + component + weighted rank + 3-core degree, joined into
+    // the per-node feature table an ML pipeline exports — the
+    // x_corpus_e2e move (derive once, compute many) for graphs. Every
+    // sub-feature is an already-verified operator; the e2e contract is
+    // their composition off shared blocks.
+    "x_graph_e2e" -> ((s, d) => {
+      val wbb = org.apache.spark.sql.graft.shims.checkpointWithStats(
+        weightedBackbone(s, d))
+      val bb = wbb.select(org.apache.spark.sql.functions.col("u"),
+        org.apache.spark.sql.functions.col("v"))
+      Graph.degrees(bb)
+        .join(Graph.connectedComponents(bb), "n")
+        .join(Graph.pageRankScaledWeighted(wbb, iters = 3), "n")
+        .join(Graph.kCorePeel(bb, k = 3, rounds = 3)
+          .withColumnRenamed("deg", "core_deg"), Seq("n"), "left")
+    }),
+
     // link-prediction score on the w>=2 BACKBONE: top-30 pairs by
     // common-neighbor count, deterministic (count desc, a, b) tie-break.
     // Backbone, not the raw graph, deliberately: the full co-purchase
@@ -351,6 +369,60 @@ object GraphQueries {
 
     // the warm-start contract IS "3 stored + 2 resumed == 5 cold rounds"
     "x_pagerank_resumed" -> pageRankRoundsSql(5),
+
+    // composition of the four already-verified per-feature oracles off
+    // one shared backbone CTE (each sym spelling renamed apart)
+    "x_graph_e2e" -> {
+      def wRound(prev: String, cN: String, rN: String): String =
+        s"""$cN AS (
+           |  SELECT wsym.dst, sum(($prev.rank * wsym.w) // st.sw) AS s
+           |  FROM wsym JOIN st USING (src) JOIN $prev ON $prev.n = wsym.src
+           |  GROUP BY wsym.dst),
+           |$rN AS (
+           |  SELECT st.src AS n,
+           |    CAST((15 * 1000000 + 85 * coalesce($cN.s, 0)) // 100 AS BIGINT) AS rank
+           |  FROM st LEFT JOIN $cN ON $cN.dst = st.src)""".stripMargin
+      def kRound(i: Int): String =
+        s"""k$i AS (SELECT src FROM ks${i - 1} GROUP BY src HAVING count(*) >= 3),
+           |ks$i AS (
+           |  SELECT s.src, s.dst FROM ks${i - 1} s
+           |  JOIN k$i a ON a.src = s.src JOIN k$i b ON b.src = s.dst)""".stripMargin
+      s"""WITH RECURSIVE inc AS (
+         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+         |wpairs AS (
+         |  SELECT a.i AS u, b.i AS v, count(*) AS w
+         |  FROM inc a JOIN inc b USING (k) WHERE a.i < b.i GROUP BY 1, 2),
+         |bb AS (SELECT u, v, w FROM wpairs WHERE w >= 2),
+         |nodes AS (SELECT u AS n FROM bb UNION ALL SELECT v FROM bb),
+         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM nodes GROUP BY n),
+         |csym AS (SELECT u AS s, v AS d FROM bb UNION ALL SELECT v, u FROM bb),
+         |reach(n, m) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM csym)
+         |  UNION
+         |  SELECT csym.d, reach.m FROM reach JOIN csym ON csym.s = reach.n
+         |  WHERE reach.m < csym.d),
+         |comp AS (SELECT n, min(m) AS component FROM reach GROUP BY n),
+         |wsym AS (
+         |  SELECT u AS src, v AS dst, w FROM bb
+         |  UNION ALL SELECT v, u, w FROM bb),
+         |st AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM wsym GROUP BY src),
+         |r0 AS (SELECT src AS n, CAST(1000000 AS BIGINT) AS rank FROM st),
+         |${wRound("r0", "c1", "r1")},
+         |${wRound("r1", "c2", "r2")},
+         |${wRound("r2", "c3", "r3")},
+         |ks0 AS (
+         |  SELECT u AS src, v AS dst FROM bb
+         |  UNION ALL SELECT v, u FROM bb),
+         |${kRound(1)},
+         |${kRound(2)},
+         |${kRound(3)},
+         |core AS (
+         |  SELECT src AS n, CAST(count(*) AS BIGINT) AS core_deg
+         |  FROM ks3 GROUP BY src)
+         |SELECT deg.n, deg.deg, comp.component, r3.rank, core.core_deg
+         |FROM deg JOIN comp USING (n) JOIN r3 USING (n)
+         |LEFT JOIN core USING (n)""".stripMargin
+    },
 
     // unrolled min-merge rounds: d_i(v) = min walk length <= i from the
     // seed set = min PATH length <= i — exactly what the engine's
