@@ -113,6 +113,49 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("edit_distance"))
   }
 
+  /** Cross-table record linkage (entity resolution between two
+    * DATASETS, vs the same-table near-dup family above): match left
+    * records to right records whose name is within `maxDistance`
+    * edits, candidates blocked through a char-n-gram inverted index —
+    * a candidate pair must share at least one n-gram whose combined
+    * document frequency is ≤ `maxNgramDf`. The df cap is the blocking
+    * analog of [[jaccardCapped]]'s: ubiquitous n-grams (shared
+    * prefixes, zero runs) are dropped as block keys on BOTH sides —
+    * they would pair everything with everything and carry no
+    * discriminating evidence — so candidate volume is Σ_{df≤cap}
+    * df_L·df_R, never |L|·|R|. Recall trade: a true pair ALL of whose
+    * shared n-grams are capped away is missed (deterministically, and
+    * identically in the oracle) — at warehouse scale that is the
+    * standard blocking-key design problem, tuned via `maxNgramDf`.
+    * Verification is the banded Levenshtein on candidates only.
+    */
+  def recordLinkage(left: DataFrame, leftId: String, leftName: String,
+                    right: DataFrame, rightId: String, rightName: String,
+                    n: Int = 3, maxDistance: Int = 5,
+                    maxNgramDf: Long = 120L): DataFrame = {
+    import graft.functions.CharNgrams
+    val lg = left.select(col(leftId).as("left_id"),
+      explode(CharNgrams.charNgrams(col(leftName), n)).as("g")).distinct()
+    val rg = right.select(col(rightId).as("right_id"),
+      explode(CharNgrams.charNgrams(col(rightName), n)).as("g")).distinct()
+    // per-record-distinct rows → count = records containing g, both sides
+    val ok = lg.select(col("g")).unionAll(rg.select(col("g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxNgramDf).select(col("g"))
+    val cand = lg.join(ok, Seq("g"), "left_semi")
+      .join(rg, Seq("g"))
+      .select(col("left_id"), col("right_id")).distinct()
+    cand
+      .join(left.select(col(leftId).as("left_id"),
+        col(leftName).as("__ln")), "left_id")
+      .join(right.select(col(rightId).as("right_id"),
+        col(rightName).as("__rn")), "right_id")
+      .withColumn("edit_distance",
+        levenshtein(col("__ln"), col("__rn"), maxDistance).cast("bigint"))
+      .filter(col("edit_distance") >= 0) // banded DP: -1 above the bound
+      .select(col("left_id"), col("right_id"), col("edit_distance"))
+  }
+
   /** Containment pairs: |A∩B| / |A| ≥ threshold — the ASYMMETRIC overlap
     * measure. Jaccard misses a small document wholly contained in a much
     * larger one (the union term swamps the intersection); containment is

@@ -408,6 +408,17 @@ object ExtQueries {
     "x_tfidf_top" -> ((s, d) =>
       Corpus.tfidfTop(Tables.documents(s, d), "doc_id", "text", 3)),
 
+    // ---- cross-table record linkage: customers matched to suppliers
+    //      by name within 5 edits, blocked through a df-capped char-
+    //      trigram inverted index (shared prefixes and zero-runs are
+    //      dropped as block keys — they pair everything and prove
+    //      nothing); banded Levenshtein verifies candidates only
+    "x_record_linkage" -> ((s, d) =>
+      graft.ext.DedupOps.recordLinkage(
+        Tables.customer(s, d), "c_custkey", "c_name",
+        Tables.supplier(s, d), "s_suppkey", "s_name",
+        n = 3, maxDistance = 5, maxNgramDf = 120L)),
+
     // ---- BM25 retrieval (exact-integer rational variant, see
     //      Retrieval scaladoc): top-20 docs for a 3-term query; only
     //      docs holding >= 1 term are candidates (posting semantics)
@@ -1228,6 +1239,30 @@ object ExtQueries {
          |      FROM tf JOIN dfq USING (token))
          |SELECT doc_id, token, tf, df, score FROM s
          |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) <= 3""".stripMargin,
+
+    // same trigram blocking (substr spelling), same df cap replicated
+    // on the union of both sides, plain levenshtein with the <= filter
+    // standing in for the engine's banded -1 convention
+    "x_record_linkage" ->
+      """WITH ln AS (SELECT c_custkey AS left_id, c_name AS lname FROM customer),
+        |rn AS (SELECT s_suppkey AS right_id, s_name AS rname FROM supplier),
+        |lg AS (
+        |  SELECT DISTINCT left_id, substr(lname, CAST(i AS INTEGER), 3) AS g
+        |  FROM ln, LATERAL (SELECT unnest(generate_series(1, len(lname) - 2)) AS i) u),
+        |rg AS (
+        |  SELECT DISTINCT right_id, substr(rname, CAST(i AS INTEGER), 3) AS g
+        |  FROM rn, LATERAL (SELECT unnest(generate_series(1, len(rname) - 2)) AS i) u),
+        |ok AS (
+        |  SELECT g FROM (
+        |    SELECT g FROM lg UNION ALL SELECT g FROM rg)
+        |  GROUP BY g HAVING count(*) <= 120),
+        |cand AS (
+        |  SELECT DISTINCT lg.left_id, rg.right_id
+        |  FROM lg JOIN ok USING (g) JOIN rg USING (g))
+        |SELECT c.left_id, c.right_id,
+        |  CAST(levenshtein(ln.lname, rn.rname) AS BIGINT) AS edit_distance
+        |FROM cand c JOIN ln USING (left_id) JOIN rn USING (right_id)
+        |WHERE levenshtein(ln.lname, rn.rname) <= 5""".stripMargin,
 
     // identical floor-division spelling of the rational BM25: the
     // score itself (not a tolerance band) hash-matches

@@ -38,6 +38,23 @@ class ExtSpec extends SparkSuite {
       Set((1L, 4L)))
   }
 
+  test("recordLinkage: blocked cross-table match; capped block keys drop pairs on both sides") {
+    val left = Seq((1L, "acme corp"), (2L, "zenith ltd"), (3L, "common common"))
+      .toDF("lid", "lname")
+    val right = Seq((10L, "acme corpX"), (11L, "nothing alike"),
+      (12L, "common common")).toDF("rid", "rname")
+    val out = DedupOps.recordLinkage(left, "lid", "lname",
+        right, "rid", "rname", n = 3, maxDistance = 2, maxNgramDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 1↔10 one appended char (distance 1); 3↔12 exact (0); 2↔11 shares
+    // no trigram → never a candidate
+    assert(out == Map((1L, 10L) -> 1L, (3L, 12L) -> 0L))
+    // cap = 1 kills every shared block key (each shared trigram sits in
+    // ≥2 records) → zero candidates, deterministically on both sides
+    assert(DedupOps.recordLinkage(left, "lid", "lname",
+      right, "rid", "rname", n = 3, maxDistance = 2, maxNgramDf = 1L).count() == 0L)
+  }
+
   test("exactGroups collapses identical texts") {
     val g = DedupOps.exactGroups(docs, "doc_id", "text")
     assert(g.count() == 3)
