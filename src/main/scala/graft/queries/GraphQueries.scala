@@ -73,6 +73,16 @@ object GraphQueries {
       Graph.pageRankOnWalkTable(s, "graft_walk", buckets = 32, iters = 3)
     }),
 
+    // the weighted stored-walk twin: same layout amortization on the
+    // backbone's weighted walk (src, dst, w, den=strength)
+    "x_pagerank_weighted_bucketed" -> ((s, d) => {
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_wwalk_table").toString
+      Graph.writeWalkTableWeighted(weightedBackbone(s, d), "graft_wwalk",
+        s"$tmp/walk", buckets = 32)
+      Graph.pageRankWeightedOnWalkTable(s, "graft_wwalk", buckets = 32, iters = 3)
+    }),
+
     // hot-key-guarded co-occurrence: orders with > 5 distinct parts are
     // dropped before the pair fan-out (C(cap,2) bound per key) — the
     // jaccardCapped df-cap discipline on the graph family's one
@@ -221,6 +231,36 @@ object GraphQueries {
        |SELECT n, rank FROM r$n""".stripMargin
   }
 
+  /** Shared by the in-memory and stored-walk weighted rank queries —
+    * the stored layout must not change ranks.
+    */
+  private val WeightedRankSql: String = {
+      def round(prev: String, cN: String, rN: String): String =
+        s"""$cN AS (
+           |  SELECT sym.dst, sum(($prev.rank * sym.w) // st.sw) AS s
+           |  FROM sym JOIN st USING (src) JOIN $prev ON $prev.n = sym.src
+           |  GROUP BY sym.dst),
+           |$rN AS (
+           |  SELECT st.src AS n,
+           |    CAST((15 * 1000000 + 85 * coalesce($cN.s, 0)) // 100 AS BIGINT) AS rank
+           |  FROM st LEFT JOIN $cN ON $cN.dst = st.src)""".stripMargin
+      s"""WITH inc AS (
+         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+         |wpairs AS (
+         |  SELECT a.i AS u, b.i AS v, count(*) AS w
+         |  FROM inc a JOIN inc b USING (k) WHERE a.i < b.i GROUP BY 1, 2),
+         |bb AS (SELECT u, v, w FROM wpairs WHERE w >= 2),
+         |sym AS (
+         |  SELECT u AS src, v AS dst, w FROM bb
+         |  UNION ALL SELECT v, u, w FROM bb),
+         |st AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM sym GROUP BY src),
+         |r0 AS (SELECT src AS n, CAST(1000000 AS BIGINT) AS rank FROM st),
+         |${round("r0", "c1", "r1")},
+         |${round("r1", "c2", "r2")},
+         |${round("r2", "c3", "r3")}
+         |SELECT n, rank FROM r3""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "x_graph_degrees" ->
@@ -293,32 +333,10 @@ object GraphQueries {
 
     // weighted twin: strength = sum of incident weights; contribution
     // (rank*w) // strength — same unrolled 3-round shape on the backbone
-    "x_pagerank_weighted" -> {
-      def round(prev: String, cN: String, rN: String): String =
-        s"""$cN AS (
-           |  SELECT sym.dst, sum((${prev}.rank * sym.w) // st.sw) AS s
-           |  FROM sym JOIN st USING (src) JOIN ${prev} ON ${prev}.n = sym.src
-           |  GROUP BY sym.dst),
-           |$rN AS (
-           |  SELECT st.src AS n,
-           |    CAST((15 * 1000000 + 85 * coalesce($cN.s, 0)) // 100 AS BIGINT) AS rank
-           |  FROM st LEFT JOIN $cN ON $cN.dst = st.src)""".stripMargin
-      s"""WITH inc AS (
-         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
-         |wpairs AS (
-         |  SELECT a.i AS u, b.i AS v, count(*) AS w
-         |  FROM inc a JOIN inc b USING (k) WHERE a.i < b.i GROUP BY 1, 2),
-         |bb AS (SELECT u, v, w FROM wpairs WHERE w >= 2),
-         |sym AS (
-         |  SELECT u AS src, v AS dst, w FROM bb
-         |  UNION ALL SELECT v, u, w FROM bb),
-         |st AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM sym GROUP BY src),
-         |r0 AS (SELECT src AS n, CAST(1000000 AS BIGINT) AS rank FROM st),
-         |${round("r0", "c1", "r1")},
-         |${round("r1", "c2", "r2")},
-         |${round("r2", "c3", "r3")}
-         |SELECT n, rank FROM r3""".stripMargin
-    },
+    "x_pagerank_weighted" -> WeightedRankSql,
+
+    // stored weighted walk: layout only — identical rounds by contract
+    "x_pagerank_weighted_bucketed" -> WeightedRankSql,
 
     "x_pagerank" -> pageRankRoundsSql(3),
 
