@@ -177,15 +177,24 @@ object Graph {
       edges.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(edges.select(col("v").as("src"), col("u").as("dst"))))
     var prev = sym
-    for (_ <- 1 to rounds) {
+    var i = 1
+    var shrinking = true
+    // EARLY EXIT: when a round drops no edges the peel is at fixpoint
+    // and every further round is a no-op re-aggregation — free check
+    // from the per-round checkpoint's injected row count. Result
+    // unchanged (the fixed-round oracle unrolls identical rounds).
+    while (i <= rounds && shrinking) {
       val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
       val pruned = sym
         .join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
       sym = shims.checkpointWithStats(pruned)
+      shrinking = (for (a <- shims.statsRowCount(sym);
+                        b <- shims.statsRowCount(prev)) yield a < b).getOrElse(true)
       shims.unpersistLocalCheckpoint(prev)
       prev = sym
+      i += 1
     }
     // the final checkpoint stays live: the returned frame reads its blocks
     sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
@@ -215,13 +224,21 @@ object Graph {
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var settled = shims.checkpointWithStats(
+      seeds.select(col("n")).distinct().select(col("n"), lit(0L).as("hops")))
+    if (rounds == 0) return settled // no traversal: skip the edge pass
     val sym = shims.checkpointWithStats(
       edges.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(edges.select(col("v").as("src"), col("u").as("dst"))))
-    var settled = shims.checkpointWithStats(
-      seeds.select(col("n")).distinct().select(col("n"), lit(0L).as("hops")))
     var prev = settled
-    for (i <- 1 to rounds) {
+    var i = 1
+    var grew = true
+    // EARLY EXIT: the checkpoint stats make "did the settled set grow"
+    // a free check — once a round adds nothing the frontier is empty
+    // and every further round would re-run the round machinery to add
+    // nothing (at diameter ≪ rounds that's pure waste). Oracle
+    // contract unaffected: an empty frontier contributes no rows.
+    while (i <= rounds && grew) {
       val frontier = settled.filter(col("hops") === (i - 1).toLong)
         .select(col("n").as("src"))
       val next = sym.join(frontier, Seq("src"))
@@ -229,9 +246,15 @@ object Graph {
         .join(settled, Seq("n"), "left_anti")
         .select(col("n"), lit(i.toLong).as("hops"))
       settled = shims.checkpointWithStats(settled.unionAll(next))
+      grew = (for (a <- shims.statsRowCount(settled);
+                   b <- shims.statsRowCount(prev)) yield a > b).getOrElse(true)
       shims.unpersistLocalCheckpoint(prev)
       prev = settled
+      i += 1
     }
+    // sym is dead at return (the result reads only settled's blocks);
+    // without this the edge-sized blocks leak per invocation (r7 ADVICE)
+    shims.unpersistLocalCheckpoint(sym)
     settled
   }
 
@@ -260,13 +283,20 @@ object Graph {
     */
   def ssspRounds(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var dist = shims.checkpointWithStats(
+      seeds.select(col("n")).distinct().select(col("n"), lit(0L).as("dist")))
+    if (rounds == 0) return dist // no relaxation: skip the edge pass
     val sym = shims.checkpointWithStats(
       edges.select(col("u").as("src"), col("v").as("dst"), col("w"))
         .unionAll(edges.select(col("v").as("src"), col("u").as("dst"), col("w"))))
-    var dist = shims.checkpointWithStats(
-      seeds.select(col("n")).distinct().select(col("n"), lit(0L).as("dist")))
     var changed = dist // round 0: every seed just "improved" to 0
-    for (_ <- 1 to rounds) {
+    var i = 1
+    var live = true
+    // EARLY EXIT: once no distance improves, every later round relaxes
+    // an empty changed set — fixpoint reached (free check from the
+    // improvement checkpoint's injected row count). Oracle contract
+    // unaffected: an empty changed set offers nothing to merge.
+    while (i <= rounds && live) {
       val cand = sym
         .join(changed.select(col("n").as("src"), col("dist").as("d0")), Seq("src"))
         .select(col("dst").as("n"), (col("d0") + col("w")).as("dist"))
@@ -283,10 +313,14 @@ object Graph {
       shims.unpersistLocalCheckpoint(dist)
       dist = merged
       changed = improved
+      live = shims.statsRowCount(improved).forall(_ > 0L)
+      i += 1
     }
     // the final round's improvement set is not part of the result's
-    // lineage (dist reads its own merged blocks) — free it
+    // lineage (dist reads its own merged blocks) — free it; sym is
+    // likewise dead at return (r7 ADVICE: it leaked per invocation)
     if (changed ne dist) shims.unpersistLocalCheckpoint(changed)
+    shims.unpersistLocalCheckpoint(sym)
     dist
   }
 
@@ -340,9 +374,15 @@ object Graph {
     // The four scalar branches would each re-derive their whole input
     // plan (Catalyst does not dedupe common subplans across crossJoins)
     // — with a derived edge list like coOccurrenceEdges that means
-    // re-running the upstream self-join up to 6×. Checkpoint the edge
-    // list and the oriented form once; every branch reads the
-    // materialized blocks instead (measured 11.5 s → ~3 s at sf0.1).
+    // re-running the upstream self-join up to 6×; checkpointing the
+    // edge list and the oriented form once cut the r5 build from
+    // 11.5 s to ~4 s at sf0.1. This frame is referenced FIVE times in
+    // one plan (2 degree-agg scans + the orient joins), so it must be
+    // the layout-FREE stats checkpoint: the layout-preserving variant
+    // defeats AQE exchange dedup across the cloned references and ran
+    // the degree stages twice — the measured r7 regression
+    // (4.2 s → 7.2 s; see checkpointWithStatsLayout's scaladoc and
+    // SCALE.md's round-8 row).
     val e = shims.checkpointWithStats(edges)
     // exact count from the checkpoint's injected stats — no extra job;
     // used ONLY for the broadcast-vs-shuffle decision (the `edges`
@@ -561,10 +601,12 @@ object Graph {
     val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.get(conf, "true")
     spark.conf.set(conf, "false")
+    // layout-preserving: the bucketed hash(src) layout from disk is the
+    // whole point, and withDeg/deg are single-reference per round plan
     val withDeg =
-      try shims.checkpointWithStats(spark.table(name))
+      try shims.checkpointWithStatsLayout(spark.table(name))
       finally spark.conf.set(conf, prev)
-    val deg = shims.checkpointWithStats(
+    val deg = shims.checkpointWithStatsLayout(
       withDeg.select(col("src"), col("den")).distinct())
     pageRankRounds(withDeg, deg, expr("rank div den"), iters, scale,
       ranks0, copart = true, parts = buckets)
@@ -591,9 +633,9 @@ object Graph {
     val prev = spark.conf.get(conf, "true")
     spark.conf.set(conf, "false")
     val withDeg =
-      try shims.checkpointWithStats(spark.table(name))
+      try shims.checkpointWithStatsLayout(spark.table(name))
       finally spark.conf.set(conf, prev)
-    val deg = shims.checkpointWithStats(
+    val deg = shims.checkpointWithStatsLayout(
       withDeg.select(col("src"), col("den")).distinct())
     pageRankRounds(withDeg, deg, expr("(rank * w) div den"), iters, scale,
       ranks0, copart = true, parts = buckets)
@@ -649,7 +691,12 @@ object Graph {
                            copartParts: Int): DataFrame = {
     val (sym, denPlan) = symAndDen
     val spark = sym.sparkSession
-    val deg = shims.checkpointWithStats(denPlan)
+    // layout-preserving variants throughout the loop: every checkpoint
+    // here (deg, withDeg, per-round ranks) is consumed ONCE per round
+    // plan, so the exchange-dedup hazard documented at
+    // checkpointWithStatsLayout cannot bite, and in co-partitioned mode
+    // the preserved hash layout is what makes rounds exchange-free
+    val deg = shims.checkpointWithStatsLayout(denPlan)
     val degBytes = deg.queryExecution.optimizedPlan.stats.sizeInBytes
     val bcLimit = BigInt(
       if (broadcastBytesLimit >= 0) broadcastBytesLimit
@@ -663,7 +710,7 @@ object Graph {
     // co-partitioned path it is hash-partitioned by src here so no
     // round ever moves it again
     val withDegPlan = sym.join(deg, "src")
-    val withDeg = shims.checkpointWithStats(
+    val withDeg = shims.checkpointWithStatsLayout(
       if (copart) withDegPlan.repartition(parts, col("src")) else withDegPlan)
     pageRankRounds(withDeg, deg, contribution, iters, scale, ranks0,
       copart, parts)
@@ -684,7 +731,7 @@ object Graph {
     def align(r: DataFrame): DataFrame =
       if (copart) r.repartition(parts, col("n")) else r
 
-    var ranks: DataFrame = shims.checkpointWithStats(align(
+    var ranks: DataFrame = shims.checkpointWithStatsLayout(align(
       ranks0.getOrElse(
         deg.select(col("src").as("n"), lit(scale).as("rank")))))
     var spentRounds: List[DataFrame] = Nil
@@ -708,7 +755,7 @@ object Graph {
         .select(col("n"),
           expr(s"(15 * ${scale}L + 85 * coalesce(s, 0L)) div 100").as("rank"))
       if (i < iters) {
-        val cp = shims.checkpointWithStats(align(next))
+        val cp = shims.checkpointWithStatsLayout(align(next))
         // blocks from two rounds back are no longer reachable
         spentRounds.foreach(shims.unpersistLocalCheckpoint)
         spentRounds = List(ranks)

@@ -27,10 +27,16 @@ import org.apache.spark.sql.functions._
   *
   * Per-term contribution = `(idf_s · 22·tf·TL) div (10·TL·tf + 3·TL +
   * 9·dl·N)`; doc score = Σ contributions (integer sum — order-free).
-  * Magnitudes: the product is bounded by `idf_s·22·tfmax·TL`; with the
-  * default scale=1000 it fits a BIGINT up to ~10⁹ total tokens. Past
-  * that, widen to DECIMAL(38) or drop `scale` — the structure is
-  * unchanged.
+  * Magnitudes: `idf_s` itself grows with the CORPUS — a df=1 term has
+  * `idf_s ≈ (2N−1)·scale/3`, so the numerator is bounded by
+  * `≈ 22/3 · scale · N · tf · TL`, and with the default scale=1000 it
+  * stays inside a BIGINT only while `N·tf·TL ≲ 1.2×10¹⁵`
+  * (N = n_docs, tf = max in-doc term count, TL = total corpus
+  * tokens) — e.g. 10⁶ docs × tf 100 × 10⁷ tokens ≈ 10¹⁵, at the
+  * boundary. Past that Spark wraps SILENTLY in non-ANSI mode while
+  * DuckDB promotes to HUGEINT, breaking bit parity — widen the
+  * contribution arithmetic to DECIMAL(38,0) or drop `scale` before
+  * the corpus reaches that domain.
   *
   * Scale shape: one token explode (map-only), a terms-filtered
   * aggregation (postings for the QUERY terms only — the explode output

@@ -53,9 +53,18 @@ object GlobalIndex {
     // exact key range as a 1-row broadcast scalar bound (A2 pattern);
     // width = ceil((hi-lo+1)/buckets) keeps every bucket id < buckets
     val stats = df.agg(min(key).as("__lo"), max(key).as("__hi"))
+    // NULL leading key → null __bk → the row would silently vanish in
+    // the inner offsets join, violating "every input row is numbered"
+    // (r7 ADVICE). Fail loudly instead: the check is fused into the
+    // always-evaluated __bk expression (raise_error is codegen'd into
+    // the same pass — no extra job, no cost on the non-null path).
     val bucketed = df.crossJoin(broadcast(stats.withColumn("__nb", lit(buckets))))
-      .withColumn("__bk", expr(s"(CAST(${orderCols.head} AS BIGINT) - __lo) div " +
-        s"greatest(CAST(1 AS BIGINT), (__hi - __lo + CAST(__nb AS BIGINT)) div __nb)"))
+      .withColumn("__bk", expr(
+        s"CASE WHEN ${orderCols.head} IS NULL THEN " +
+        s"CAST(raise_error('GlobalIndex.rowNumber: null order key in " +
+        s"${orderCols.head}') AS BIGINT) ELSE " +
+        s"(CAST(${orderCols.head} AS BIGINT) - __lo) div " +
+        s"greatest(CAST(1 AS BIGINT), (__hi - __lo + CAST(__nb AS BIGINT)) div __nb) END"))
       .drop("__lo", "__hi", "__nb")
     val counts = bucketed.groupBy(col("__bk")).agg(count(lit(1)).as("__cnt"))
     // prefix-sum over the buckets-sized table: the single-partition

@@ -609,6 +609,14 @@ object AnalyticsQueries {
     //      (n·v − S)² > 9·(n·Q − S²) over integer dollars — no float
     //      mean, no sqrt, so the flagged SET is oracle-checked exactly.
     //      One pass for stats (broadcast back), one map-side filter.
+    //      MAGNITUDE BOUND (the exact-integer domain, like HistQuantile
+    //      / Retrieval carry): n·v and n·q must stay inside a BIGINT —
+    //      |n·v − S| ≤ 2·n·vmax and n·Q ≤ n²·vmax², so the squared
+    //      left side needs n·vmax ≲ 1.5×10⁹ (here vmax < 10³ dollars
+    //      → safe to ~10⁶–10⁷ rows per type, i.e. ≈ sf10 events).
+    //      Past that Spark wraps silently in non-ANSI mode while
+    //      DuckDB promotes to HUGEINT — widen v/s/q to DECIMAL(38,0)
+    //      before running this gate at larger scale.
     "x_outlier_events" -> ((s, d) => {
       val ev = Tables.events(s, d).filter(col("value").isNotNull)
         .select(col("event_id"), col("event_type"),

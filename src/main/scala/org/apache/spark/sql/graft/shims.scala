@@ -55,15 +55,21 @@ object shims {
     * previously patched with per-site `broadcast()` / SHUFFLE_HASH
     * hints (see Graph.scala history).
     *
-    * This helper materializes the checkpoint, then measures the ACTUAL
-    * footprint of the cached blocks (`getRDDStorageInfo`) and the exact
-    * row count (a cheap second pass over the in-memory blocks), and
-    * re-wraps the RDD in a `LogicalRDD` carrying
-    * `Statistics(sizeInBytes = measured, rowCount = exact)`. Catalyst
-    * and AQE then pick broadcast / shuffled-hash joins from REAL sizes
-    * — no hand hints at the call sites. Output partitioning/ordering
-    * are preserved (same fields the stock checkpoint keeps), so
-    * co-partitioned iterative joins still avoid re-shuffles.
+    * This helper materializes the checkpoint (ONE pass: `execute()`
+    * builds the RDD lazily, the `count()` is the action that computes,
+    * caches AND counts the blocks — measured construction 1.35–1.68 s
+    * vs 1.38–1.58 s for `localCheckpoint(lazy)` + `Dataset.count()`
+    * on the 1.2 M-edge sf0.1 graph, identical within noise;
+    * TrianglePhaseProbe), measures the ACTUAL footprint of the cached
+    * blocks (`getRDDStorageInfo`), and re-wraps the RDD in a
+    * `LogicalRDD` carrying `Statistics(sizeInBytes = measured,
+    * rowCount = exact)` plus the analyzed plan's constraint set.
+    * Catalyst and AQE then pick broadcast / shuffled-hash joins from
+    * REAL sizes — no hand hints at the call sites. Output
+    * partitioning/ordering are NOT preserved here; see
+    * [[checkpointWithStatsLayout]] for why preserving them breaks AQE
+    * exchange dedup on multi-referenced frames, and use that variant
+    * only where a single-reference consumer exploits the layout.
     *
     * In-memory deserialized block size OVER-estimates the serialized
     * broadcast size, so the decision errs on the safe (non-broadcast)
@@ -72,7 +78,38 @@ object shims {
     * Blocks must be freed with [[unpersistLocalCheckpoint]] when done
     * (same contract as a plain eager localCheckpoint).
     */
-  def checkpointWithStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def checkpointWithStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    checkpointVariant(df, keepStats = true, keepLayout = false)
+
+  /** [[checkpointWithStats]] that ALSO preserves the materialized
+    * output partitioning/ordering. Use ONLY where the layout is
+    * exploited by a downstream operator that consumes the frame ONCE
+    * per plan (the co-partitioned PageRank rounds, the bucketed
+    * walk-table decode): there it saves a per-round exchange.
+    *
+    * Do NOT use for frames referenced multiple times in one plan
+    * (self-joins, multi-branch scalar aggregates): the analyzer clones
+    * a multi-referenced LogicalRDD via `MultiInstanceRelation
+    * .newInstance()`, each clone's partitioning expression carries its
+    * own exprIds, and `RDDScanExec`'s canonical form keeps those raw
+    * ids — so structurally identical subtrees over different clones
+    * stop comparing equal and AQE's exchange reuse re-materializes
+    * each one. Measured on triangleStats' edge checkpoint (consumed by
+    * 2 degree aggregates + 2 joins): layout-preserving ran the degree
+    * stages TWICE, +2 jobs and ~1.5 s of its 7.2 s at sf0.1 — the
+    * named r7 bench regression. The layout-free form restores
+    * exchange dedup (CkptBisectProbe: 12 jobs → 10, matching the
+    * plain lazy checkpoint).
+    */
+  def checkpointWithStatsLayout(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    checkpointVariant(df, keepStats = true, keepLayout = true)
+
+  /** [[checkpointWithStats]] with the restated ingredients toggleable —
+    * probe surface for isolating which ingredient perturbs a downstream
+    * plan (CkptBisectProbe).
+    */
+  def checkpointVariant(df: org.apache.spark.sql.DataFrame,
+      keepStats: Boolean, keepLayout: Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder}
     import org.apache.spark.sql.catalyst.plans.logical.Statistics
     import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection, UnknownPartitioning}
@@ -111,14 +148,18 @@ object shims {
         else UnknownPartitioning(p.numPartitions)
       case other => other
     }
-    val partitioning = remap(finalPlan.outputPartitioning)
-    val ordering: Seq[SortOrder] = finalPlan.outputOrdering.flatMap { so =>
-      val mapped = so.transform { case a: Attribute => rebind.getOrElse(a, a) }
-        .asInstanceOf[SortOrder]
-      if (mapped.references.forall(r => logicalOut.exists(_.exprId == r.exprId)))
-        Some(mapped)
-      else None
-    }
+    val partitioning =
+      if (keepLayout) remap(finalPlan.outputPartitioning)
+      else UnknownPartitioning(internalRdd.getNumPartitions)
+    val ordering: Seq[SortOrder] =
+      if (!keepLayout) Nil
+      else finalPlan.outputOrdering.flatMap { so =>
+        val mapped = so.transform { case a: Attribute => rebind.getOrElse(a, a) }
+          .asInstanceOf[SortOrder]
+        if (mapped.references.forall(r => logicalOut.exists(_.exprId == r.exprId)))
+          Some(mapped)
+        else None
+      }
     val measured = session.sparkContext.getRDDStorageInfo
       .find(_.id == internalRdd.id)
       .map(i => i.memSize + i.diskSize)
@@ -126,12 +167,25 @@ object shims {
       // blocks evicted / not yet reported: fall back to a width
       // estimate so the stat is still finite and row-count-accurate
       .getOrElse(rowCount * math.max(8L, qe.analyzed.schema.defaultSize.toLong))
-    val stats = Statistics(
-      sizeInBytes = BigInt(math.max(measured, 1L)),
-      rowCount = Some(BigInt(rowCount)))
+    val stats =
+      if (keepStats) Some(Statistics(
+        sizeInBytes = BigInt(math.max(measured, 1L)),
+        rowCount = Some(BigInt(rowCount))))
+      else None
+    // Snapshot the analyzed plan's CONSTRAINTS (non-null facts etc.) the
+    // way Dataset.localCheckpoint's `LogicalRDD.fromDataset` does.
+    // Dropping them (the r7 build passed None) makes the optimizer
+    // re-derive `isnotnull` filters on every downstream scan of the
+    // checkpoint, and those filters perturb the canonical plan forms
+    // enough that AQE's exchange reuse stops deduplicating identical
+    // aggregate subtrees over the checkpoint — measured as the
+    // degree-aggregation stages running twice inside triangleStats
+    // (the named r7→r8 bench regression; see SCALE.md round-8 row).
+    // Output attrs are reused from qe.analyzed verbatim, so the
+    // constraint set applies without rewriting.
     val restated = new LogicalRDD(
       logicalOut, internalRdd, partitioning, ordering,
-      false, None)(session, Some(stats), None)
+      false, None)(session, stats, Some(qe.analyzed.constraints))
     org.apache.spark.sql.classic.Dataset.ofRows(session, restated)
   }
 

@@ -42,10 +42,14 @@ class CheckpointStatsSpec extends SparkSuite {
     } finally shims.unpersistLocalCheckpoint(dim)
   }
 
-  test("preserves hash partitioning across the checkpoint (co-partitioned joins stay exchange-free)") {
-    val a = shims.checkpointWithStats(
+  test("Layout variant preserves hash partitioning (co-partitioned joins stay exchange-free)") {
+    // the DEFAULT checkpointWithStats deliberately drops the layout —
+    // preserving it breaks AQE exchange dedup on multi-referenced
+    // frames (see the shim's scaladoc; round-8 regression hunt) — so
+    // co-partitioned loops opt in via checkpointWithStatsLayout
+    val a = shims.checkpointWithStatsLayout(
       spark.range(5000).selectExpr("id as k", "id * 2 as va").repartition(8, col("k")))
-    val b = shims.checkpointWithStats(
+    val b = shims.checkpointWithStatsLayout(
       spark.range(5000).selectExpr("id as k", "id * 3 as vb").repartition(8, col("k")))
     try {
       // force a non-broadcast join so the partitioning requirement is live
@@ -55,5 +59,54 @@ class CheckpointStatsSpec extends SparkSuite {
       assert(!p.contains("Exchange hashpartitioning"),
         s"co-partitioned checkpoint inputs re-shuffled:\n$p")
     } finally { shims.unpersistLocalCheckpoint(a); shims.unpersistLocalCheckpoint(b) }
+  }
+
+  test("default checkpoint drops the layout and snapshots constraints") {
+    val cp = shims.checkpointWithStats(
+      spark.range(1000).selectExpr("id as k", "id * 2 as v").repartition(8, col("k")))
+    try {
+      val lr = cp.queryExecution.analyzed
+        .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l }.get
+      assert(lr.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning],
+        s"default must not preserve layout: ${lr.outputPartitioning}")
+      // constraints snapshot: joining on k must not re-derive an
+      // isnotnull Filter over the checkpoint scan (the r7 omission that
+      // perturbed canonical forms downstream)
+      val joined = cp.join(spark.range(10).selectExpr("id as k"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Filter isnotnull"),
+        s"constraints not snapshotted — optimizer re-derived null filters:\n$p")
+    } finally shims.unpersistLocalCheckpoint(cp)
+  }
+
+  test("a multi-referenced default checkpoint keeps AQE exchange dedup (round-8 regression pin)") {
+    // the triangleStats shape in miniature: one checkpointed edge list,
+    // referenced by TWO structurally identical degree aggregates that
+    // are crossJoined — with layout preserved, the analyzer's
+    // newInstance() clones defeat canonical equality and AQE
+    // materializes the identical agg exchange twice (the measured
+    // r7 4.2→7.2 s regression); the layout-free default dedupes it
+    val e = shims.checkpointWithStats(
+      spark.range(20000).selectExpr("id % 500 as u", "id % 700 as v"))
+    try {
+      // orientByDegree in miniature: the same degree aggregate joined
+      // once on u and once on v — the two deg subtrees are identical,
+      // so exactly one must materialize
+      def degAgg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val df = e
+        .join(degAgg.select(col("n").as("u"), col("deg").as("du")).hint("SHUFFLE_HASH"), "u")
+        .join(degAgg.select(col("n").as("v"), col("deg").as("dv")).hint("SHUFFLE_HASH"), "v")
+      // collect, not a noop write: a write runs a SEPARATE
+      // QueryExecution, so df.queryExecution would stay unfinalized
+      // and never show the runtime stage reuse being asserted
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val reused = "ReusedExchange".r.findAllIn(p).size +
+        "ReusedQueryStage".r.findAllIn(p).size
+      assert(reused >= 1,
+        s"identical deg subtrees over the checkpoint were not deduped:\n$p")
+    } finally shims.unpersistLocalCheckpoint(e)
   }
 }

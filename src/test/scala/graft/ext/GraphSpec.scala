@@ -228,6 +228,38 @@ class GraphSpec extends SparkSuite {
     assert(r2 == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
   }
 
+  test("frontier loops early-exit at fixpoint: excess rounds cost no jobs and change nothing") {
+    // fixture diameter from seed 1 is 3 — rounds=50 must terminate
+    // after the first empty frontier instead of running 47 dead rounds
+    // (each dead round = real per-round machinery at 100 TB). Result
+    // identity is the oracle contract; the job-count bound is the
+    // early-exit pin: without it, jobs grow linearly in `rounds`.
+    val seeds = Seq(1L).toDF("n")
+    def jobsDuring[A](f: => A): (A, Int) = {
+      val tracker = spark.sparkContext.statusTracker
+      val before = tracker.getJobIdsForGroup(null).length
+      val r = f
+      (r, tracker.getJobIdsForGroup(null).length - before)
+    }
+    val (bfs50, nBfs) = jobsDuring(
+      Graph.bfsHops(fixture, seeds, rounds = 50).as[(Long, Long)].collect().toMap)
+    val bfs3 = Graph.bfsHops(fixture, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(bfs50 == bfs3)
+    assert(nBfs < 40, s"bfsHops(rounds=50) ran $nBfs jobs — no early exit")
+
+    val unit = fixture.withColumn("w", lit(1L))
+    val (sssp50, nSssp) = jobsDuring(
+      Graph.ssspRounds(unit, seeds, rounds = 50).as[(Long, Long)].collect().toMap)
+    assert(sssp50 == bfs3)
+    assert(nSssp < 60, s"ssspRounds(rounds=50) ran $nSssp jobs — no early exit")
+
+    val (core50, nCore) = jobsDuring(
+      Graph.kCorePeel(fixture, k = 2, rounds = 50).as[(Long, Long)].collect().toMap)
+    assert(core50 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(nCore < 40, s"kCorePeel(rounds=50) ran $nCore jobs — no early exit")
+  }
+
   test("ssspRounds: unit weights reduce exactly to bfsHops") {
     val g = fixture // 1-2 1-3 2-3 3-4 4-5
     val unit = g.withColumn("w", lit(1L))

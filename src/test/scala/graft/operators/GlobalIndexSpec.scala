@@ -42,6 +42,21 @@ class GlobalIndexSpec extends SparkSuite {
     assert(out == expected)
   }
 
+  test("null order key fails loudly instead of silently dropping the row") {
+    // r7 ADVICE: a null leading key used to get a null __bk and vanish
+    // in the inner offsets join — a silent contract break
+    import org.apache.spark.sql.functions.lit
+    val df = spark.range(5).selectExpr("id as k")
+      .unionAll(spark.range(1).select(lit(null).cast("long").as("k")))
+    val ex = intercept[Exception] {
+      GlobalIndex.rowNumber(df, Seq("k"), buckets = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("null order key")),
+      s"expected the loud null-key error, got: $ex")
+  }
+
   test("single row and empty input") {
     assert(GlobalIndex.rowNumber(Seq(9L).toDF("k"), Seq("k"), 16)
       .as[(Long, Long)].collect().toSeq == Seq((9L, 1L)))
