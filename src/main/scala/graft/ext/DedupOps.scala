@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.shims
 
@@ -369,6 +369,53 @@ object DedupOps {
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key"))
       .select(col(s"a.$idCol").as("doc_new"), col(s"b.$idCol").as("doc_corpus"))
+      .distinct()
+  }
+
+  /** Store the corpus's banded MinHash signature index as a BUCKETED
+    * catalog table — the stored-index amortization (BM25 postings /
+    * stored IVF / PageRank walk table) applied to the text near-dup
+    * family, which iterates more than any other LLM-pipeline workload.
+    * Rows are `(idCol, bkey)` with `bkey = band_idx ':' band_key`
+    * (fused so the probe is a SINGLE-key equi-join the bucket layout
+    * can serve), bucketed AND sorted by bkey.
+    *
+    * What amortizes: the corpus-side shingling + MinHash + banding AND
+    * its join shuffle both move to write time. Every later
+    * [[lshCandidatesStored]] probe re-derives only the fresh batch
+    * (O(|batch|)) and joins against the bucket layout read straight
+    * off disk — zero exchange, zero sort on the corpus side, however
+    * large the corpus grows. The same index serves every nightly batch
+    * until the corpus itself is rewritten.
+    */
+  def writeBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      name: String, path: String, buckets: Int, k: Int = 8,
+      rowsPerBand: Int = 2, n: Int = 3): Unit = {
+    val bands = lshBands(minhashSignatures(docs, idCol, textCol, k, n),
+        idCol, k, rowsPerBand)
+      .select(col(idCol),
+        concat_ws(":", col("band_idx"), col("band_key")).as("bkey"))
+    graft.operators.Bucketed.writeBucketed(bands, name, path, "bkey", buckets)
+  }
+
+  /** [[lshCandidatesIncremental]] against a STORED band index
+    * ([[writeBandIndex]]): result-identical by construction (the fused
+    * bkey equality is the (band_idx, band_key) equality — band_idx is
+    * a single digit and ':' cannot appear in an md5 hex band_key), but
+    * the corpus side is a bucketed scan, so the candidate join runs
+    * with no corpus-side exchange or sort (pinned in DedupStoredSpec).
+    * Returns distinct (doc_new, doc_corpus), new-vs-corpus only — the
+    * [[lshCandidatesIncremental]] contract.
+    */
+  def lshCandidatesStored(spark: SparkSession, name: String, fresh: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, rowsPerBand: Int = 2,
+      n: Int = 3): DataFrame = {
+    val freshBands = lshBands(minhashSignatures(fresh, idCol, textCol, k, n),
+        idCol, k, rowsPerBand)
+      .select(col(idCol).as("doc_new"),
+        concat_ws(":", col("band_idx"), col("band_key")).as("bkey"))
+    freshBands.join(spark.table(name), "bkey")
+      .select(col("doc_new"), col(idCol).as("doc_corpus"))
       .distinct()
   }
 

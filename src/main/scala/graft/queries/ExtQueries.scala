@@ -581,6 +581,25 @@ object ExtQueries {
         withB.filter(col("bucket") >= 204), "doc_id", "text")
     }),
 
+    // ---- the STORED twin of x_incremental_dedup: the corpus's banded
+    //      signatures live in a bucketed catalog table (written here so
+    //      the oracle contract is self-contained; Bench's stored_splits
+    //      pass measures build and probe separately), and the probe
+    //      joins the fresh batch against the bucket layout with zero
+    //      corpus-side exchange — completing the stored-index family
+    //      (BM25 postings, IVF, PageRank walks) for text dedup.
+    //      Result-identical to the in-memory incremental probe, so the
+    //      oracle is the same band-join SQL.
+    "x_lsh_stored" -> ((s, d) => {
+      val withB = Corpus.assignSplit(Tables.documents(s, d), "doc_id")
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_band_index").toString
+      DedupOps.writeBandIndex(withB.filter(col("bucket") < 204),
+        "doc_id", "text", "graft_bands", s"$tmp/bands", buckets = 16)
+      DedupOps.lshCandidatesStored(s, "graft_bands",
+        withB.filter(col("bucket") >= 204), "doc_id", "text")
+    }),
+
     // ---- sequence packing: per-language 512-token training bins
     "x_pack_sequences" -> ((s, d) =>
       Corpus.packSequences(Tables.documents(s, d), "doc_id", "text",
@@ -858,6 +877,31 @@ object ExtQueries {
     * `x_ann_ivf_stored` — the stored-index search is result-identical
     * to the inline build by construction).
     */
+  /** Shared by `x_incremental_dedup` and its stored twin
+    * `x_lsh_stored` — both compute the same fresh-vs-corpus band-join
+    * candidates (the stored path differs only in WHERE the corpus
+    * bands live and how the join partitions).
+    */
+  private def incrementalDedupOracleSql: String = {
+    val aggs = (0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, bucket, $b AS band_idx, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH b AS (SELECT doc_id, text, ${Corpus.splitBucketSql("doc_id")} AS bucket
+       |           FROM documents),
+       |toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS ws FROM b),
+       |sh AS (SELECT DISTINCT doc_id, bucket,
+       |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t),
+       |sig AS (SELECT doc_id, bucket, $aggs FROM sh GROUP BY doc_id, bucket),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS doc_new, c.doc_id AS doc_corpus
+       |FROM bands a JOIN bands c
+       |  ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+       |WHERE a.bucket >= 204 AND c.bucket < 204""".stripMargin
+  }
+
   private def annIvfOracleSql: String =
     s"""WITH $annNormCte,
        |${ivfCtesSql(4, 2, 2, 3)},
@@ -1202,25 +1246,12 @@ object ExtQueries {
 
     // band join constrained to (fresh x corpus) — the incremental probe;
     // signature CTEs are split-tagged so both sides share one definition
-    "x_incremental_dedup" -> {
-      val aggs = (0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
-      val bandSelects = (0 until 4).map { b =>
-        s"SELECT doc_id, bucket, $b AS band_idx, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH b AS (SELECT doc_id, text, ${Corpus.splitBucketSql("doc_id")} AS bucket
-         |           FROM documents),
-         |toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS ws FROM b),
-         |sh AS (SELECT DISTINCT doc_id, bucket,
-         |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-         |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t),
-         |sig AS (SELECT doc_id, bucket, $aggs FROM sh GROUP BY doc_id, bucket),
-         |bands AS (
-         |  $bandSelects)
-         |SELECT DISTINCT a.doc_id AS doc_new, c.doc_id AS doc_corpus
-         |FROM bands a JOIN bands c
-         |  ON a.band_idx = c.band_idx AND a.band_key = c.band_key
-         |WHERE a.bucket >= 204 AND c.bucket < 204""".stripMargin
-    },
+    "x_incremental_dedup" -> incrementalDedupOracleSql,
+
+    // the stored probe is result-identical to the in-memory incremental
+    // probe by construction (fused bkey equality = (band_idx, band_key)
+    // equality), so it shares the oracle — the x_ann_ivf_stored pattern
+    "x_lsh_stored" -> incrementalDedupOracleSql,
 
     "x_vocab_topk" ->
       """WITH tok AS (

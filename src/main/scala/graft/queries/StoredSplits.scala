@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.ext.{Graph, Retrieval, Similarity}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.shims
+
+/** Build/probe decomposition of the stored-index registry queries.
+  *
+  * The registry entries for `x_pagerank_bucketed`, `x_bm25_stored`,
+  * etc. build their index AND probe it in one call — correct and
+  * honest for oracle-checking (the result must not depend on ambient
+  * disk state), but the headline bench number then reports build+probe
+  * while the whole point of a stored index is that the PROBE is the
+  * recurring cost and the build amortizes across runs. Bench times
+  * these two phases separately (after the normal combined pass) and
+  * writes `{build, probe}` per query into the BENCH_LOCAL sidecar, so
+  * the amortized cost the design delivers is a measured number, not a
+  * claim (r7 VERDICT "what's wrong" #2).
+  *
+  * Each probe re-derives exactly what a later run would re-derive
+  * (e.g. the resumed PageRank's edge list — a real refresh re-reads
+  * edges; only the RANKS are amortized), so probe numbers are honest
+  * steady-state costs, not best-case cache hits.
+  */
+object StoredSplits {
+
+  private def coEdges(s: SparkSession, d: String): DataFrame =
+    Graph.coOccurrenceEdges(Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+
+  private def weightedBackbone(s: SparkSession, d: String): DataFrame =
+    Graph.coOccurrenceEdgesWeighted(Tables.lineitem(s, d),
+      "l_orderkey", "l_partkey").filter(col("w") >= 2)
+
+  private def tmp(leaf: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), leaf).toString
+
+  /** name -> (build index, probe it). Paths/table names match the
+    * combined registry entries, so probe-after-build reads exactly
+    * what the registry query writes.
+    */
+  val splits: Map[String, ((SparkSession, String) => Unit,
+                           (SparkSession, String) => DataFrame)] = Map(
+    "x_pagerank_bucketed" -> (
+      (s: SparkSession, d: String) =>
+        Graph.writeWalkTable(coEdges(s, d), "graft_walk",
+          s"${tmp("graft_walk_table")}/walk", buckets = 32),
+      (s: SparkSession, _: String) =>
+        Graph.pageRankOnWalkTable(s, "graft_walk", buckets = 32, iters = 3)),
+
+    "x_pagerank_weighted_bucketed" -> (
+      (s: SparkSession, d: String) =>
+        Graph.writeWalkTableWeighted(weightedBackbone(s, d), "graft_wwalk",
+          s"${tmp("graft_wwalk_table")}/walk", buckets = 32),
+      (s: SparkSession, _: String) =>
+        Graph.pageRankWeightedOnWalkTable(s, "graft_wwalk", buckets = 32,
+          iters = 3)),
+
+    "x_pagerank_resumed" -> (
+      (s: SparkSession, d: String) => {
+        val edges = shims.checkpointWithStats(coEdges(s, d))
+        Graph.writeRanks(Graph.pageRankScaled(edges, iters = 3),
+          tmp("graft_pagerank_store"))
+        shims.unpersistLocalCheckpoint(edges)
+      },
+      (s: SparkSession, d: String) => {
+        // a real refresh re-derives edges; only the RANKS amortize
+        val edges = shims.checkpointWithStats(coEdges(s, d))
+        Graph.pageRankResume(edges,
+          Graph.readRanks(s, tmp("graft_pagerank_store")), iters = 2)
+      }),
+
+    "x_bm25_stored" -> (
+      (s: SparkSession, d: String) =>
+        Retrieval.writePostings(Tables.documents(s, d), "doc_id", "text",
+          tmp("graft_postings")),
+      (s: SparkSession, _: String) =>
+        Retrieval.bm25TopKStored(s, tmp("graft_postings"), "doc_id",
+          Seq("vector", "spark", "window"), k = 20)),
+
+    "x_lsh_stored" -> (
+      (s: SparkSession, d: String) => {
+        val withB = graft.ext.Corpus.assignSplit(Tables.documents(s, d), "doc_id")
+        graft.ext.DedupOps.writeBandIndex(withB.filter(col("bucket") < 204),
+          "doc_id", "text", "graft_bands",
+          s"${tmp("graft_band_index")}/bands", buckets = 16)
+      },
+      (s: SparkSession, d: String) => {
+        val withB = graft.ext.Corpus.assignSplit(Tables.documents(s, d), "doc_id")
+        graft.ext.DedupOps.lshCandidatesStored(s, "graft_bands",
+          withB.filter(col("bucket") >= 204), "doc_id", "text")
+      }),
+
+    "x_ann_ivf_stored" -> (
+      (s: SparkSession, d: String) =>
+        Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id",
+          "embedding", nClusters = 4, iterations = 2,
+          path = tmp("graft_ivf_split_idx")),
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopKStored(s, tmp("graft_ivf_split_idx"),
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            nProbe = 2, k = 3)
+          .withColumn("cluster_id", col("cluster_id").cast("bigint"))
+      })
+  )
+}
