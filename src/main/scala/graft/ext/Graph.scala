@@ -387,13 +387,16 @@ object Graph {
     // exact count from the checkpoint's injected stats — no extra job;
     // used ONLY for the broadcast-vs-shuffle decision (the `edges`
     // output column is an agg branch over the checkpointed frame)
-    val eCount = shims.statsRowCount(e).getOrElse(e.count())
+    val eCount = shims.statsRowCount(e).getOrElse(
+      // planOnly: no jobs at construction; 0 selects the broadcast
+      // branch, the representative plan at probe scale
+      if (shims.planOnly) 0L else e.count())
     // o stays a LAZY checkpoint: its first consumer materializes it in
     // the same pass (an eager stats checkpoint costs an extra edge-sized
     // pass + cache write, measured 1.3× on the whole query at sf0.1),
     // and the closure strategy below is explicit anyway — o's stats
     // would decide nothing
-    val o = orientByDegree(e).localCheckpoint(eager = false)
+    val o = shims.lazyCheckpoint(orientByDegree(e))
     val e1 = o.select(col("src"), col("dst").as("v1"), col("dd").as("d1"))
     val e2 = o.select(col("src"), col("dst").as("v2"), col("dd").as("d2"))
     val wedges = e1.join(e2, "src")
@@ -463,8 +466,11 @@ object Graph {
       if (sampleBuckets == 16) "g"
       else java.lang.Long.toHexString(sampleBuckets.toLong)
     val e = shims.checkpointWithStats(edges)
-    val eCount = shims.statsRowCount(e).getOrElse(e.count())
-    val o = orientByDegree(e).localCheckpoint(eager = false)
+    val eCount = shims.statsRowCount(e).getOrElse(
+      // planOnly: no jobs at construction; 0 selects the broadcast
+      // branch, the representative plan at probe scale
+      if (shims.planOnly) 0L else e.count())
+    val o = shims.lazyCheckpoint(orientByDegree(e))
     // the center filter lands on the checkpointed scan BEFORE the
     // self-join — both join legs shrink by the sample fraction
     val oS = o.filter(

@@ -108,8 +108,29 @@ object shims {
     * probe surface for isolating which ingredient perturbs a downstream
     * plan (CkptBisectProbe).
     */
+  /** Plan-inspection mode (`-Dgraft.planOnly=true`, set by DumpPlans):
+    * stats checkpoints degrade to LAZY checkpoints and count fallbacks
+    * are skipped, so constructing an eager-contract DataFrame runs NO
+    * jobs — `explain` shows the full unmaterialized derivation, which
+    * is what a committed plan record wants anyway. Never set in
+    * production paths (Bench/Verify): the measured-stats planning IS
+    * the production behavior.
+    */
+  def planOnly: Boolean = java.lang.Boolean.getBoolean("graft.planOnly")
+
+  /** A lazy checkpoint that degrades to a NO-OP in [[planOnly]] mode —
+    * even `localCheckpoint(eager = false)` materializes every upstream
+    * AQE stage when the RDD is built (`AdaptiveSparkPlanExec.execute`
+    * runs stage jobs to finalize the plan), so truly jobless
+    * construction must skip the checkpoint altogether. The uncut plan
+    * is exactly what a committed plan record wants.
+    */
+  def lazyCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (planOnly) df else df.localCheckpoint(eager = false)
+
   def checkpointVariant(df: org.apache.spark.sql.DataFrame,
       keepStats: Boolean, keepLayout: Boolean): org.apache.spark.sql.DataFrame = {
+    if (planOnly) return df
     import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder}
     import org.apache.spark.sql.catalyst.plans.logical.Statistics
     import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection, UnknownPartitioning}

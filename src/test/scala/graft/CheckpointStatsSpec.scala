@@ -80,6 +80,26 @@ class CheckpointStatsSpec extends SparkSuite {
     } finally shims.unpersistLocalCheckpoint(cp)
   }
 
+  test("planOnly mode: constructing an eager-contract query runs zero jobs (DumpPlans contract)") {
+    val tracker = spark.sparkContext.statusTracker
+    System.setProperty("graft.planOnly", "true")
+    try {
+      val before = tracker.getJobIdsForGroup(null).length
+      val df = SparkEntry.queries("x_triangle_stats")(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // the one allowed job is parquet FOOTER/schema discovery on first
+      // table read (1-task metadata job) — what must NOT run is the
+      // edge derivation (the co-occurrence self-join + checkpoint)
+      val after = tracker.getJobIdsForGroup(null).length
+      assert(after - before <= 1,
+        s"plan-only construction ran ${after - before} jobs")
+      // and the plan shows the UNCUT derivation, not checkpoint blocks
+      assert(plan.contains("lineitem") && !plan.contains("ExistingRDD"),
+        s"planOnly should expose the full derivation:\n$plan")
+    } finally System.clearProperty("graft.planOnly")
+  }
+
   test("a multi-referenced default checkpoint keeps AQE exchange dedup (round-8 regression pin)") {
     // the triangleStats shape in miniature: one checkpointed edge list,
     // referenced by TWO structurally identical degree aggregates that
