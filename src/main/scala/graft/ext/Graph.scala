@@ -376,21 +376,20 @@ object Graph {
     // — with a derived edge list like coOccurrenceEdges that means
     // re-running the upstream self-join up to 6×; checkpointing the
     // edge list and the oriented form once cut the r5 build from
-    // 11.5 s to ~4 s at sf0.1. This frame is referenced FIVE times in
-    // one plan (2 degree-agg scans + the orient joins), so it must be
-    // the layout-FREE stats checkpoint: the layout-preserving variant
-    // defeats AQE exchange dedup across the cloned references and ran
-    // the degree stages twice — the measured r7 regression
-    // (4.2 s → 7.2 s; see checkpointWithStatsLayout's scaladoc and
-    // SCALE.md's round-8 row).
-    val e = shims.checkpointWithStats(edges)
-    // exact count from the checkpoint's injected stats — no extra job;
-    // used ONLY for the broadcast-vs-shuffle decision (the `edges`
-    // output column is an agg branch over the checkpointed frame)
-    val eCount = shims.statsRowCount(e).getOrElse(
-      // planOnly: no jobs at construction; 0 selects the broadcast
-      // branch, the representative plan at probe scale
-      if (shims.planOnly) 0L else e.count())
+    // 11.5 s to ~4 s at sf0.1. Deliberately the LAZY checkpoint +
+    // count spelling, NOT checkpointWithStats: every join strategy in
+    // this operator is explicit (the threshold below), so injected
+    // stats decide nothing here — and this frame is referenced FIVE
+    // times in one plan (2 degree-agg scans + the orient joins), where
+    // the r7 layout-preserving stats checkpoint defeated AQE exchange
+    // dedup across the cloned references and ran the degree stages
+    // twice: the named r7 bench regression (4.2 s → 7.2 s at sf0.1;
+    // see checkpointWithStatsLayout's scaladoc and SCALE.md round 8).
+    val e = shims.lazyCheckpoint(edges)
+    // the count is the action that materializes the checkpoint blocks
+    // (one pass); its value drives ONLY the broadcast-vs-shuffle
+    // decision and the `edges` output literal
+    val eCount = if (shims.planOnly) 0L else e.count()
     // o stays a LAZY checkpoint: its first consumer materializes it in
     // the same pass (an eager stats checkpoint costs an extra edge-sized
     // pass + cache write, measured 1.3× on the whole query at sf0.1),
@@ -465,11 +464,10 @@ object Graph {
     val bucketBound =
       if (sampleBuckets == 16) "g"
       else java.lang.Long.toHexString(sampleBuckets.toLong)
-    val e = shims.checkpointWithStats(edges)
-    val eCount = shims.statsRowCount(e).getOrElse(
-      // planOnly: no jobs at construction; 0 selects the broadcast
-      // branch, the representative plan at probe scale
-      if (shims.planOnly) 0L else e.count())
+    // lazy + count, same reasoning as triangleStats: strategies are
+    // explicit, the frame is multi-referenced
+    val e = shims.lazyCheckpoint(edges)
+    val eCount = if (shims.planOnly) 0L else e.count()
     val o = shims.lazyCheckpoint(orientByDegree(e))
     // the center filter lands on the checkpointed scan BEFORE the
     // self-join — both join legs shrink by the sample fraction
