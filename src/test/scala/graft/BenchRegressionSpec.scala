@@ -24,14 +24,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchRegressionSpec extends AnyFunSuite {
 
   private def parseFlat(json: String): Map[String, Double] =
-    """"([A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r.findAllMatchIn(json)
+    """"([A-Za-z0-9_]+)":\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(json)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
   private def queriesSection(json: String): Option[String] = {
-    val i = json.indexOf("\"queries\":{")
-    if (i < 0) None
-    else {
-      val start = i + "\"queries\":{".length
+    // driver snapshots render as `"queries": {` (json.dump spacing) and
+    // the sidecar as `"queries":{`; the driver file also embeds an
+    // ESCAPED copy inside its "tail" string (`\"queries\":`), which the
+    // (?<!\\) guard skips
+    """(?<!\\)"queries":\s*\{""".r.findFirstMatchIn(json).flatMap { m =>
+      val start = m.end
       val end = json.indexOf("}", start)
       if (end < 0) None else Some(json.substring(start, end))
     }
