@@ -263,6 +263,166 @@ object Similarity {
     ivfSearch(lists, cents, queries, idCol, vecCol, nProbe, k)
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Explode each vector into `m` contiguous `subDim`-wide subvectors:
+    * (id, sub, svec). One `posexplode` over an array of `slice`s — a
+    * map-only rewrite, no shuffle; the (id, sub) pair is the PQ unit of
+    * work everywhere below.
+    */
+  private def subVectors(df: DataFrame, idCol: String, vecCol: String,
+                         m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol), posexplode(array(
+      (0 until m).map(s => slice(col(vecCol), s * subDim + 1, subDim)): _*))
+      .as(Seq("sub", "svec")))
+
+  /** One PQ Lloyd assignment pass: per (vector, subspace), the nearest
+    * sub-centroid by scaled-integer `‖c‖² − 2⟨x,c⟩` (the ‖x‖² term is
+    * constant per row and drops out of the argmin — same trick as
+    * [[ivfAssign]]). The codebook table (m·ks rows) is broadcast and the
+    * join key is the subspace id, so the exploded corpus is scanned once
+    * and never shuffled before the per-(id, sub) argmin.
+    */
+  private def pqAssign(sv: DataFrame, codebooks: DataFrame,
+                       idCol: String): DataFrame = {
+    val c = codebooks.select(col("sub").as("c_sub"), col("cluster_id"),
+      col("cvec"), norm2Scaled(col("cvec")).as("c_n2s"))
+    sv.join(broadcast(c), col("sub") === col("c_sub"))
+      .withColumn("dist_s", col("c_n2s") - lit(2L) * dotScaled(col("svec"), col("cvec")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("dist_s"), col("cluster_id"))).as("m"),
+        first(col("svec")).as("svec"))
+      .select(col(idCol), col("sub"), col("svec"), col("m.cluster_id").as("code"))
+  }
+
+  /** Sub-codebook update: per (subspace, code, dimension) scaled average
+    * (order-independent — [[Numeric.scaledAvg]]), reassembled into float
+    * subvectors. The only shuffle is the (sub, code, dim) groupBy —
+    * m·ks·subDim groups regardless of corpus size.
+    */
+  private def pqUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("sub"), col("code").as("cluster_id"),
+        posexplode(col("svec")).as(Seq("dim", "v")))
+      .groupBy(col("sub"), col("cluster_id"), col("dim"))
+      .agg(Numeric.scaledAvg(col("v").cast("double"), IvfScale).as("cv"))
+      .groupBy(col("sub"), col("cluster_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .select(col("sub"), col("cluster_id"),
+        transform(col("pairs"), p => p.getField("cv").cast("float")).as("cvec"))
+
+  /** PQ codebook training: `iterations` full Lloyd rounds PER SUBSPACE
+    * from the same deterministic seed rule as [[ivfCentroids]] (the
+    * subvectors of the `ks` smallest ids), all rounds running for every
+    * subspace in ONE set of jobs (the subspace id is just another group
+    * key — m independent k-means for the price of one). Returns
+    * (sub, cluster_id, cvec).
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, subDim: Int, ks: Int, iterations: Int): DataFrame = {
+    val sv = subVectors(corpus, idCol, vecCol, m, subDim)
+    val w = Window.orderBy(col(idCol))
+    var books = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(ks)
+      .select((row_number().over(w) - 1).as("cluster_id"), col(vecCol))
+      .select(col("cluster_id"), posexplode(array(
+        (0 until m).map(s => slice(col(vecCol), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "cvec")))
+      .select(col("sub"), col("cluster_id"), col("cvec"))
+    (1 to iterations).foreach { _ =>
+      books = pqUpdate(pqAssign(sv, books, idCol))
+    }
+    books
+  }
+
+  /** Encode the corpus against trained codebooks: (id, sub, code) — the
+    * compressed representation ADC search scans. At 64 dims / m=4 this
+    * is ~4 small ints per vector vs 256 bytes of float32: the scan-size
+    * reduction (~64×) is the whole point of PQ at corpus scale.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
+               vecCol: String, m: Int, subDim: Int): DataFrame =
+    pqAssign(subVectors(corpus, idCol, vecCol, m, subDim), codebooks, idCol)
+      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
+
+  /** ADC (asymmetric-distance) scoring shared by the inline and stored
+    * paths. Per query: a distance table of (sub, code) → scaled partial
+    * distance `‖c‖² − 2⟨q_sub,c⟩` (the Σ‖q_sub‖² term is constant per
+    * query and drops out of the per-query ranking), nq·m·ks rows,
+    * BROADCAST; the code table equi-joins it on (sub, code) — the
+    * compressed corpus is scanned once, codes for one vector are
+    * co-located so the per-(query, neighbor) sum combines map-side, and
+    * the only data-sized shuffle carries n·nq partial rows.
+    */
+  private def pqSearch(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, m: Int, subDim: Int,
+                       k: Int): DataFrame = {
+    val c = codebooks.select(col("sub").as("c_sub"), col("cluster_id"),
+      col("cvec"), norm2Scaled(col("cvec")).as("c_n2s"))
+    val qtab = subVectors(queries, idCol, vecCol, m, subDim)
+      .join(c, col("sub") === col("c_sub"))
+      .select(col(idCol).as("query_id"), col("sub"), col("cluster_id").as("code"),
+        (col("c_n2s") - lit(2L) * dotScaled(col("svec"), col("cvec"))).as("d_s"))
+    val scored = codes.join(broadcast(qtab), Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d_s")).as("adist_s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_s"), col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist_s"))
+  }
+
+  /** Product-quantization ANN top-k, end to end: train m sub-codebooks
+    * (deterministic Lloyd — the learned codebooks themselves are
+    * oracle-checkable, like the IVF cells), encode the corpus to m codes
+    * per vector, rank by asymmetric distance (query subvectors against
+    * codebook entries, summed over subspaces via the code equi-join).
+    * All arithmetic is scaled-integer (Scale=1e12; subDim·0.36·1e12 ≈
+    * 6e12 per partial, ×m ≪ 2^63), so `adist_s` is exact cross-engine.
+    *
+    * This is the Jégou et al. PQ design re-expressed relationally: the
+    * distance table is a broadcast dimension, the code table is the
+    * fact, and ADC is one equi-join + keyed sum. Recall follows the
+    * quantizer quality (ks^m effective cells); the exactness contract is
+    * on the ADC DISTANCES, not on equality with exact top-k.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, m: Int = 4, subDim: Int = 16, ks: Int = 4,
+             iterations: Int = 2, k: Int = 3): DataFrame = {
+    val books = shims.checkpointWithStats(
+      pqCodebooks(corpus, idCol, vecCol, m, subDim, ks, iterations))
+    pqSearch(pqEncode(corpus, books, idCol, vecCol, m, subDim), books,
+      queries, idCol, vecCol, m, subDim, k)
+  }
+
+  /** Materialize the PQ index: the tiny codebook table plus the code
+    * table — the build-once half of the ADC contract. The codes are
+    * written sorted by neighbor_id so one vector's m codes share a
+    * row-group (the map-side-combine locality [[pqSearch]] relies on).
+    */
+  def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   m: Int, subDim: Int, ks: Int, iterations: Int,
+                   path: String): Unit = {
+    val books = shims.checkpointWithStats(
+      pqCodebooks(corpus, idCol, vecCol, m, subDim, ks, iterations))
+    books.write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncode(corpus, books, idCol, vecCol, m, subDim)
+      .sortWithinPartitions(col("neighbor_id"), col("sub"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Search a stored PQ index ([[writePqIndex]]): identical results to
+    * [[pqTopK]] with the same build parameters, with the training and
+    * encode amortized across query batches — the scan is the ~64×
+    * compressed code table, never the raw vectors.
+    */
+  def pqTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, idCol: String, vecCol: String,
+                   m: Int = 4, subDim: Int = 16, k: Int = 3): DataFrame =
+    pqSearch(spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/codebooks"),
+      queries, idCol, vecCol, m, subDim, k)
+
   // -------------------------------------------- embedding-cosine near-dup
 
   /** Per-component scale for sign-bit quantization: |v| < 1 ⇒ per-term

@@ -652,6 +652,30 @@ object AnalyticsQueries {
         Tables.orders(s, d).select("o_orderkey"),
         Seq("o_orderkey"), buckets = 64)),
 
+    // ---- incremental aggregate maintenance (materialized-view delta
+    //      merge): the standing hourly-by-type aggregate is BUILT from
+    //      the md5-bucket "history" slice, written to disk, read back as
+    //      standing state, and the "new batch" slice merges in via the
+    //      broadcast-delta path — the merge never rescans historical
+    //      FACT rows, only the |keys|-sized state table plus the delta
+    //      (IncrementalAggSpec pins associativity and the no-base-shuffle
+    //      plan). The oracle is the straight GROUP BY over ALL events:
+    //      merging partials must be indistinguishable from recomputing.
+    "x_ivm_merge" -> ((s, d) => {
+      import graft.operators.IncrementalAgg
+      val keys = Seq("event_type", "hr")
+      val facts = Tables.events(s, d).select(
+        col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        floor(col("value") * 100).cast("long").as("v"),
+        graft.ext.Corpus.splitBucket("event_id").as("bucket"))
+      val path = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+      IncrementalAgg.partials(facts.filter(col("bucket") < 204), keys, "v")
+        .write.mode("overwrite").parquet(path)
+      IncrementalAgg.mergeDeltaSmall(s.read.parquet(path),
+        IncrementalAgg.partials(facts.filter(col("bucket") >= 204), keys, "v"),
+        keys)
+    }),
+
     // ---- null-safe equality, guarded division, null-propagating concat
     "p_null_safety" -> ((s, d) => {
       val k = get_json_object(col("props"), "$.k").cast("bigint")
@@ -693,6 +717,16 @@ object AnalyticsQueries {
     // .oracleSqlFor) — estimate checked bit-for-bit, not rows-only
     "x_approx_distinct" -> graft.functions.HllDistinct.oracleSqlFor(
       "events", "event_type", "user_id", "approx_users"),
+
+    // the maintained state must equal the from-scratch aggregate — the
+    // bucket split the Spark side maintains across is invisible here
+    "x_ivm_merge" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hr,
+        |  count(v) AS cnt, CAST(sum(v) AS BIGINT) AS sum_v,
+        |  min(v) AS min_v, max(v) AS max_v
+        |FROM (SELECT event_type, ts, CAST(floor(value * 100) AS BIGINT) AS v
+        |      FROM events) e
+        |GROUP BY 1, 2""".stripMargin,
 
     // salting is physically-only: the oracle is the unsalted spelling
     // (CAST the sum back: DuckDB sums BIGINT into HUGEINT)

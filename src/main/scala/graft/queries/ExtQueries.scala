@@ -179,6 +179,31 @@ object ExtQueries {
         .withColumn("cluster_id", col("cluster_id").cast("bigint"))
     }),
 
+    // ---- product-quantization ANN (ADC): m=4 sub-codebooks trained with
+    //      the same deterministic Lloyd as the IVF cells, corpus encoded
+    //      to 4 codes/vector (~64x smaller than raw float32 — the scan
+    //      ADC pays), ranked by exact scaled-integer asymmetric distance.
+    //      The learned codebooks, the codes, and the distances are all
+    //      oracle-checkable (fixed iterations, order-independent sums).
+    "x_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", m = 4, subDim = 16, ks = 4, iterations = 2, k = 3)
+    }),
+
+    // ---- the BUILD-ONCE PQ path: codebooks + code table materialized,
+    //      search reads the compressed index back (same result as
+    //      x_ann_pq => same oracle; amortization measured in the
+    //      stored_splits bench sidecar)
+    "x_ann_pq_stored" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+      Similarity.writePqIndex(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, ks = 4, iterations = 2, path = path)
+      Similarity.pqTopKStored(s, path, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 4, subDim = 16, k = 3)
+    }),
+
     // ---- bucket-pruned cosine top-3 within the query's label bucket
     "x_ann_bucketed" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -872,6 +897,69 @@ object ExtQueries {
        |  SELECT p.query_id, l.vec_id AS neighbor_id, CAST(l.cluster_id AS BIGINT) AS cluster_id
        |  FROM probe p JOIN lists l ON l.cluster_id = p.cluster_id AND l.vec_id <> p.query_id)""".stripMargin
   }
+
+  /** The PQ/ADC chain as DuckDB CTEs, mirroring [[ivfCtesSql]]'s
+    * discipline with the subspace id as an extra group key: subvector
+    * explode, per-subspace fixed-iteration Lloyd (seed = subvectors of
+    * the ks smallest ids), corpus encode, per-query (sub, code) distance
+    * table, ADC sum over the code equi-join. Every step is scaled-integer
+    * or an order-free scaled average, so codebooks, codes, and distances
+    * are bit-identical cross-engine.
+    */
+  private def pqOracleSql(m: Int, subDim: Int, ks: Int, iterations: Int,
+                          topK: Int): String = {
+    val f = math.pow(10, Similarity.IvfScale.toDouble).toLong
+    def distCte(name: String, books: String, vecFilter: String) =
+      s"""$name AS (
+         |  SELECT v.vec_id, v.sub, c.cluster_id,
+         |    sum(CAST(floor(CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)
+         |      - 2 * CAST(floor(CAST(v.svec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dist_s
+         |  FROM sv v JOIN $books c ON c.sub = v.sub,
+         |    LATERAL (SELECT unnest(generate_series(1, $subDim)) AS i) t
+         |  $vecFilter
+         |  GROUP BY v.vec_id, v.sub, c.cluster_id)""".stripMargin
+    def asgCte(name: String, dist: String) =
+      s"""$name AS (SELECT vec_id, sub, cluster_id FROM $dist
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist_s, cluster_id) = 1)""".stripMargin
+    def updCte(name: String, asg: String) =
+      s"""$name AS (
+         |  SELECT sub, cluster_id, list(CAST(cv AS REAL) ORDER BY dim) AS cvec FROM (
+         |    SELECT a.sub, a.cluster_id, i AS dim,
+         |      floor(CAST(sum(CAST(floor(CAST(v.svec[i] AS DOUBLE) * $f + 0.5) AS BIGINT)) AS DOUBLE)
+         |        / count(*) + 0.5) / $f AS cv
+         |    FROM $asg a JOIN sv v ON v.vec_id = a.vec_id AND v.sub = a.sub,
+         |      LATERAL (SELECT unnest(generate_series(1, $subDim)) AS i) t
+         |    GROUP BY a.sub, a.cluster_id, i)
+         |  GROUP BY sub, cluster_id)""".stripMargin
+    val iterCtes = (1 to iterations).map { it =>
+      s"""${distCte(s"d$it", s"c${it - 1}", "")},
+         |${asgCte(s"asg$it", s"d$it")},
+         |${updCte(s"c$it", s"asg$it")}""".stripMargin
+    }.mkString(",\n")
+    val fin = s"c$iterations"
+    s"""WITH sv AS (
+       |  SELECT e.vec_id, s.sub,
+       |    e.embedding[(s.sub * $subDim + 1):(s.sub * $subDim + $subDim)] AS svec
+       |  FROM embeddings e, (SELECT unnest(generate_series(0, ${m - 1})) AS sub) s),
+       |c0 AS (
+       |  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cluster_id,
+       |    svec AS cvec
+       |  FROM sv QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= $ks),
+       |$iterCtes,
+       |${distCte("cd", fin, "")},
+       |${asgCte("codes", "cd")},
+       |${distCte("qd", fin, "WHERE v.vec_id < 10")},
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    CAST(sum(q.dist_s) AS BIGINT) AS adist_s
+       |  FROM codes a JOIN qd q ON q.sub = a.sub AND q.cluster_id = a.cluster_id
+       |  WHERE a.vec_id <> q.vec_id
+       |  GROUP BY q.vec_id, a.vec_id)
+       |SELECT query_id, neighbor_id, adist_s FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_s, neighbor_id) <= $topK""".stripMargin
+  }
+
+  private lazy val annPqOracleSql: String = pqOracleSql(4, 16, 4, 2, 3)
 
   /** The learned-IVF oracle (shared by `x_ann_ivf` and
     * `x_ann_ivf_stored` — the stored-index search is result-identical
@@ -1723,6 +1811,8 @@ object ExtQueries {
     // construction (same deterministic k-means, same probe/score) — one
     // oracle text serves both keys
     "x_ann_ivf_stored" -> annIvfOracleSql,
+    "x_ann_pq" -> annPqOracleSql,
+    "x_ann_pq_stored" -> annPqOracleSql,
 
     "x_ann_ivf" -> annIvfOracleSql,
 

@@ -104,6 +104,38 @@ object StoredSplits {
             emb.filter(col("vec_id") < 10), "vec_id", "embedding",
             nProbe = 2, k = 3)
           .withColumn("cluster_id", col("cluster_id").cast("bigint"))
-      })
+      }),
+
+    "x_ann_pq_stored" -> (
+      (s: SparkSession, d: String) =>
+        Similarity.writePqIndex(Tables.embeddings(s, d), "vec_id",
+          "embedding", m = 4, subDim = 16, ks = 4, iterations = 2,
+          path = tmp("graft_pq_split_idx")),
+      (s: SparkSession, d: String) =>
+        Similarity.pqTopKStored(s, tmp("graft_pq_split_idx"),
+          Tables.embeddings(s, d).filter(col("vec_id") < 10), "vec_id",
+          "embedding", m = 4, subDim = 16, k = 3)),
+
+    "x_ivm_merge" -> (
+      (s: SparkSession, d: String) =>
+        graft.operators.IncrementalAgg.partials(
+            ivmFacts(s, d).filter(col("bucket") < 204), IvmKeys, "v")
+          .write.mode("overwrite").parquet(tmp("graft_ivm_state")),
+      (s: SparkSession, d: String) =>
+        graft.operators.IncrementalAgg.mergeDeltaSmall(
+          s.read.parquet(tmp("graft_ivm_state")),
+          graft.operators.IncrementalAgg.partials(
+            ivmFacts(s, d).filter(col("bucket") >= 204), IvmKeys, "v"),
+          IvmKeys))
   )
+
+  private val IvmKeys = Seq("event_type", "hr")
+
+  private def ivmFacts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_type"),
+      org.apache.spark.sql.functions.date_trunc("hour", col("ts")).as("hr"),
+      org.apache.spark.sql.functions.floor(col("value") * 100)
+        .cast("long").as("v"),
+      graft.ext.Corpus.splitBucket("event_id").as("bucket"))
 }

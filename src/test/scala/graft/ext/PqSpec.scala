@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/** Product-quantization contract: deterministic codebooks at any
+  * parallelism, m codes per vector, stored == inline, ADC finds exact
+  * duplicates first on a clustered fixture, and the search plan never
+  * falls off the broadcast equi-join path.
+  */
+class PqSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val M = 4
+  private val SubDim = 16
+  private val Dims = M * SubDim
+
+  /** 3 groups x 4 identical 64-dim vectors; ids interleaved so the
+    * ks=4 seed picks all three groups (plus one duplicate seed whose
+    * cluster empties out after the first assignment — the deterministic
+    * empty-cluster path).
+    */
+  private def clustered = {
+    val patterns = Array(
+      Array.tabulate(Dims)(i => 0.5f - 0.01f * (i % 8)),
+      Array.tabulate(Dims)(i => -0.3f + 0.01f * (i % 5)),
+      Array.tabulate(Dims)(i => 0.1f * ((i % 3) - 1)))
+    (0 until 12).map(id => (id.toLong, patterns(id % 3).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+  }
+
+  test("codebooks are independent of input partitioning") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = Similarity.pqCodebooks(emb.repartition(1), "vec_id", "embedding",
+      M, SubDim, ks = 4, iterations = 2).collect().map(_.toSeq).toSet
+    val b = Similarity.pqCodebooks(emb.repartition(7), "vec_id", "embedding",
+      M, SubDim, ks = 4, iterations = 2).collect().map(_.toSeq).toSet
+    assert(a == b, "codebooks differ across partitioning")
+    assert(a.nonEmpty)
+  }
+
+  test("every vector encodes to exactly m codes, each within [0, ks)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      M, SubDim, ks = 4, iterations = 2)
+    val codes = Similarity.pqEncode(emb, books, "vec_id", "embedding", M, SubDim)
+    val n = emb.count()
+    assert(codes.count() == n * M)
+    val perVec = codes.groupBy("neighbor_id").agg(
+      count(lit(1)).as("c"), countDistinct(col("sub")).as("s"))
+    assert(perVec.filter(col("c") =!= M || col("s") =!= M).count() == 0)
+    assert(codes.filter(col("code") < 0 || col("code") >= 4).count() == 0)
+  }
+
+  test("stored-index search returns exactly the inline pqTopK result") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("pq_index").toString
+    Similarity.writePqIndex(emb, "vec_id", "embedding",
+      M, SubDim, ks = 4, iterations = 2, path = path)
+    val stored = Similarity.pqTopKStored(spark, path, queries,
+      "vec_id", "embedding", M, SubDim, k = 3)
+      .collect().map(_.toSeq).toSet
+    val inline = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      M, SubDim, ks = 4, iterations = 2, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(stored == inline, s"stored=${stored.size} inline=${inline.size} differ")
+    assert(stored.nonEmpty)
+  }
+
+  test("ADC ranks exact duplicates first on a clustered corpus") {
+    val emb = clustered
+    val res = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", M, SubDim, ks = 4, iterations = 2, k = 3)
+      .collect()
+    // each query's top-3 are exactly its 3 identical group-mates
+    (0 until 3).foreach { q =>
+      val got = res.filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+      val want = (0 until 12).filter(i => i % 3 == q && i != q).map(_.toLong).toSet
+      assert(got == want, s"query $q: got $got want $want")
+    }
+  }
+
+  test("search plan: broadcast equi-join on (sub, code), no cartesian product") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val plan = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", M, SubDim, ks = 4, iterations = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+}
