@@ -423,6 +423,160 @@ object Similarity {
       spark.read.parquet(s"$path/codebooks"),
       queries, idCol, vecCol, m, subDim, k)
 
+  // --------------------------------------------------- IVF-PQ (residual)
+
+  /** Per-vector residual against its assigned coarse centroid:
+    * (id, coarse_id, rvec). The float32 subtraction is a single IEEE op
+    * per element — bit-identical cross-engine — and the `zip_with` HOF
+    * is acceptable here because residual materialization runs ONCE at
+    * build time (the hot search path touches only codes and the tiny
+    * distance tables).
+    */
+  private def residuals(corpus: DataFrame, coarse: DataFrame,
+                        idCol: String, vecCol: String): DataFrame =
+    ivfAssign(corpus, coarse, idCol, vecCol)
+      .join(broadcast(coarse.select(col("cluster_id"), col("cvec"))), "cluster_id")
+      .select(col(idCol), col("cluster_id").as("coarse_id"),
+        zip_with(col(vecCol), col("cvec"), (a, b) => a - b).as("rvec"))
+
+  private def ivfPqModel(corpus: DataFrame, idCol: String, vecCol: String,
+                         nCoarse: Int, coarseIters: Int, m: Int, subDim: Int,
+                         ks: Int, pqIters: Int): (DataFrame, DataFrame, DataFrame) = {
+    val coarse = shims.checkpointWithStats(
+      ivfCentroids(corpus, idCol, vecCol, nCoarse, coarseIters))
+    // checkpointed: the Lloyd loop below re-reads the residuals every
+    // round, and the code/cell lookup reads them twice more
+    val resid = shims.checkpointWithStats(
+      residuals(corpus, coarse, idCol, vecCol))
+    val books = shims.checkpointWithStats(
+      pqCodebooks(resid, idCol, "rvec", m, subDim, ks, pqIters))
+    val codes = pqEncode(resid, books, idCol, "rvec", m, subDim)
+      .join(resid.select(col(idCol).as("neighbor_id"), col("coarse_id")),
+        "neighbor_id")
+    (coarse, books, codes)
+  }
+
+  /** Probe-and-score shared by the inline and stored IVF-PQ paths: rank
+    * coarse cells per query, keep `nProbe`, form the query RESIDUAL per
+    * probed cell, build the per-(cell, sub, code) distance table
+    * (broadcast — nq·nProbe·m·ks rows), and ADC-sum over the
+    * (coarse_id, sub, code) equi-join against the code table. Only
+    * corpus codes in probed cells join; the raw vectors are never read
+    * at search time.
+    */
+  private def ivfPqSearch(codes: DataFrame, coarse: DataFrame, books: DataFrame,
+                          queries: DataFrame, idCol: String, vecCol: String,
+                          m: Int, subDim: Int, nProbe: Int, k: Int): DataFrame = {
+    val c = coarse.select(col("cluster_id"), col("cvec"),
+      norm2Scaled(col("cvec")).as("c_n2s"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_s"), col("cluster_id"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(c))
+      .withColumn("dist_s", col("c_n2s") - lit(2L) * dotScaled(col("q_vec"), col("cvec")))
+      .withColumn("__rn", row_number().over(probeW)).filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("cluster_id").as("coarse_id"),
+        zip_with(col("q_vec"), col("cvec"), (a, b) => a - b).as("q_rvec"))
+    val bq = books.select(col("sub").as("b_sub"), col("cluster_id"),
+      col("cvec"), norm2Scaled(col("cvec")).as("b_n2s"))
+    // FULL squared distance ‖rq_sub − c‖², not the ‖c‖²−2⟨rq,c⟩ shortcut
+    // the single-table PQ uses: the dropped ‖rq‖² term is constant per
+    // query THERE, but here the query residual differs per probed CELL,
+    // so dropping it would make adist incomparable across cells (a
+    // far-off cell's large ‖rq‖² would fake arbitrarily negative
+    // distances). Spec pins the resulting invariant: an exact
+    // duplicate's adist is the global minimum.
+    val qtab = probes.select(col("query_id"), col("coarse_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("q_rvec"), s * subDim + 1, subDim)): _*))
+          .as(Seq("sub", "qsvec")))
+      .join(broadcast(bq), col("sub") === col("b_sub"))
+      .select(col("query_id"), col("coarse_id"), col("sub"),
+        col("cluster_id").as("code"),
+        (norm2Scaled(col("qsvec")) + col("b_n2s")
+          - lit(2L) * dotScaled(col("qsvec"), col("cvec"))).as("d_s"))
+    val scored = codes.join(broadcast(qtab), Seq("coarse_id", "sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("coarse_id"))
+      .agg(sum(col("d_s")).as("adist_s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_s"), col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("coarse_id").cast("bigint").as("coarse_id"), col("adist_s"))
+  }
+
+  /** IVF-PQ ANN, end to end: coarse cells partition the corpus
+    * ([[ivfCentroids]]), PQ codebooks quantize the RESIDUAL against the
+    * assigned centroid (m sub-codebooks, shared across cells —
+    * [[pqCodebooks]] on the residual frame), search probes `nProbe`
+    * cells and ADC-ranks their codes with per-cell query residuals.
+    * This is the IVFADC layout every billion-vector ANN store runs —
+    * cell pruning bounds the candidates, residual PQ shrinks what a
+    * probe scans (~64× under these defaults) — expressed as three
+    * deterministic relational stages, so the full learned index is
+    * oracle-checkable cross-engine like its IVF and PQ parts.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, nCoarse: Int = 4, coarseIters: Int = 2,
+                m: Int = 4, subDim: Int = 16, ks: Int = 4, pqIters: Int = 2,
+                nProbe: Int = 2, k: Int = 3): DataFrame = {
+    val (coarse, books, codes) = ivfPqModel(corpus, idCol, vecCol,
+      nCoarse, coarseIters, m, subDim, ks, pqIters)
+    ivfPqSearch(codes, coarse, books, queries, idCol, vecCol, m, subDim,
+      nProbe, k)
+  }
+
+  /** Materialize the IVF-PQ index: two tiny model tables (coarse
+    * centroids, sub-codebooks) plus the code table written
+    * `partitionBy(coarse_id)` — a probe reads nProbe/nCoarse of the
+    * COMPRESSED corpus from disk (partition pruning on the cell, same
+    * contract as [[writeIvfIndex]], at PQ's scan width).
+    */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCoarse: Int, coarseIters: Int, m: Int, subDim: Int,
+                      ks: Int, pqIters: Int, path: String): Unit = {
+    val (coarse, books, codes) = ivfPqModel(corpus, idCol, vecCol,
+      nCoarse, coarseIters, m, subDim, ks, pqIters)
+    coarse.write.mode("overwrite").parquet(s"$path/coarse")
+    books.write.mode("overwrite").parquet(s"$path/codebooks")
+    codes.write.mode("overwrite").partitionBy("coarse_id")
+      .parquet(s"$path/codes")
+  }
+
+  /** Search a stored IVF-PQ index ([[writeIvfPqIndex]]): identical
+    * results to [[ivfPqTopK]] with the same build parameters; training,
+    * residuals, and encode all amortize, and the probe scans only the
+    * probed cells' code partitions.
+    */
+  def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      m: Int = 4, subDim: Int = 16, nProbe: Int = 2,
+                      k: Int = 3): DataFrame = {
+    // an EMPTY corpus writes zero code partitions (schema-less layout,
+    // same as writeIvfIndex's lists): valid state, searched as an empty
+    // index, not an error
+    val codes =
+      try spark.read.parquet(s"$path/codes")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          val st = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("neighbor_id",
+              queries.schema(idCol).dataType),
+            org.apache.spark.sql.types.StructField("sub",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("code",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("coarse_id",
+              org.apache.spark.sql.types.IntegerType)))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      }
+    ivfPqSearch(codes, spark.read.parquet(s"$path/coarse"),
+      spark.read.parquet(s"$path/codebooks"),
+      queries, idCol, vecCol, m, subDim, nProbe, k)
+  }
+
   // -------------------------------------------- embedding-cosine near-dup
 
   /** Per-component scale for sign-bit quantization: |v| < 1 ⇒ per-term

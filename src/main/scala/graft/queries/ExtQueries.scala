@@ -204,6 +204,32 @@ object ExtQueries {
         "vec_id", "embedding", m = 4, subDim = 16, k = 3)
     }),
 
+    // ---- IVF-PQ (the Faiss IVFADC layout as relations): coarse cells
+    //      prune the candidate set, PQ codes over the RESIDUAL against
+    //      the assigned centroid shrink what a probe scans (~64x), and
+    //      the whole learned index — coarse k-means, residuals, sub-
+    //      codebooks, codes, ADC distances — is deterministic enough to
+    //      hash-match a DuckDB re-derivation
+    "x_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", nCoarse = 4, coarseIters = 2, m = 4, subDim = 16,
+        ks = 4, pqIters = 2, nProbe = 2, k = 3)
+    }),
+
+    // ---- the BUILD-ONCE IVF-PQ path: model tables + codes partitioned
+    //      by coarse cell; the probe prunes unprobed cell directories
+    //      and scans only compressed codes (same result => same oracle)
+    "x_ann_ivfpq_stored" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+        nCoarse = 4, coarseIters = 2, m = 4, subDim = 16, ks = 4,
+        pqIters = 2, path = path)
+      Similarity.ivfPqTopKStored(s, path, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 4, subDim = 16, nProbe = 2, k = 3)
+    }),
+
     // ---- bucket-pruned cosine top-3 within the query's label bucket
     "x_ann_bucketed" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -960,6 +986,134 @@ object ExtQueries {
   }
 
   private lazy val annPqOracleSql: String = pqOracleSql(4, 16, 4, 2, 3)
+
+  /** The IVF-PQ/ADC chain as DuckDB CTEs: the coarse Lloyd rounds
+    * ([[ivfCtesSql]]'s discipline), residual subvectors against the
+    * assigned coarse centroid (float32 subtraction — a single IEEE op
+    * per element, so `rv` matches Spark's `zip_with` bit-for-bit), the
+    * per-subspace PQ Lloyd rounds over residuals ([[pqOracleSql]]'s
+    * discipline, sourced from `rv`), then nProbe-cell probing with
+    * per-cell query residuals and the ADC sum over the
+    * (coarse cell, sub, code) equi-join.
+    */
+  private def ivfPqOracleSql(nCoarse: Int, coarseIters: Int, m: Int,
+                             subDim: Int, ks: Int, pqIters: Int,
+                             nProbe: Int, topK: Int): String = {
+    val f = math.pow(10, Similarity.IvfScale.toDouble).toLong
+    // dist of full vectors in `vecs` (cols vec_id, vcol) vs centroids
+    def fullDistCte(name: String, cents: String, vecs: String, vcol: String,
+                    vecFilter: String) =
+      s"""$name AS (
+         |  SELECT e.vec_id, c.cluster_id,
+         |    sum(CAST(floor(CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)
+         |      - 2 * CAST(floor(CAST(e.$vcol[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dist_s
+         |  FROM $vecs e, $cents c,
+         |    LATERAL (SELECT unnest(generate_series(1, len(e.$vcol))) AS i) t
+         |  $vecFilter
+         |  GROUP BY e.vec_id, c.cluster_id)""".stripMargin
+    def fullAsgCte(name: String, dist: String) =
+      s"""$name AS (SELECT vec_id, cluster_id FROM $dist
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist_s, cluster_id) = 1)""".stripMargin
+    def fullUpdCte(name: String, asg: String) =
+      s"""$name AS (
+         |  SELECT cluster_id, list(CAST(cv AS REAL) ORDER BY dim) AS cvec FROM (
+         |    SELECT a.cluster_id, i AS dim,
+         |      floor(CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * $f + 0.5) AS BIGINT)) AS DOUBLE)
+         |        / count(*) + 0.5) / $f AS cv
+         |    FROM $asg a JOIN embeddings e USING (vec_id),
+         |      LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) t
+         |    GROUP BY a.cluster_id, i)
+         |  GROUP BY cluster_id)""".stripMargin
+    val coarseIterCtes = (1 to coarseIters).map { it =>
+      s"""${fullDistCte(s"cd$it", s"cc${it - 1}", "embeddings", "embedding", "")},
+         |${fullAsgCte(s"casg$it", s"cd$it")},
+         |${fullUpdCte(s"cc$it", s"casg$it")}""".stripMargin
+    }.mkString(",\n")
+    val ccF = s"cc$coarseIters"
+    // PQ chain over residual subvectors `rv(vec_id, sub, svec, coarse_id)`
+    def subDistCte(name: String, books: String, vecFilter: String) =
+      s"""$name AS (
+         |  SELECT v.vec_id, v.sub, c.cluster_id,
+         |    sum(CAST(floor(CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)
+         |      - 2 * CAST(floor(CAST(v.svec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dist_s
+         |  FROM rv v JOIN $books c ON c.sub = v.sub,
+         |    LATERAL (SELECT unnest(generate_series(1, $subDim)) AS i) t
+         |  $vecFilter
+         |  GROUP BY v.vec_id, v.sub, c.cluster_id)""".stripMargin
+    def subAsgCte(name: String, dist: String) =
+      s"""$name AS (SELECT vec_id, sub, cluster_id FROM $dist
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist_s, cluster_id) = 1)""".stripMargin
+    def subUpdCte(name: String, asg: String) =
+      s"""$name AS (
+         |  SELECT sub, cluster_id, list(CAST(cv AS REAL) ORDER BY dim) AS cvec FROM (
+         |    SELECT a.sub, a.cluster_id, i AS dim,
+         |      floor(CAST(sum(CAST(floor(CAST(v.svec[i] AS DOUBLE) * $f + 0.5) AS BIGINT)) AS DOUBLE)
+         |        / count(*) + 0.5) / $f AS cv
+         |    FROM $asg a JOIN rv v ON v.vec_id = a.vec_id AND v.sub = a.sub,
+         |      LATERAL (SELECT unnest(generate_series(1, $subDim)) AS i) t
+         |    GROUP BY a.sub, a.cluster_id, i)
+         |  GROUP BY sub, cluster_id)""".stripMargin
+    val pqIterCtes = (1 to pqIters).map { it =>
+      s"""${subDistCte(s"pd$it", s"pc${it - 1}", "")},
+         |${subAsgCte(s"pasg$it", s"pd$it")},
+         |${subUpdCte(s"pc$it", s"pasg$it")}""".stripMargin
+    }.mkString(",\n")
+    val pcF = s"pc$pqIters"
+    s"""WITH cc0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, embedding AS cvec
+       |  FROM embeddings ORDER BY vec_id LIMIT $nCoarse),
+       |$coarseIterCtes,
+       |${fullDistCte("cda", ccF, "embeddings", "embedding", "")},
+       |${fullAsgCte("casg", "cda")},
+       |rv AS (
+       |  SELECT a.vec_id, s.sub,
+       |    list_transform(generate_series(1, $subDim), i ->
+       |      CAST(e.embedding[s.sub * $subDim + i] - c.cvec[s.sub * $subDim + i] AS REAL)) AS svec,
+       |    a.cluster_id AS coarse_id
+       |  FROM casg a JOIN embeddings e USING (vec_id)
+       |    JOIN $ccF c USING (cluster_id),
+       |    (SELECT unnest(generate_series(0, ${m - 1})) AS sub) s),
+       |pc0 AS (
+       |  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cluster_id,
+       |    svec AS cvec
+       |  FROM rv QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= $ks),
+       |$pqIterCtes,
+       |${subDistCte("pcd", pcF, "")},
+       |${subAsgCte("codes", "pcd")},
+       |${fullDistCte("qcd", ccF, "embeddings", "embedding", "WHERE e.vec_id < 10")},
+       |probe AS (SELECT vec_id, cluster_id FROM qcd
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist_s, cluster_id) <= $nProbe),
+       |qrv AS (
+       |  SELECT p.vec_id, p.cluster_id AS coarse_id, s.sub,
+       |    list_transform(generate_series(1, $subDim), i ->
+       |      CAST(e.embedding[s.sub * $subDim + i] - c.cvec[s.sub * $subDim + i] AS REAL)) AS svec
+       |  FROM probe p JOIN embeddings e USING (vec_id)
+       |    JOIN $ccF c USING (cluster_id),
+       |    (SELECT unnest(generate_series(0, ${m - 1})) AS sub) s),
+       |qtab AS (
+       |  SELECT q.vec_id AS query_id, q.coarse_id, q.sub, c.cluster_id AS code,
+       |    sum(CAST(floor(CAST(q.svec[i] AS DOUBLE) * CAST(q.svec[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)
+       |      + CAST(floor(CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)
+       |      - 2 * CAST(floor(CAST(q.svec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS d_s
+       |  FROM qrv q JOIN $pcF c ON c.sub = q.sub,
+       |    LATERAL (SELECT unnest(generate_series(1, $subDim)) AS i) t
+       |  GROUP BY q.vec_id, q.coarse_id, q.sub, c.cluster_id),
+       |cellof AS (SELECT DISTINCT vec_id, coarse_id FROM rv),
+       |scored AS (
+       |  SELECT t.query_id, k.vec_id AS neighbor_id,
+       |    CAST(o.coarse_id AS BIGINT) AS coarse_id,
+       |    CAST(sum(t.d_s) AS BIGINT) AS adist_s
+       |  FROM codes k JOIN cellof o USING (vec_id)
+       |    JOIN qtab t ON t.coarse_id = o.coarse_id AND t.sub = k.sub
+       |      AND t.code = k.cluster_id
+       |  WHERE k.vec_id <> t.query_id
+       |  GROUP BY t.query_id, k.vec_id, o.coarse_id)
+       |SELECT query_id, neighbor_id, coarse_id, adist_s FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_s, neighbor_id) <= $topK""".stripMargin
+  }
+
+  private lazy val annIvfPqOracleSql: String =
+    ivfPqOracleSql(4, 2, 4, 16, 4, 2, 2, 3)
 
   /** The learned-IVF oracle (shared by `x_ann_ivf` and
     * `x_ann_ivf_stored` — the stored-index search is result-identical
@@ -1813,6 +1967,8 @@ object ExtQueries {
     "x_ann_ivf_stored" -> annIvfOracleSql,
     "x_ann_pq" -> annPqOracleSql,
     "x_ann_pq_stored" -> annPqOracleSql,
+    "x_ann_ivfpq" -> annIvfPqOracleSql,
+    "x_ann_ivfpq_stored" -> annIvfPqOracleSql,
 
     "x_ann_ivf" -> annIvfOracleSql,
 

@@ -116,6 +116,16 @@ object StoredSplits {
           Tables.embeddings(s, d).filter(col("vec_id") < 10), "vec_id",
           "embedding", m = 4, subDim = 16, k = 3)),
 
+    "x_ann_ivfpq_stored" -> (
+      (s: SparkSession, d: String) =>
+        Similarity.writeIvfPqIndex(Tables.embeddings(s, d), "vec_id",
+          "embedding", nCoarse = 4, coarseIters = 2, m = 4, subDim = 16,
+          ks = 4, pqIters = 2, path = tmp("graft_ivfpq_split_idx")),
+      (s: SparkSession, d: String) =>
+        Similarity.ivfPqTopKStored(s, tmp("graft_ivfpq_split_idx"),
+          Tables.embeddings(s, d).filter(col("vec_id") < 10), "vec_id",
+          "embedding", m = 4, subDim = 16, nProbe = 2, k = 3)),
+
     "x_ivm_merge" -> (
       (s: SparkSession, d: String) =>
         graft.operators.IncrementalAgg.partials(

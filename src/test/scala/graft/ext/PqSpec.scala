@@ -84,6 +84,53 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("IVF-PQ: stored equals inline; codes laid out per coarse cell and DPP-pruned") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+      nCoarse = 4, coarseIters = 2, m = M, subDim = SubDim, ks = 4,
+      pqIters = 2, path = path)
+    val dirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.startsWith("coarse_id=")).map(_.getName)
+    assert(dirs.length == 4, s"expected 4 cell dirs, got ${dirs.mkString(",")}")
+    val stored = Similarity.ivfPqTopKStored(spark, path, queries,
+      "vec_id", "embedding", M, SubDim, nProbe = 2, k = 3)
+    val inline = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      nCoarse = 4, coarseIters = 2, m = M, subDim = SubDim, ks = 4,
+      pqIters = 2, nProbe = 2, k = 3)
+    assert(stored.collect().map(_.toSeq).toSet ==
+      inline.collect().map(_.toSeq).toSet)
+    // unprobed coarse cells are pruned at the code scan
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"codes scan is not DPP-pruned:\n$plan")
+  }
+
+  test("IVF-PQ: an exact duplicate's ADC distance is the global minimum") {
+    // 6 patterns x 2 copies (id, id+6): a duplicate shares its query's
+    // cell and codes, and code assignment is the same argmin ADC ranking
+    // uses, so adist(dup) = sum of per-sub minima — no candidate can
+    // rank strictly better (ties possible, beating it is not)
+    val patterns = Array.tabulate(6)(g =>
+      Array.tabulate(Dims)(i => 0.1f * ((i + g) % 5) - 0.2f + 0.05f * g))
+    val emb = (0 until 12).map(id => (id.toLong, patterns(id % 6).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val res = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", nCoarse = 3, coarseIters = 2, m = M,
+      subDim = SubDim, ks = 4, pqIters = 2, nProbe = 3, k = 11)
+      .collect()
+    (0 until 3).foreach { q =>
+      val rows = res.filter(_.getLong(0) == q)
+      val dup = rows.find(_.getLong(1) == q + 6)
+      assert(dup.isDefined, s"query $q: duplicate ${q + 6} not in candidates")
+      val minD = rows.map(_.getLong(3)).min
+      assert(dup.get.getLong(3) == minD,
+        s"query $q: dup adist ${dup.get.getLong(3)} != min $minD")
+    }
+  }
+
   test("search plan: broadcast equi-join on (sub, code), no cartesian product") {
     val emb = Tables.embeddings(spark, sfDir)
     val plan = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
