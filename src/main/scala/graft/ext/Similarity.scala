@@ -409,6 +409,9 @@ object Similarity {
     pqEncode(corpus, books, idCol, vecCol, m, subDim)
       .sortWithinPartitions(col("neighbor_id"), col("sub"))
       .write.mode("overwrite").parquet(s"$path/codes")
+    // the checkpoint is dead once the index is on disk — free its
+    // blocks now, don't wait for GC (the bfsHops/ssspRounds discipline)
+    shims.unpersistLocalCheckpoint(books)
   }
 
   /** Search a stored PQ index ([[writePqIndex]]): identical results to
@@ -441,7 +444,8 @@ object Similarity {
 
   private def ivfPqModel(corpus: DataFrame, idCol: String, vecCol: String,
                          nCoarse: Int, coarseIters: Int, m: Int, subDim: Int,
-                         ks: Int, pqIters: Int): (DataFrame, DataFrame, DataFrame) = {
+                         ks: Int, pqIters: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val coarse = shims.checkpointWithStats(
       ivfCentroids(corpus, idCol, vecCol, nCoarse, coarseIters))
     // checkpointed: the Lloyd loop below re-reads the residuals every
@@ -450,10 +454,25 @@ object Similarity {
       residuals(corpus, coarse, idCol, vecCol))
     val books = shims.checkpointWithStats(
       pqCodebooks(resid, idCol, "rvec", m, subDim, ks, pqIters))
-    val codes = pqEncode(resid, books, idCol, "rvec", m, subDim)
-      .join(resid.select(col(idCol).as("neighbor_id"), col("coarse_id")),
-        "neighbor_id")
-    (coarse, books, codes)
+    // encode with the cell id CARRIED through the argmin aggregation
+    // (constant per id → first()) instead of re-joining codes against
+    // the corpus-sized residual table — drops a big-big SortMergeJoin
+    // from the build
+    val c = books.select(col("sub").as("c_sub"), col("cluster_id"),
+      col("cvec"), norm2Scaled(col("cvec")).as("c_n2s"))
+    val codes = resid.select(col(idCol), col("coarse_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("rvec"), s * subDim + 1, subDim)): _*))
+          .as(Seq("sub", "svec")))
+      .join(broadcast(c), col("sub") === col("c_sub"))
+      .withColumn("dist_s",
+        col("c_n2s") - lit(2L) * dotScaled(col("svec"), col("cvec")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("dist_s"), col("cluster_id"))).as("m"),
+        first(col("coarse_id")).as("coarse_id"))
+      .select(col(idCol).as("neighbor_id"), col("sub"),
+        col("m.cluster_id").as("code"), col("coarse_id"))
+    (coarse, books, codes, resid)
   }
 
   /** Probe-and-score shared by the inline and stored IVF-PQ paths: rank
@@ -521,7 +540,7 @@ object Similarity {
                 vecCol: String, nCoarse: Int = 4, coarseIters: Int = 2,
                 m: Int = 4, subDim: Int = 16, ks: Int = 4, pqIters: Int = 2,
                 nProbe: Int = 2, k: Int = 3): DataFrame = {
-    val (coarse, books, codes) = ivfPqModel(corpus, idCol, vecCol,
+    val (coarse, books, codes, _) = ivfPqModel(corpus, idCol, vecCol,
       nCoarse, coarseIters, m, subDim, ks, pqIters)
     ivfPqSearch(codes, coarse, books, queries, idCol, vecCol, m, subDim,
       nProbe, k)
@@ -536,12 +555,15 @@ object Similarity {
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       nCoarse: Int, coarseIters: Int, m: Int, subDim: Int,
                       ks: Int, pqIters: Int, path: String): Unit = {
-    val (coarse, books, codes) = ivfPqModel(corpus, idCol, vecCol,
+    val (coarse, books, codes, resid) = ivfPqModel(corpus, idCol, vecCol,
       nCoarse, coarseIters, m, subDim, ks, pqIters)
     coarse.write.mode("overwrite").parquet(s"$path/coarse")
     books.write.mode("overwrite").parquet(s"$path/codebooks")
     codes.write.mode("overwrite").partitionBy("coarse_id")
       .parquet(s"$path/codes")
+    // all three model checkpoints (incl. the corpus-sized residuals) are
+    // dead once the index is on disk — free them eagerly
+    Seq(coarse, resid, books).foreach(shims.unpersistLocalCheckpoint)
   }
 
   /** Search a stored IVF-PQ index ([[writeIvfPqIndex]]): identical

@@ -72,7 +72,12 @@ object IncrementalAgg {
   def mergeDeltaSmall(base: DataFrame, deltaPartials: DataFrame,
                       keyCols: Seq[String]): DataFrame = {
     val b = base.select((keyCols ++ StateCols).map(col): _*)
-    val d = deltaPartials.select((keyCols ++ StateCols).map(col): _*)
+    // materialized once: the delta partials feed BOTH the key broadcast
+    // and the touched-side union — Catalyst doesn't dedupe common
+    // subplans, so an un-checkpointed delta would re-aggregate the batch
+    // twice; the stats also let AQE size the broadcasts from measurement
+    val d = org.apache.spark.sql.graft.shims.checkpointWithStats(
+      deltaPartials.select((keyCols ++ StateCols).map(col): _*))
     val deltaKeys = d.select(keyCols.map(col): _*).distinct()
     val untouched = b.join(broadcast(deltaKeys), keyCols, "left_anti")
     val touched = mergeAgg(
