@@ -146,4 +146,60 @@ object Retrieval {
       .parquet(s"$path/stats")
     score(tf, dl, stats, idCol, k, scale)
   }
+
+  /** Sparse tf-idf cosine near-dup pairs: all document pairs sharing a
+    * non-ubiquitous token, scored by the cosine of their tf-idf weight
+    * vectors — the WEIGHTED complement to the Jaccard family (catches
+    * high-overlap pairs whose shared terms are rare, which set-based
+    * jaccard under-weighs, and ignores stopword overlap, which it
+    * over-counts).
+    *
+    * Weights are exact integers: `w = tf · idf_s` with the rational
+    * `idf_s = (2(N−df)+1) div (2df+1)` (the object-doc idf at scale=1),
+    * dot products and squared norms are int64 sums, and only the final
+    * cosine touches doubles (divide + correctly-rounded sqrt, rounded
+    * order-independently to 6 decimals) — hash-identical cross-engine.
+    * MAGNITUDE BOUND: `w ≤ 2N·tf`, so norms need `Σ_d (2N·tf)² < 2⁶³`,
+    * i.e. `N·tf·√T_d ≲ 2×10⁹` (T_d = distinct capped terms per doc).
+    * Past that, widen the weight arithmetic to DECIMAL(38,0).
+    *
+    * Scale shape: the pair join is the inverted-index equi-join on the
+    * token with `maxTokenDf` capping document frequency — candidate
+    * volume Σ_{df≤cap} df² ≤ cap·Σdf, never |D|² (the x_jaccard_capped
+    * knob). Capped (ubiquitous) tokens drop out of BOTH the dots and
+    * the norms, so the cosine is computed consistently inside the
+    * capped vocabulary — replicated exactly by the oracle's HAVING.
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, maxTokenDf: Long): DataFrame = {
+    val tok = docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    // 1-row corpus count, broadcast back (the A2 no-collect pattern)
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxTokenDf)
+    val w = tf.join(dft, "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", col("tf") * expr("(2 * (n_docs - df) + 1) div (2 * df + 1)"))
+      .select(col(idCol), col("token"), col("w"))
+    val norms = w.groupBy(col(idCol)).agg(sum(col("w") * col("w")).as("n2"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.token") === col("b.token") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot_s"))
+    dots
+      .join(norms.select(col(idCol).as("doc_a"), col("n2").as("na")), "doc_a")
+      .join(norms.select(col(idCol).as("doc_b"), col("n2").as("nb")), "doc_b")
+      // nullif guards the zero-norm case (every-token-capped doc): the
+      // cosine comes out NULL, the threshold filter drops it — same
+      // nullif in the oracle, so both engines exclude identically
+      // (ANSI mode would otherwise error the division)
+      .withColumn("cos_sim", graft.functions.Numeric.roundBin(
+        col("dot_s").cast("double") / nullif(
+          sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")),
+          lit(0.0)), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("dot_s"), col("cos_sim"))
+  }
 }

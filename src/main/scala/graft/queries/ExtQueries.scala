@@ -22,6 +22,12 @@ object ExtQueries {
   private val JaccardDfCap = 5L
   private val JaccardCappedThreshold = 0.05
 
+  // tf-idf cosine pair parameters (shared by Spark query and oracle):
+  // the TOKEN df cap — tokens are far more repeated than shingles, so
+  // the cap excludes function words on every testdata sf
+  private val TfidfCosDfCap = 50L
+  private val TfidfCosThreshold = 0.3
+
   // embedding near-dup parameters (shared by Spark query and oracle)
   // domain-mixture quotas: named sources oversampled, the long tail at 2
   private val MixQuotas = Map("src0" -> 15, "src1" -> 10, "src2" -> 5)
@@ -144,6 +150,15 @@ object ExtQueries {
     //      radius < nBands (pigeonhole), integer verify
     "x_simhash_pairs" -> ((s, d) =>
       DedupOps.simhashPairs(Tables.documents(s, d), "doc_id", "text")),
+
+    // ---- sparse tf-idf cosine near-dup pairs: the WEIGHTED complement
+    //      to the jaccard family (rare-term overlap counts, stopword
+    //      overlap doesn't). Exact-integer weights/dots/norms; df-capped
+    //      inverted-index join (candidates Σ_{df≤cap} df², never |D|²)
+    "x_tfidf_cosine_pairs" -> ((s, d) =>
+      graft.ext.Retrieval.tfidfCosinePairs(Tables.documents(s, d),
+        "doc_id", "text", threshold = TfidfCosThreshold,
+        maxTokenDf = TfidfCosDfCap)),
 
     // ---- brute-force cosine top-5 (queries: vec_id < 10)
     "x_ann_cosine" -> ((s, d) => {
@@ -1181,6 +1196,32 @@ object ExtQueries {
        |SELECT * FROM cos
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= $k""".stripMargin
 
+  /** Twin of [[graft.ext.Retrieval.tfidfCosinePairs]]: same rational
+    * idf at scale=1, integer dots/norms, capped tokens excluded from
+    * both, cosine rounded order-independently at the end.
+    */
+  private lazy val tfidfCosineOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |stats AS (SELECT count(*) AS n_docs FROM documents),
+       |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token
+       |        HAVING count(*) <= $TfidfCosDfCap),
+       |w AS (SELECT tf.doc_id, tf.token,
+       |        tf.tf * ((2 * (s.n_docs - dft.df) + 1) // (2 * dft.df + 1)) AS w
+       |      FROM tf JOIN dft USING (token) CROSS JOIN stats s),
+       |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+       |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           CAST(sum(a.w * b.w) AS BIGINT) AS dot_s
+       |         FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2),
+       |c AS (SELECT doc_a, doc_b, dot_s,
+       |        ${Numeric.roundBinSql(
+                  "CAST(dot_s AS DOUBLE) / nullif(sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)), 0.0)", 6)} AS cos_sim
+       |      FROM dots JOIN nrm na ON na.doc_id = dots.doc_a
+       |        JOIN nrm nb ON nb.doc_id = dots.doc_b)
+       |SELECT doc_a, doc_b, dot_s, cos_sim FROM c WHERE cos_sim >= $TfidfCosThreshold""".stripMargin
+
   /** Shared by `x_bm25_topk` and `x_bm25_stored`: the stored probe's
     * contract is bit-identical answers off the indexed layout.
     */
@@ -1969,6 +2010,7 @@ object ExtQueries {
     "x_ann_pq_stored" -> annPqOracleSql,
     "x_ann_ivfpq" -> annIvfPqOracleSql,
     "x_ann_ivfpq_stored" -> annIvfPqOracleSql,
+    "x_tfidf_cosine_pairs" -> tfidfCosineOracleSql,
 
     "x_ann_ivf" -> annIvfOracleSql,
 

@@ -60,4 +60,47 @@ class RetrievalSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("tok_band"),
       s"postings scan is not partition-pruned:\n$plan")
   }
+
+  // d1/d2 identical in rare terms; d3 shares only the capped token;
+  // d4 is ONLY the capped token. cap=2: df(x)=df(y)=2 -> idf 1,
+  // df(z)=df(w)=1 -> idf 2, df(common)=4 -> capped out.
+  private def cosCorpus = Seq(
+    (1L, "x y common"), (2L, "x y common"),
+    (3L, "z w common"), (4L, "common common common")
+  ).toDF("doc_id", "text")
+
+  test("tfidf cosine: rare-term duplicates score 1.0, stopword-only overlap scores nothing") {
+    val out = Retrieval.tfidfCosinePairs(cosCorpus, "doc_id", "text",
+        threshold = 0.5, maxTokenDf = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // d1-d2: w=(1,1) each side, dot=2, norms 2 -> cos exactly 1.0;
+    // every pair through 'common' is capped away
+    assert(out == Seq((1L, 2L, 2L, 1.0)))
+  }
+
+  test("tfidf cosine: ubiquitous terms get idf 0 and produce no pairs even uncapped") {
+    // df(common)=4=N -> idf_s = 1 div 9 = 0 -> zero weights -> d4 has a
+    // zero norm; the nullif-guarded cosine comes out NULL and NULL >= t
+    // filters false (both engines), so the all-stopword doc drops from
+    // every pair while zero-DOT pairs (d1-d3 via 'common') still score 0
+    val out = Retrieval.tfidfCosinePairs(cosCorpus, "doc_id", "text",
+        threshold = 0.0, maxTokenDf = 1000)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val byPair = out.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byPair((1L, 2L)) == 1.0 && byPair((1L, 3L)) == 0.0)
+  }
+
+  test("tfidf cosine: partitioning does not change pairs or scores") {
+    val wide = (1L to 120L)
+      .map(i => (i, s"t${i % 13} t${i % 17} t${i % 13} filler"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Retrieval.tfidfCosinePairs(df, "doc_id", "text", 0.2, 40)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(run(wide.coalesce(1)) == run(wide.repartition(16)))
+    assert(run(wide).nonEmpty)
+  }
 }
