@@ -426,6 +426,32 @@ object Similarity {
       spark.read.parquet(s"$path/codebooks"),
       queries, idCol, vecCol, m, subDim, k)
 
+  /** Two-stage PQ serving: ADC shortlists `r` candidates per query off
+    * the compressed codes ([[pqTopK]]), then ONLY those r·nq rows join
+    * back to raw vectors for an exact cosine re-rank — the standard
+    * refine step that recovers exact-metric ordering while the corpus
+    * scan stays on the ~64× smaller code table. The shortlist is
+    * broadcast against the corpus (vector fetch = one broadcast
+    * semi-shaped join, no corpus shuffle); output is exact-cosine top-k
+    * within the ADC shortlist.
+    */
+  def pqRefineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, m: Int = 4, subDim: Int = 16,
+                   ks: Int = 4, iterations: Int = 2, r: Int = 10,
+                   k: Int = 3): DataFrame = {
+    val shortlist = pqTopK(corpus, queries, idCol, vecCol, m, subDim, ks,
+      iterations, r).select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      norm2Scaled(col(vecCol)).as("c_n2"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm2Scaled(col(vecCol)).as("q_n2"))
+    val scored = c.join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos_sim",
+        cosineFromScaled(dotScaled(col("q_vec"), col("c_vec")), col("q_n2"), col("c_n2")))
+    topK(scored, k, Seq("query_id", "neighbor_id", "cos_sim"))
+  }
+
   // --------------------------------------------------- IVF-PQ (residual)
 
   /** Per-vector residual against its assigned coarse centroid:

@@ -219,6 +219,16 @@ object ExtQueries {
         "vec_id", "embedding", m = 4, subDim = 16, k = 3)
     }),
 
+    // ---- the two-stage PQ serving path: ADC shortlists r=10 off the
+    //      compressed codes, exact cosine re-ranks ONLY the shortlist —
+    //      the refine step that recovers exact-metric order while the
+    //      corpus scan stays on the code table
+    "x_ann_pq_refined" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqRefineTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", m = 4, subDim = 16, ks = 4, iterations = 2, r = 10, k = 3)
+    }),
+
     // ---- IVF-PQ (the Faiss IVFADC layout as relations): coarse cells
     //      prune the candidate set, PQ codes over the RESIDUAL against
     //      the assigned centroid shrink what a probe scans (~64x), and
@@ -948,7 +958,40 @@ object ExtQueries {
     * are bit-identical cross-engine.
     */
   private def pqOracleSql(m: Int, subDim: Int, ks: Int, iterations: Int,
-                          topK: Int): String = {
+                          topK: Int): String =
+    s"""${pqChainSql(m, subDim, ks, iterations)}
+       |SELECT query_id, neighbor_id, adist_s FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_s, neighbor_id) <= $topK""".stripMargin
+
+  /** ADC shortlist (top `r` by PQ distance) re-ranked by the EXACT
+    * scaled cosine — the oracle twin of [[Similarity.pqRefineTopK]].
+    */
+  private def pqRefineOracleSql(m: Int, subDim: Int, ks: Int,
+                                iterations: Int, r: Int, topK: Int): String =
+    s"""${pqChainSql(m, subDim, ks, iterations)},
+       |adc AS (SELECT query_id, neighbor_id FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_s, neighbor_id) <= $r),
+       |${annNormCte},
+       |ex AS (
+       |  SELECT a.query_id, a.neighbor_id,
+       |    sum(CAST(floor(CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dot_s,
+       |    max(q.n2) AS q_n2, max(n.n2) AS c_n2
+       |  FROM adc a JOIN nrm q ON q.vec_id = a.query_id
+       |    JOIN nrm n ON n.vec_id = a.neighbor_id,
+       |    LATERAL (SELECT unnest(generate_series(1, len(q.embedding))) AS i) t
+       |  GROUP BY 1, 2),
+       |cosx AS (SELECT query_id, neighbor_id,
+       |    ${Numeric.roundBinSql(
+            s"(CAST(dot_s AS DOUBLE) / $AnnScale) / " +
+            s"(sqrt(CAST(q_n2 AS DOUBLE) / $AnnScale) * sqrt(CAST(c_n2 AS DOUBLE) / $AnnScale))", 6)} AS cos_sim
+       |  FROM ex)
+       |SELECT query_id, neighbor_id, cos_sim FROM cosx
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= $topK""".stripMargin
+
+  /** The PQ chain ending at `scored(query_id, neighbor_id, adist_s)` —
+    * shared by the plain ADC oracle and the refine oracle.
+    */
+  private def pqChainSql(m: Int, subDim: Int, ks: Int, iterations: Int): String = {
     val f = math.pow(10, Similarity.IvfScale.toDouble).toLong
     def distCte(name: String, books: String, vecFilter: String) =
       s"""$name AS (
@@ -995,12 +1038,12 @@ object ExtQueries {
        |    CAST(sum(q.dist_s) AS BIGINT) AS adist_s
        |  FROM codes a JOIN qd q ON q.sub = a.sub AND q.cluster_id = a.cluster_id
        |  WHERE a.vec_id <> q.vec_id
-       |  GROUP BY q.vec_id, a.vec_id)
-       |SELECT query_id, neighbor_id, adist_s FROM scored
-       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_s, neighbor_id) <= $topK""".stripMargin
+       |  GROUP BY q.vec_id, a.vec_id)""".stripMargin
   }
 
   private lazy val annPqOracleSql: String = pqOracleSql(4, 16, 4, 2, 3)
+  private lazy val annPqRefineOracleSql: String =
+    pqRefineOracleSql(4, 16, 4, 2, 10, 3)
 
   /** The IVF-PQ/ADC chain as DuckDB CTEs: the coarse Lloyd rounds
     * ([[ivfCtesSql]]'s discipline), residual subvectors against the
@@ -2008,6 +2051,7 @@ object ExtQueries {
     "x_ann_ivf_stored" -> annIvfOracleSql,
     "x_ann_pq" -> annPqOracleSql,
     "x_ann_pq_stored" -> annPqOracleSql,
+    "x_ann_pq_refined" -> annPqRefineOracleSql,
     "x_ann_ivfpq" -> annIvfPqOracleSql,
     "x_ann_ivfpq_stored" -> annIvfPqOracleSql,
     "x_tfidf_cosine_pairs" -> tfidfCosineOracleSql,

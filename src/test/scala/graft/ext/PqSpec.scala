@@ -131,6 +131,26 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("refine re-ranks the ADC shortlist by exact cosine and stays within it") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val shortlist = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        M, SubDim, ks = 4, iterations = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.pqRefineTopK(emb, queries, "vec_id", "embedding",
+      M, SubDim, ks = 4, iterations = 2, r = 10, k = 3).collect()
+    assert(refined.nonEmpty)
+    // membership: refine never invents candidates outside the shortlist
+    assert(refined.forall(r => shortlist((r.getLong(0), r.getLong(1)))))
+    // order: within each query, output is exact-cosine descending
+    refined.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cs = rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+      assert(rows.map(_.getDouble(2)).sorted.reverse.toSeq ==
+        rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).map(_.getDouble(2)).toSeq)
+      assert(cs.forall(c => c <= 1.0 && c >= -1.0))
+    }
+  }
+
   test("search plan: broadcast equi-join on (sub, code), no cartesian product") {
     val emb = Tables.embeddings(spark, sfDir)
     val plan = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
