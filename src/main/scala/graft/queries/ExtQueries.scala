@@ -24,8 +24,10 @@ object ExtQueries {
 
   // tf-idf cosine pair parameters (shared by Spark query and oracle):
   // the TOKEN df cap — tokens are far more repeated than shingles, so
-  // the cap excludes function words on every testdata sf
-  private val TfidfCosDfCap = 50L
+  // the cap excludes function words on every testdata sf while keeping
+  // enough mid-frequency vocabulary that pairs survive at sf0.1 (cap 50
+  // produced 0 rows there — a weaker oracle than a populated result)
+  private val TfidfCosDfCap = 400L
   private val TfidfCosThreshold = 0.3
 
   // embedding near-dup parameters (shared by Spark query and oracle)
