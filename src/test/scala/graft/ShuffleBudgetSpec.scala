@@ -112,6 +112,35 @@ class ShuffleBudgetSpec extends SparkSuite {
         "explode is crossing an exchange unfiltered")
   }
 
+  test("x_ivm_merge: shuffle traffic is key-scale partials, never the fact rows") {
+    // ~100k event rows aggregate to ~3.4k (type, hour) keys: every
+    // shuffle in build+merge carries partial-agg rows (keys × map
+    // tasks) — a regression that shuffles facts (base or delta) blows
+    // straight through the budget. measureBuild: the entry writes its
+    // base state and checkpoints delta partials at construction time.
+    val m = QueryMetrics.measureBuild(spark)(
+      SparkEntry.queries("x_ivm_merge")(spark, sf001))()
+    assert(m.shuffleRecordsWritten > 0)
+    assert(m.shuffleRecordsWritten < 40000L,
+      s"ivm merge shuffled ${m.shuffleRecordsWritten} records — fact " +
+        "rows are crossing an exchange")
+    assert(m.spillBytes == 0)
+  }
+
+  test("x_ann_pq: shuffles carry per-(vector, sub) argmin partials, never the ks fan-out") {
+    // 200 vectors × 4 subs: training + encode shuffle (id, sub)-scale
+    // argmin rows and (sub, code, dim)-scale update rows; the ks-way
+    // distance fan-out and the codebook joins stay broadcast-side.
+    // Budget sits ~6× above the measured partial volume and far below
+    // a fan-out regression (× ks per stage).
+    val m = QueryMetrics.measureBuild(spark)(
+      SparkEntry.queries("x_ann_pq")(spark, sf001))()
+    assert(m.shuffleRecordsWritten > 0)
+    assert(m.shuffleRecordsWritten < 60000L,
+      s"pq shuffled ${m.shuffleRecordsWritten} records")
+    assert(m.spillBytes == 0)
+  }
+
   test("x_corpus_e2e: the fused chain stays within its two-shuffle byte budget") {
     val docs = Tables.documents(spark, sf001)
     val docBytes = QueryMetrics.measure(docs)().inputBytesRead
