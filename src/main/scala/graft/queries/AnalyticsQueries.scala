@@ -676,6 +676,14 @@ object AnalyticsQueries {
         keys)
     }),
 
+    // ---- STATELESS streaming aggregation by table merge: each
+    //      micro-batch's partials fold into the mart via the IVM
+    //      algebra — no state store, no watermark, no update mode; the
+    //      mart IS the state. Must land on the batch GROUP BY for any
+    //      micro-batch split (same oracle as x_ivm_merge)
+    "t7_streaming_ivm" -> ((s, d) =>
+      graft.streaming.StreamingIvm.availableNowIvmMart(s, d)),
+
     // ---- null-safe equality, guarded division, null-propagating concat
     "p_null_safety" -> ((s, d) => {
       val k = get_json_object(col("props"), "$.k").cast("bigint")
@@ -711,6 +719,14 @@ object AnalyticsQueries {
       |         max(ts) AS session_end, count(*) AS n_events
       |  FROM s GROUP BY user_id, session_seq)""".stripMargin
 
+  private val IvmOracleSql: String =
+    """SELECT event_type, date_trunc('hour', ts) AS hr,
+      |  count(v) AS cnt, CAST(sum(v) AS BIGINT) AS sum_v,
+      |  min(v) AS min_v, max(v) AS max_v
+      |FROM (SELECT event_type, ts, CAST(floor(value * 100) AS BIGINT) AS v
+      |      FROM events) e
+      |GROUP BY 1, 2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     // the full deterministic-HLL sketch replicated in SQL (HllDistinct
@@ -719,14 +735,10 @@ object AnalyticsQueries {
       "events", "event_type", "user_id", "approx_users"),
 
     // the maintained state must equal the from-scratch aggregate — the
-    // bucket split the Spark side maintains across is invisible here
-    "x_ivm_merge" ->
-      """SELECT event_type, date_trunc('hour', ts) AS hr,
-        |  count(v) AS cnt, CAST(sum(v) AS BIGINT) AS sum_v,
-        |  min(v) AS min_v, max(v) AS max_v
-        |FROM (SELECT event_type, ts, CAST(floor(value * 100) AS BIGINT) AS v
-        |      FROM events) e
-        |GROUP BY 1, 2""".stripMargin,
+    // bucket split (x_ivm_merge) / micro-batch split (t7) the Spark
+    // side maintains across is invisible here
+    "x_ivm_merge" -> IvmOracleSql,
+    "t7_streaming_ivm" -> IvmOracleSql,
 
     // salting is physically-only: the oracle is the unsalted spelling
     // (CAST the sum back: DuckDB sums BIGINT into HUGEINT)
