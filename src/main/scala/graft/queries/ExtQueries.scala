@@ -221,6 +221,33 @@ object ExtQueries {
         "vec_id", "embedding", m = 4, subDim = 16, k = 3)
     }),
 
+    // ---- PQ quality gauge: what fraction of the EXACT cosine top-3 the
+    //      ADC top-3 recovers — the number that says whether m/ks are
+    //      sized right before anyone serves off the codes (the
+    //      x_lsh_recall pattern: the quality dial is itself a measured,
+    //      oracle-checked query). Single pass: a left join with a match
+    //      flag references each subplan once. The (m=4, ks=4) defaults
+    //      are DEMO-sized for oracle tractability (the SQL twin unrolls
+    //      every Lloyd round) and score low on this synthetic corpus by
+    //      design — PqSpec proves recall climbs with ks, and the
+    //      production serving path is x_ann_pq_refined (shortlist +
+    //      exact re-rank), whose output order is exact-metric.
+    "x_pq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val adc = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+          m = 4, subDim = 16, ks = 4, iterations = 2, k = 3)
+        .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1))
+      exact.join(adc, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_hit"))
+        .select(col("n_true"), col("n_hit"),
+          when(col("n_true") === 0, lit(null).cast("double"))
+            .otherwise(Numeric.roundBin(
+              col("n_hit").cast("double") / col("n_true"), 4)).as("recall"))
+    }),
+
     // ---- the two-stage PQ serving path: ADC shortlists r=10 off the
     //      compressed codes, exact cosine re-ranks ONLY the shortlist —
     //      the refine step that recovers exact-metric order while the
@@ -1046,6 +1073,33 @@ object ExtQueries {
   private lazy val annPqOracleSql: String = pqOracleSql(4, 16, 4, 2, 3)
   private lazy val annPqRefineOracleSql: String =
     pqRefineOracleSql(4, 16, 4, 2, 10, 3)
+
+  /** Recall of the ADC top-k against the exact cosine top-k: the PQ
+    * chain and the brute-force chain composed into one report row.
+    */
+  private lazy val annPqRecallOracleSql: String =
+    s"""${pqChainSql(4, 16, 4, 2)},
+       |adctop AS (SELECT query_id, neighbor_id, 1 AS hit FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_s, neighbor_id) <= 3),
+       |${annNormCte},
+       |sx AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    sum(CAST(floor(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dot_s,
+       |    max(q.n2) AS q_n2, max(c.n2) AS c_n2
+       |  FROM nrm q, nrm c, LATERAL (SELECT unnest(generate_series(1, len(q.embedding))) AS i) t
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |  GROUP BY ALL),
+       |cx AS (SELECT query_id, neighbor_id,
+       |    ${Numeric.roundBinSql(
+            s"(CAST(dot_s AS DOUBLE) / $AnnScale) / " +
+            s"(sqrt(CAST(q_n2 AS DOUBLE) / $AnnScale) * sqrt(CAST(c_n2 AS DOUBLE) / $AnnScale))", 6)} AS cos_sim
+       |  FROM sx),
+       |extop AS (SELECT query_id, neighbor_id FROM cx
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= 3)
+       |SELECT count(*) AS n_true, count(a.hit) AS n_hit,
+       |  CASE WHEN count(*) = 0 THEN NULL
+       |       ELSE ${Numeric.roundBinSql("CAST(count(a.hit) AS DOUBLE) / count(*)", 4)} END AS recall
+       |FROM extop e LEFT JOIN adctop a USING (query_id, neighbor_id)""".stripMargin
 
   /** The IVF-PQ/ADC chain as DuckDB CTEs: the coarse Lloyd rounds
     * ([[ivfCtesSql]]'s discipline), residual subvectors against the
@@ -2054,6 +2108,7 @@ object ExtQueries {
     "x_ann_pq" -> annPqOracleSql,
     "x_ann_pq_stored" -> annPqOracleSql,
     "x_ann_pq_refined" -> annPqRefineOracleSql,
+    "x_pq_recall" -> annPqRecallOracleSql,
     "x_ann_ivfpq" -> annIvfPqOracleSql,
     "x_ann_ivfpq_stored" -> annIvfPqOracleSql,
     "x_tfidf_cosine_pairs" -> tfidfCosineOracleSql,

@@ -151,6 +151,26 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("recall responds to the codebook-size dial (ks up => recall up)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(ks: Int): Double = {
+      val adc = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+          m = 4, subDim = 16, ks = ks, iterations = 2, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & adc).size.toDouble / exact.size
+    }
+    val demo = recallAt(4)
+    val sized = recallAt(32)
+    assert(sized > demo,
+      s"recall did not improve with ks: ks=4 -> $demo, ks=32 -> $sized")
+    // the substance is monotonicity; the floor only guards against a
+    // quantizer that stopped learning at all (~4x over ks=4 here)
+    assert(sized >= 0.2, s"ks=32 recall $sized unexpectedly low")
+  }
+
   test("search plan: broadcast equi-join on (sub, code), no cartesian product") {
     val emb = Tables.embeddings(spark, sfDir)
     val plan = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
