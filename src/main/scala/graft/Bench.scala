@@ -47,6 +47,10 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // SPARK_GRAFT_BENCH_DIAG=1: per-query storage snapshot on stderr —
+    // leak hunting (is cross-query contamination block/broadcast/disk
+    // accumulation?), excluded from the timed sections
+    val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -66,6 +70,9 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         }
       }
+      if (diag) System.err.println(
+        f"DIAG $name min=${times.minOption.getOrElse(Double.NaN)}%.2f " +
+          org.apache.spark.sql.graft.shims.storageDiag(spark.sparkContext))
       name -> times.minOption
     }
     // errored-out queries print as null (JSON-safe) and are excluded

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{shims => graftShims}
 
 /** Lexical retrieval scoring — the BM25 family, spelled so the score is
   * EXACT integer arithmetic end to end (the PageRank discipline: a
@@ -172,17 +173,47 @@ object Retrieval {
     */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double, maxTokenDf: Long): DataFrame = {
+    // materialized ONCE: `w` feeds the norms plus BOTH sides of the
+    // dots self-join, and Catalyst does not dedupe common subplans —
+    // un-checkpointed, the tokenize→tf→df pipeline over the corpus
+    // would run ~3× per query (the mergeDeltaSmall rationale). Freed
+    // below once the (small) result is materialized.
+    val w = graftShims.checkpointWithStats(tfidfWeights(docs, idCol, textCol, maxTokenDf))
+    val norms = w.groupBy(col(idCol)).agg(sum(col("w") * col("w")).as("n2"))
+    // EAGER contract (the graph-family posture): the pair result is
+    // tiny (threshold-filtered), so materialize it and free the
+    // corpus-sized weight blocks instead of leaking them behind a lazy
+    // frame. planOnly mode degrades both checkpoints to no-ops.
+    val out = graftShims.checkpointWithStats(
+      tfidfCosineTail(w, norms, idCol, threshold))
+    graftShims.unpersistLocalCheckpoint(w)
+    out
+  }
+
+  /** The capped exact-integer tf-idf weight table `(id, token, w)` —
+    * the derivation shared by the inline pair query and the stored
+    * index build.
+    */
+  private def tfidfWeights(docs: DataFrame, idCol: String, textCol: String,
+      maxTokenDf: Long): DataFrame = {
     val tok = docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     // 1-row corpus count, broadcast back (the A2 no-collect pattern)
     val stats = docs.agg(count(lit(1)).as("n_docs"))
     val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxTokenDf)
-    val w = tf.join(dft, "token")
+    tf.join(dft, "token")
       .crossJoin(broadcast(stats))
       .withColumn("w", col("tf") * expr("(2 * (n_docs - df) + 1) div (2 * df + 1)"))
       .select(col(idCol), col("token"), col("w"))
-    val norms = w.groupBy(col(idCol)).agg(sum(col("w") * col("w")).as("n2"))
+  }
+
+  /** Scoring tail shared by [[tfidfCosinePairs]] and the stored-index
+    * probe: inverted-index self-join on the token, integer dots, then
+    * the rounded cosine against the norms.
+    */
+  private def tfidfCosineTail(w: DataFrame, norms: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
     val dots = w.as("a").join(w.as("b"),
         col("a.token") === col("b.token") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -201,5 +232,44 @@ object Retrieval {
           lit(0.0)), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("dot_s"), col("cos_sim"))
+  }
+
+  /** Build the tf-idf weight index ONCE: the capped weight table
+    * `(id, token, w)` as a BUCKETED catalog table (bucketBy/sortBy
+    * token) plus a norms side table — the stored-index amortization
+    * ([[writePostings]], `Similarity.writeIvfIndex`,
+    * `DedupOps.writeBandIndex`) applied to the WEIGHTED near-dup
+    * family. The tokenize→tf→df derivation (the dominant cost of
+    * [[tfidfCosinePairs]]) is paid once at write time; every later
+    * pair scan runs the inverted-index self-join on CO-LOCATED,
+    * pre-sorted buckets — zero Exchange and zero Sort under the join
+    * (RetrievalSpec pins the plan), which is the posture a nightly
+    * near-dup sweep over a standing corpus wants.
+    */
+  def writeTfidfIndex(docs: DataFrame, idCol: String, textCol: String,
+      maxTokenDf: Long, name: String, path: String, buckets: Int): Unit = {
+    val w = graftShims.checkpointWithStats(
+      tfidfWeights(docs, idCol, textCol, maxTokenDf))
+    graft.operators.Bucketed.writeBucketed(w, name, s"$path/weights",
+      "token", buckets)
+    w.groupBy(col(idCol)).agg(sum(col("w") * col("w")).as("n2"))
+      .write.mode("overwrite").parquet(s"$path/norms")
+    // both tables are on disk: the build checkpoint is dead
+    graftShims.unpersistLocalCheckpoint(w)
+  }
+
+  /** Probe the stored weight index: identical pairs to
+    * [[tfidfCosinePairs]] on the indexed corpus (parity pinned in
+    * RetrievalSpec). The self-join reads the bucketed layout straight
+    * off disk; norms come from the side table instead of a re-agg of
+    * the corpus.
+    */
+  def tfidfCosinePairsStored(spark: org.apache.spark.sql.SparkSession,
+      name: String, path: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val w = spark.table(name)
+    val norms = spark.read.schema(s"$idCol BIGINT, n2 BIGINT")
+      .parquet(s"$path/norms")
+    tfidfCosineTail(w, norms, idCol, threshold)
   }
 }

@@ -75,13 +75,28 @@ object IncrementalAgg {
     // materialized once: the delta partials feed BOTH the key broadcast
     // and the touched-side union — Catalyst doesn't dedupe common
     // subplans, so an un-checkpointed delta would re-aggregate the batch
-    // twice; the stats also let AQE size the broadcasts from measurement
-    val d = org.apache.spark.sql.graft.shims.checkpointWithStats(
-      deltaPartials.select((keyCols ++ StateCols).map(col): _*))
+    // twice; the stats also let AQE size the broadcasts from measurement.
+    // A caller that already materialized its partials (a LogicalRDD
+    // leaf, e.g. StreamingIvm's per-batch checkpoint) is not
+    // re-checkpointed — both consumers read the existing blocks.
+    val shims = org.apache.spark.sql.graft.shims
+    val dSel = deltaPartials.select((keyCols ++ StateCols).map(col): _*)
+    val d =
+      if (deltaPartials.queryExecution.analyzed
+            .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) dSel
+      else shims.checkpointWithStats(dSel)
+    // NULL-SAFE key match: groupBy keeps NULL-key groups, and a plain
+    // equality anti/semi join never matches NULL = NULL — a NULL-key
+    // group present in both sides would then take BOTH the untouched
+    // and the touched path, emitting two rows where merge() emits one.
+    // Rename the broadcast side's keys so the <=> condition is
+    // unambiguous; anti/semi joins emit only left columns anyway.
     val deltaKeys = d.select(keyCols.map(col): _*).distinct()
-    val untouched = b.join(broadcast(deltaKeys), keyCols, "left_anti")
+      .toDF(keyCols.map(_ + "__dk"): _*)
+    val keyCond = keyCols.map(k => col(k) <=> col(s"${k}__dk")).reduce(_ && _)
+    val untouched = b.join(broadcast(deltaKeys), keyCond, "left_anti")
     val touched = mergeAgg(
-      b.join(broadcast(deltaKeys), keyCols, "left_semi").unionByName(d), keyCols)
+      b.join(broadcast(deltaKeys), keyCond, "left_semi").unionByName(d), keyCols)
     untouched.unionByName(touched)
   }
 }

@@ -27,8 +27,8 @@ object ExtQueries {
   // the cap excludes function words on every testdata sf while keeping
   // enough mid-frequency vocabulary that pairs survive at sf0.1 (cap 50
   // produced 0 rows there — a weaker oracle than a populated result)
-  private val TfidfCosDfCap = 400L
-  private val TfidfCosThreshold = 0.3
+  private[queries] val TfidfCosDfCap = 400L
+  private[queries] val TfidfCosThreshold = 0.3
 
   // embedding near-dup parameters (shared by Spark query and oracle)
   // domain-mixture quotas: named sources oversampled, the long tail at 2
@@ -161,6 +161,21 @@ object ExtQueries {
       graft.ext.Retrieval.tfidfCosinePairs(Tables.documents(s, d),
         "doc_id", "text", threshold = TfidfCosThreshold,
         maxTokenDf = TfidfCosDfCap)),
+
+    // ---- the STORED twin: weight table written once as a bucketed
+    //      catalog table (bucketBy token), probe self-joins the
+    //      co-located pre-sorted buckets with zero exchange/sort under
+    //      the join and reads norms from the side table — the
+    //      stored-index amortization extended to the weighted near-dup
+    //      family. Bit-identical pairs, same oracle.
+    "x_tfidf_cosine_stored" -> ((s, d) => {
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_tfidf_index").toString
+      graft.ext.Retrieval.writeTfidfIndex(Tables.documents(s, d),
+        "doc_id", "text", TfidfCosDfCap, "graft_tfidf_w", tmp, buckets = 16)
+      graft.ext.Retrieval.tfidfCosinePairsStored(s, "graft_tfidf_w", tmp,
+        "doc_id", TfidfCosThreshold)
+    }),
 
     // ---- brute-force cosine top-5 (queries: vec_id < 10)
     "x_ann_cosine" -> ((s, d) => {
@@ -2112,6 +2127,9 @@ object ExtQueries {
     "x_ann_ivfpq" -> annIvfPqOracleSql,
     "x_ann_ivfpq_stored" -> annIvfPqOracleSql,
     "x_tfidf_cosine_pairs" -> tfidfCosineOracleSql,
+    // the stored probe's contract is bit-identical pairs off the
+    // indexed layout — same oracle (the x_bm25_stored pattern)
+    "x_tfidf_cosine_stored" -> tfidfCosineOracleSql,
 
     "x_ann_ivf" -> annIvfOracleSql,
 

@@ -80,6 +80,15 @@ object StoredSplits {
         Retrieval.bm25TopKStored(s, tmp("graft_postings"), "doc_id",
           Seq("vector", "spark", "window"), k = 20)),
 
+    "x_tfidf_cosine_stored" -> (
+      (s: SparkSession, d: String) =>
+        Retrieval.writeTfidfIndex(Tables.documents(s, d), "doc_id", "text",
+          ExtQueries.TfidfCosDfCap, "graft_tfidf_w",
+          tmp("graft_tfidf_index"), buckets = 16),
+      (s: SparkSession, _: String) =>
+        Retrieval.tfidfCosinePairsStored(s, "graft_tfidf_w",
+          tmp("graft_tfidf_index"), "doc_id", ExtQueries.TfidfCosThreshold)),
+
     "x_lsh_stored" -> (
       (s: SparkSession, d: String) => {
         val withB = graft.ext.Corpus.assignSplit(Tables.documents(s, d), "doc_id")

@@ -34,15 +34,52 @@ object AtomicSwap {
   /** Highest batchId already swapped into `target` (None = no marker —
     * a pre-marker mart or none at all).
     */
-  def lastAppliedBatchId(fs: FileSystem, target: Path): Option[Long] = {
+  def lastAppliedBatchId(fs: FileSystem, target: Path): Option[Long] =
+    lastApplied(fs, target).map(_._1)
+
+  /** Marker contents: (batchId, lineage). Lineage is "" for markers
+    * written before the lineage field existed (or by non-stream
+    * callers) — treated as wildcard by [[alreadyApplied]].
+    */
+  def lastApplied(fs: FileSystem, target: Path): Option[(Long, String)] = {
     val m = new Path(target, Marker)
     if (!fs.exists(m)) None
     else {
       val in = fs.open(m)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
+      try {
+        val lines = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          .split("\n").map(_.trim)
+        Some((lines.head.toLong, lines.drop(1).headOption.getOrElse("")))
+      } finally in.close()
     }
   }
+
+  /** The current micro-batch's stream identity, readable inside a
+    * foreachBatch body: Spark's StreamExecution stamps the owning
+    * query's id on the batch thread as the `sql.streaming.queryId`
+    * local property. The id lives in the stream's CHECKPOINT metadata,
+    * so it survives restarts of the same stream but differs for a
+    * fresh checkpoint dir — exactly the lineage a replay guard must be
+    * scoped to. "" outside a streaming batch (e.g. batch backfills).
+    */
+  def streamLineage(spark: org.apache.spark.sql.SparkSession): String =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("")
+
+  /** Replay guard: should this (lineage, batchId) delivery be skipped
+    * because the mart already contains it? BatchIds are only comparable
+    * WITHIN one stream lineage — a fresh stream (new checkpoint dir)
+    * restarts batchIds at 0, and skipping its early batches against an
+    * old mart's high-water mark would silently drop data. A blank
+    * lineage on either side (legacy marker, non-stream caller) falls
+    * back to the batchId-only rule.
+    */
+  def alreadyApplied(fs: FileSystem, target: Path, batchId: Long,
+      lineage: String): Boolean =
+    lastApplied(fs, target).exists { case (applied, storedLineage) =>
+      applied >= batchId &&
+        (storedLineage.isEmpty || lineage.isEmpty || storedLineage == lineage)
+    }
 
   /** Restore a consistent state after a crash, in sink-start position:
     * stale staging dirs are dropped; a missing target with the old mart
@@ -65,23 +102,31 @@ object AtomicSwap {
     * two re-delivers the batch and the idempotent keyed upsert
     * re-converges).
     */
-  def writeMarker(fs: FileSystem, target: Path, batchId: Long): Unit = {
+  def writeMarker(fs: FileSystem, target: Path, batchId: Long,
+      lineage: String = ""): Unit = {
     val out = fs.create(new Path(target, Marker), true)
-    try out.write(batchId.toString.getBytes(StandardCharsets.UTF_8))
+    try out.write(markerBytes(batchId, lineage))
     finally out.close()
+  }
+
+  private def markerBytes(batchId: Long, lineage: String): Array[Byte] = {
+    val body = if (lineage.isEmpty) batchId.toString
+               else s"$batchId\n$lineage"
+    body.getBytes(StandardCharsets.UTF_8)
   }
 
   /** Write `df` to a staging dir with the batch marker, then swap it in:
     * target → target__old, staging → target, drop old. A readable mart
     * (target or target__old) exists at every step.
     */
-  def commit(df: DataFrame, outPath: String, batchId: Long): Unit = {
+  def commit(df: DataFrame, outPath: String, batchId: Long,
+      lineage: String = ""): Unit = {
     val target = new Path(outPath)
     val staging = new Path(outPath + s"__staging_$batchId")
     val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     df.write.mode("overwrite").parquet(staging.toString)
     val out = fs.create(new Path(staging, Marker), true)
-    try out.write(batchId.toString.getBytes(StandardCharsets.UTF_8))
+    try out.write(markerBytes(batchId, lineage))
     finally out.close()
     val old = oldPath(target)
     if (fs.exists(target)) {

@@ -146,11 +146,14 @@ object StreamingHourly {
     val target = new Path(outPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     AtomicSwap.heal(fs, target)
-    if (AtomicSwap.lastAppliedBatchId(fs, target).exists(_ >= batchId)) return
+    // lineage-scoped guard: a fresh stream's batchIds restart at 0 and
+    // must not be skipped against an older stream's high-water marker
+    val lineage = AtomicSwap.streamLineage(spark)
+    if (AtomicSwap.alreadyApplied(fs, target, batchId, lineage)) return
     val merged =
       if (fs.exists(target)) Merge.upsert(spark.read.parquet(outPath), batch, keys)
       else batch
-    AtomicSwap.commit(merged, outPath, batchId)
+    AtomicSwap.commit(merged, outPath, batchId, lineage)
   }
 
   /** Partition-scoped T2 sink — the scale form of [[mergeSink]], and the
@@ -181,7 +184,8 @@ object StreamingHourly {
     val spark = batch.sparkSession
     val target = new Path(outPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (AtomicSwap.lastAppliedBatchId(fs, target).exists(_ >= batchId)) return
+    val lineage = AtomicSwap.streamLineage(spark)
+    if (AtomicSwap.alreadyApplied(fs, target, batchId, lineage)) return
     val withDay = batch.withColumn("__day", to_date(col(dayFrom)))
     // localCheckpoint only when the merge READS the path it overwrites —
     // the first batch (no mart yet) writes straight through
@@ -197,6 +201,6 @@ object StreamingHourly {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__day").parquet(outPath)
-    AtomicSwap.writeMarker(fs, target, batchId)
+    AtomicSwap.writeMarker(fs, target, batchId, lineage)
   }
 }

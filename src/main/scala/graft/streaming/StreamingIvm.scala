@@ -45,11 +45,20 @@ object StreamingIvm {
     */
   def ivmSink(outPath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val shims = org.apache.spark.sql.graft.shims
     val target = new Path(outPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     AtomicSwap.heal(fs, target)
-    if (AtomicSwap.lastAppliedBatchId(fs, target).exists(_ >= batchId)) return
-    val partials = IncrementalAgg.partials(factsOf(batch), Keys, "v")
+    // replay guard scoped to the STREAM lineage: batchIds restart at 0
+    // for a fresh checkpoint dir, so a batchId-only guard would silently
+    // drop a new stream's early batches against an old mart's marker
+    val lineage = AtomicSwap.streamLineage(spark)
+    if (AtomicSwap.alreadyApplied(fs, target, batchId, lineage)) return
+    // checkpointed HERE (not inside mergeDeltaSmall) so this sink owns
+    // the blocks and can free them after commit — a long-running stream
+    // must not grow block-manager storage per batch
+    val partials = shims.checkpointWithStats(
+      IncrementalAgg.partials(factsOf(batch), Keys, "v"))
     val merged =
       if (fs.exists(target))
         IncrementalAgg.mergeDeltaSmall(spark.read.parquet(outPath), partials, Keys)
@@ -57,7 +66,10 @@ object StreamingIvm {
           // before the swap (same reason partitionedMergeSink checkpoints)
           .localCheckpoint(true)
       else partials
-    AtomicSwap.commit(merged, outPath, batchId)
+    AtomicSwap.commit(merged, outPath, batchId, lineage)
+    // the mart is on disk now: both per-batch checkpoints are dead
+    shims.unpersistLocalCheckpoint(merged)
+    shims.unpersistLocalCheckpoint(partials)
   }
 
   /** The whole chain drained end-to-end (driver query

@@ -66,13 +66,14 @@ object StreamingOpenAq {
     val target = new Path(outPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     AtomicSwap.heal(fs, target)
-    if (AtomicSwap.lastAppliedBatchId(fs, target).exists(_ >= batchId)) return
+    val lineage = AtomicSwap.streamLineage(spark)
+    if (AtomicSwap.alreadyApplied(fs, target, batchId, lineage)) return
     val combined =
       if (fs.exists(target)) {
         val existing = spark.read.parquet(outPath).select(
           batchPartials.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
         Gold.combinePartials(existing.unionByName(batchPartials))
       } else batchPartials
-    AtomicSwap.commit(Gold.finalizeMart(combined, pivots, keyName), outPath, batchId)
+    AtomicSwap.commit(Gold.finalizeMart(combined, pivots, keyName), outPath, batchId, lineage)
   }
 }

@@ -218,6 +218,37 @@ object shims {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.conf.autoBroadcastJoinThreshold
 
+  /** One-line storage/blocks snapshot for leak hunting (Bench's
+    * SPARK_GRAFT_BENCH_DIAG mode): block-manager memory/disk bytes and
+    * block counts split by kind. `blockManager` is `private[spark]` —
+    * this package sits inside org.apache.spark, the same bridge the
+    * Column shim uses.
+    */
+  def storageDiag(sc: org.apache.spark.SparkContext): String = {
+    val bm = sc.env.blockManager
+    val ids = bm.getMatchingBlockIds(_ => true)
+    val byKind = ids.groupBy {
+      case _: org.apache.spark.storage.RDDBlockId => "rdd"
+      case _: org.apache.spark.storage.BroadcastBlockId => "broadcast"
+      case _: org.apache.spark.storage.ShuffleBlockId => "shuffle"
+      case _ => "other"
+    }.map { case (k, v) => s"$k=${v.size}" }.toSeq.sorted.mkString(",")
+    val status = bm.master.getMemoryStatus.values.headOption
+    val (max, remaining) = status.getOrElse((0L, 0L))
+    val shuffleDisk = {
+      val dirs = sc.getConf.get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+        .split(",").map(new java.io.File(_)).filter(_.exists())
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+      dirs.collect { case d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("blockmgr")).map(du).sum
+      }.sum
+    }
+    f"storeUsedMB=${(max - remaining) / 1e6}%.0f blocks[$byKind] blockmgrDiskMB=${shuffleDisk / 1e6}%.0f"
+  }
+
   /** Exact row count of a [[checkpointWithStats]] frame, read from the
     * injected statistics — no job. None for other plans.
     */

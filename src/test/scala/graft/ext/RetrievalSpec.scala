@@ -93,6 +93,32 @@ class RetrievalSpec extends SparkSuite {
     assert(byPair((1L, 2L)) == 1.0 && byPair((1L, 3L)) == 0.0)
   }
 
+  test("stored tfidf index: bit-identical pairs, self-join reads co-located buckets with no shuffle") {
+    val wide = (1L to 120L)
+      .map(i => (i, s"t${i % 13} t${i % 17} t${i % 13} filler"))
+      .toDF("doc_id", "text")
+    val cold = Retrieval.tfidfCosinePairs(wide, "doc_id", "text", 0.2, 40)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("tfidf_idx").toString
+    Retrieval.writeTfidfIndex(wide, "doc_id", "text", 40, "tfidf_spec_w",
+      dir, buckets = 4)
+    val probe = Retrieval.tfidfCosinePairsStored(spark, "tfidf_spec_w",
+      dir, "doc_id", 0.2)
+    assert(probe.as[(Long, Long, Long, Double)].collect().toSet == cold)
+    assert(cold.nonEmpty)
+    // the amortization claim: the inverted-index self-join consumes the
+    // bucketed layout — no Exchange (and no Sort) below the token join
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    val joinAt = plan.indexOf("SortMergeJoin")
+    if (joinAt >= 0) {
+      val below = plan.substring(joinAt)
+      assert(!below.contains("Exchange hashpartitioning(token"),
+        s"token self-join re-shuffled the bucketed weight table:\n$plan")
+    }
+    spark.sql("DROP TABLE IF EXISTS tfidf_spec_w")
+  }
+
   test("tfidf cosine: partitioning does not change pairs or scores") {
     val wide = (1L to 120L)
       .map(i => (i, s"t${i % 13} t${i % 17} t${i % 13} filler"))

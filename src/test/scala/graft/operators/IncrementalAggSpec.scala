@@ -63,6 +63,24 @@ class IncrementalAggSpec extends SparkSuite {
     assert(facts.filter(col("id") >= 7).select("k").distinct().count() >= 2)
   }
 
+  test("mergeDeltaSmall merges NULL-key groups like merge (null-safe joins)") {
+    // groupBy keeps NULL keys; a plain-equality anti/semi join never
+    // matches NULL = NULL, which would emit the NULL-key group TWICE
+    // (once untouched, once from the delta) instead of merged once
+    val nullFacts = Seq(
+      (Option.empty[String], Some(10L)), (None, Some(4L)),
+      (Some("a"), Some(1L)), (None, Some(2L)), (Some("a"), Some(3L))
+    ).zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+      .toDF("id", "k", "v")
+    val base = IncrementalAgg.partials(nullFacts.filter(col("id") < 2), keys, "v")
+    val delta = IncrementalAgg.partials(nullFacts.filter(col("id") >= 2), keys, "v")
+    val viaSmall = IncrementalAgg.mergeDeltaSmall(base, delta, keys)
+    assert(viaSmall.filter(col("k").isNull).count() == 1L,
+      "NULL-key group must merge to exactly one row")
+    assert(asSet(viaSmall) == asSet(IncrementalAgg.merge(base, delta, keys)))
+    assert(asSet(viaSmall) == asSet(IncrementalAgg.partials(nullFacts, keys, "v")))
+  }
+
   test("mergeDeltaSmall never shuffles the base table") {
     val dir = java.nio.file.Files.createTempDirectory("ivm_plan").toString
     val ev = Tables.events(spark, sfDir).select(

@@ -57,4 +57,32 @@ class StreamingIvmSpec extends SparkSuite {
       .filter(col("event_type") === "a").collect()
     assert(merged.head.getLong(2) == 4L) // cnt doubled by the new batch
   }
+
+  test("the replay guard is scoped to the stream lineage: a fresh stream's batch 0 merges") {
+    import spark.implicits._
+    val mart = java.nio.file.Files.createTempDirectory("ivm_lineage")
+      .toString + "/mart"
+    val batch = Seq(("a", 5L)).toDF("event_type", "v")
+      .select(col("event_type"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:30:00")).as("ts"),
+        (col("v").cast("double") / 100.0).as("value"))
+    // Spark's StreamExecution stamps the owning query id on the batch
+    // thread; simulate two distinct streams the same way
+    val sc = spark.sparkContext
+    def withLineage[A](id: String)(f: => A): A = {
+      sc.setLocalProperty("sql.streaming.queryId", id)
+      try f finally sc.setLocalProperty("sql.streaming.queryId", null)
+    }
+    withLineage("stream-1") {
+      StreamingIvm.ivmSink(mart)(batch, 0L)
+      StreamingIvm.ivmSink(mart)(batch, 1L)
+      StreamingIvm.ivmSink(mart)(batch, 1L) // same-lineage replay: skipped
+    }
+    assert(spark.read.parquet(mart).collect().head.getLong(2) == 2L)
+    // a NEW stream (fresh checkpoint dir → new queryId) restarts batchIds
+    // at 0; its batches must MERGE, not be skipped against the old marker
+    withLineage("stream-2") { StreamingIvm.ivmSink(mart)(batch, 0L) }
+    assert(spark.read.parquet(mart).collect().head.getLong(2) == 3L,
+      "a new lineage's batch 0 must merge into the existing mart")
+  }
 }
