@@ -57,10 +57,12 @@ object DumpPlans {
     "x_lsh_stored" -> ("corpus band table scans Bucketed: true — the " +
       "near-dup candidate join reads hash(bkey) off disk, no " +
       "corpus-side exchange or sort; only the fresh batch shuffles"),
-    "x_tfidf_cosine_stored" -> ("weight table scans Bucketed: true on " +
-      "both legs of the token self-join — the inverted-index join reads " +
-      "hash(token) off disk with no exchange/sort under it; norms come " +
-      "from the side table, so the probe never re-derives tf/df"),
+    "x_tfidf_cosine_stored" -> ("weight table scans Bucketed: true; at " +
+      "this dump's sf the tiny table auto-broadcasts one join leg, past " +
+      "the threshold the self-join is a bucketed SMJ with no " +
+      "exchange/sort on either leg (RetrievalSpec pins that shape with " +
+      "broadcast disabled); norms come from the side table, so the " +
+      "probe never re-derives tf/df"),
     "x_ann_ivfpq" -> ("every model table (coarse cells, sub-codebooks, " +
       "query distance tables) joins BROADCAST against the code stream; " +
       "the only data-sized exchanges are the keyed argmin/ADC " +

@@ -110,6 +110,22 @@ object Bpe {
     * flattened in word order). Map-only — each merge is one nested HOF
     * layer, fine for the bounded merge lists BPE uses.
     */
+  /** A FIXED merge table for the tokenizer-APPLICATION query
+    * (`x_bpe_encode`). At apply time a tokenizer is a FROZEN model
+    * artifact (a merges.txt file), not a function of the corpus being
+    * encoded — that is what makes the encode step oracle-checkable: the
+    * merge list is part of the query text in both engines, the way the
+    * IVF demo centroids and the BM25 query terms are. Ordered; later
+    * merges build on earlier ones ((t,h) → (th,e) → (the,re)), so the
+    * chain exercises real multi-level BPE, not just digraph fusion.
+    */
+  val DemoMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("e", "r"),
+    ("a", "n"), ("an", "d"), ("o", "n"), ("r", "e"), ("a", "t"),
+    ("e", "n"), ("o", "r"), ("e", "s"), ("s", "t"), ("a", "r"),
+    ("o", "u"), ("l", "e"), ("d", "e"), ("c", "o"), ("d", "a"),
+    ("t", "a"), ("da", "ta"), ("co", "de"), ("the", "re"))
+
   def tokenize(docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
     def perWord(w: Column): Column =
       merges.foldLeft(charTokensOf(w)) { case (toks, (a, b)) => fusePair(toks, a, b) }
@@ -117,5 +133,45 @@ object Bpe {
       flatten(transform(
         filter(split(lower(col(textCol)), "\\s+"), w => w =!= ""),
         w => perWord(w))))
+  }
+
+  /** Tokenizer-application ACCOUNTING at corpus scale: per-doc word /
+    * BPE-piece / char counts under a fixed merge table, as ONE map-only
+    * projection of codegen'd string ops — no arrays, no HOF scans.
+    *
+    * Spelling: normalize (non-alnum → space), wrap every remaining char
+    * as `(c)`, then fold the merge table as literal
+    * `replace("(a)(b)" → "(ab)")`. Both engines' replace is a
+    * left-to-right NON-OVERLAPPING scan that resumes after each
+    * replacement — exactly the greedy per-merge BPE pass ((a,a) over
+    * "aaaa" fuses twice, over "aaa" once), and a fused "(ab)" can never
+    * re-trigger "(a)(b)" textually, so the fold is round-equivalent to
+    * [[tokenize]]'s per-word HOF scan (equivalence pinned in BpeSpec).
+    * Spaces stay unwrapped, so no merge pattern can span a word
+    * boundary. The piece count is the '(' count of the folded string.
+    *
+    * Why not count via [[tokenize]]: the HOF scan rebuilds its
+    * accumulator array per element (O(len²) per merge layer,
+    * interpreted) — measured 25 s at sf0.1 vs sub-second for this
+    * spelling. [[tokenize]] remains the API when the piece ARRAYS are
+    * needed downstream; for accounting (sizing a training mix) the
+    * string fold is the 100 TB shape.
+    */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", " ")
+    val wrapped = regexp_replace(norm, "([a-z0-9])", "($1)")
+    val enc = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+      org.apache.spark.sql.functions.replace(
+        c, lit(s"($a)($b)"), lit(s"($a$b)")) }
+    docs.select(col(idCol),
+      size(filter(split(norm, "\\s+"), w => w =!= ""))
+        .cast("long").as("n_words"),
+      (length(enc) - length(org.apache.spark.sql.functions.replace(
+        enc, lit("("), lit("")))).cast("long").as("n_pieces"),
+      length(regexp_replace(norm, "\\s", "")).cast("long").as("n_chars"))
+      .withColumn("compression", graft.functions.Numeric.roundBin(
+        col("n_chars").cast("double") /
+          nullif(col("n_pieces").cast("double"), lit(0.0)), 4))
   }
 }

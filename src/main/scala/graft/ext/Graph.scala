@@ -578,8 +578,12 @@ object Graph {
   def writeWalkTable(edges: DataFrame, name: String, path: String,
       buckets: Int): Unit = {
     val (sym, den) = symDeg(edges)
+    val denCk = shims.checkpointWithStats(den)
     graft.operators.Bucketed.writeBucketed(
-      sym.join(shims.checkpointWithStats(den), "src"), name, path, "src", buckets)
+      sym.join(denCk, "src"), name, path, "src", buckets)
+    // the walk table is on disk: the node-sized den blocks are dead
+    // (the unpersist discipline every index writer follows)
+    shims.unpersistLocalCheckpoint(denCk)
   }
 
   /** PageRank over a stored walk table: bit-identical ranks to
@@ -622,8 +626,10 @@ object Graph {
   def writeWalkTableWeighted(wEdges: DataFrame, name: String, path: String,
       buckets: Int): Unit = {
     val (sym, den) = symDegWeighted(wEdges)
+    val denCk = shims.checkpointWithStats(den)
     graft.operators.Bucketed.writeBucketed(
-      sym.join(shims.checkpointWithStats(den), "src"), name, path, "src", buckets)
+      sym.join(denCk, "src"), name, path, "src", buckets)
+    shims.unpersistLocalCheckpoint(denCk)
   }
 
   /** Weighted twin of [[pageRankOnWalkTable]]: contribution

@@ -23,6 +23,18 @@ object MiningQueries {
     "x_bpe_pair_counts" -> ((s, d) =>
       Bpe.pairCounts(Bpe.wordFrequencies(Tables.documents(s, d), "text"))),
 
+    // ---- tokenizer APPLICATION: encode the corpus with a FIXED merge
+    //      table (Bpe.DemoMerges — at apply time a tokenizer is a
+    //      frozen artifact, which is what makes encode oracle-checkable)
+    //      and report per-doc token accounting. MAP-ONLY: zero shuffles
+    //      at any corpus scale — one projection of codegen'd string ops
+    //      (Bpe.encodeStats; the DuckDB twin is the identical
+    //      wrap-and-replace spelling, and BpeSpec pins equivalence to
+    //      the tokenize HOF scan).
+    "x_bpe_encode" -> ((s, d) =>
+      Bpe.encodeStats(Tables.documents(s, d), "doc_id", "text",
+        Bpe.DemoMerges)),
+
     // ---- n-gram familiarity: score each document by how common its
     //      character trigrams are in the corpus — a perplexity-proxy
     //      quality signal with exact integer arithmetic (no logs → no
@@ -92,6 +104,42 @@ object MiningQueries {
         |  WHERE len(word) >= 2)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
         |FROM p GROUP BY pair""".stripMargin,
+
+    // tokenizer-apply twin: greedy l-t-r merge application spelled as
+    // nested literal replace() over the per-char (x)(y)-wrapped word.
+    // Both engines' replace is a left-to-right NON-OVERLAPPING scan
+    // that continues after each replacement, which is exactly the
+    // greedy per-merge BPE pass ((a,a) over "aaa" fuses once) — and a
+    // fused "(ab)" can never retrigger "(a)(b)" textually, so the
+    // nested fold is round-equivalent to Bpe.tokenize's HOF scan.
+    "x_bpe_encode" -> {
+      // the identical wrap-and-replace spelling as Bpe.encodeStats:
+      // chars wrapped as (c), spaces unwrapped (merges can't span a
+      // word boundary), merge table folded as non-overlapping literal
+      // replace — pieces = '(' count of the folded string
+      val enc = Bpe.DemoMerges.foldLeft(
+        "regexp_replace(t, '([a-z0-9])', '(\\1)', 'g')") {
+          case (acc, (a, b)) => s"replace($acc, '($a)($b)', '($a$b)')"
+        }
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g') AS t
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(t, '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS n_words,
+         |    CAST(length($enc)
+         |      - length(replace($enc, '(', '')) AS BIGINT) AS n_pieces,
+         |    CAST(length(regexp_replace(t, '\\s', '', 'g')) AS BIGINT)
+         |      AS n_chars
+         |  FROM n)
+         |SELECT doc_id, n_words, n_pieces, n_chars,
+         |  ${graft.functions.Numeric.roundBinSql(
+              "CAST(n_chars AS DOUBLE) / nullif(CAST(n_pieces AS DOUBLE), 0.0)", 4)}
+         |    AS compression
+         |FROM e""".stripMargin
+    },
 
     "x_ngram_familiarity" ->
       """WITH tg AS (

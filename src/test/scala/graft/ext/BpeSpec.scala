@@ -68,4 +68,33 @@ class BpeSpec extends SparkSuite {
       .head()
     assert(n.getLong(0) < n.getLong(1), "BPE tokens must compress chars")
   }
+
+  test("encode piece counts: the HOF scan equals the nested-replace spelling (the x_bpe_encode oracle form)") {
+    // the oracle spells greedy merge application as nested literal
+    // replace() over a (c)(h)(a)(r)-wrapped word; both are l-t-r
+    // non-overlapping scans, so piece counts must agree word for word
+    val words = Seq("the", "there", "data", "code", "thththe", "aaaa",
+      "x", "ingesting", "standard", "coordinate", "decode", "datadata")
+    def replaceSpelling(w: String): Int = {
+      var s = w.flatMap(c => s"($c)")
+      for ((a, b) <- Bpe.DemoMerges) s = s.replace(s"($a)($b)", s"($a$b)")
+      s.count(_ == '(')
+    }
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val hof = Bpe.tokenize(df, "text", Bpe.DemoMerges)
+      .select(col("text"), size(col("tokens"))).as[(String, Int)]
+      .collect().toMap
+    for (w <- words)
+      assert(hof(w) == replaceSpelling(w),
+        s"'$w': HOF ${hof(w)} != replace ${replaceSpelling(w)}")
+    // the registry query's engine-side spelling (Bpe.encodeStats) must
+    // count the same pieces as both
+    val viaStats = Bpe.encodeStats(df, "doc_id", "text", Bpe.DemoMerges)
+      .select(col("doc_id"), col("n_pieces")).as[(Long, Long)]
+      .collect().toMap
+    for ((w, i) <- words.zipWithIndex)
+      assert(viaStats(i.toLong) == replaceSpelling(w).toLong,
+        s"'$w': encodeStats ${viaStats(i.toLong)} != ${replaceSpelling(w)}")
+  }
 }

@@ -106,16 +106,23 @@ class RetrievalSpec extends SparkSuite {
       dir, "doc_id", 0.2)
     assert(probe.as[(Long, Long, Long, Double)].collect().toSet == cold)
     assert(cold.nonEmpty)
-    // the amortization claim: the inverted-index self-join consumes the
-    // bucketed layout — no Exchange (and no Sort) below the token join
-    probe.collect()
-    val plan = probe.queryExecution.executedPlan.toString
-    val joinAt = plan.indexOf("SortMergeJoin")
-    if (joinAt >= 0) {
-      val below = plan.substring(joinAt)
-      assert(!below.contains("Exchange hashpartitioning(token"),
+    // the amortization claim: past the broadcast threshold (forced here
+    // — at spec scale the tiny table would auto-broadcast) the
+    // inverted-index self-join consumes the bucketed layout directly:
+    // a SortMergeJoin with NO Exchange and NO Sort on either leg
+    val thresholdConf = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdConf)
+    try {
+      spark.conf.set(thresholdConf, "-1")
+      val atScale = Retrieval.tfidfCosinePairsStored(spark, "tfidf_spec_w",
+        dir, "doc_id", 0.2)
+      assert(atScale.as[(Long, Long, Long, Double)].collect().toSet == cold)
+      val plan = atScale.queryExecution.executedPlan.toString
+      val joinAt = plan.indexOf("SortMergeJoin")
+      assert(joinAt >= 0, s"expected SMJ over the bucketed scans:\n$plan")
+      assert(!plan.substring(joinAt).contains("Exchange hashpartitioning(token"),
         s"token self-join re-shuffled the bucketed weight table:\n$plan")
-    }
+    } finally spark.conf.set(thresholdConf, prev)
     spark.sql("DROP TABLE IF EXISTS tfidf_spec_w")
   }
 
