@@ -61,7 +61,14 @@ object DedupOps {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.02,
                    maxShingleDf: Option[Long] = None): DataFrame = {
-    val sh0 = shingleIndexHashed(docs, idCol, textCol, n)
+    // materialized ONCE: the shingle index feeds the per-doc sizes, the
+    // df cap, and BOTH self-join legs — Catalyst does not dedupe common
+    // subplans, so un-checkpointed the tokenize→shingle→distinct corpus
+    // pass ran ~4x per query (the tfidfCosinePairs/mergeDeltaSmall
+    // rationale). Freed once the threshold-filtered pair result is
+    // materialized (EAGER contract; planOnly degrades both to no-ops).
+    val sh0 = shims.checkpointWithStats(
+      shingleIndexHashed(docs, idCol, textCol, n))
     val sizes = sh0.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val sh = maxShingleDf match {
       case None => sh0
@@ -76,13 +83,16 @@ object DedupOps {
         col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    pairs
+    val scored = pairs
       .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("jaccard", Numeric.roundBin(
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+    val out = shims.checkpointWithStats(scored)
+    shims.unpersistLocalCheckpoint(sh0)
+    out
   }
 
   /** Typo-level near-duplicate pairs: shingle-index candidates verified
@@ -167,7 +177,10 @@ object DedupOps {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5,
                        maxShingleDf: Option[Long] = None): DataFrame = {
-    val sh0 = shingleIndexHashed(docs, idCol, textCol, n)
+    // same checkpoint-once discipline as jaccardPairs: sizes + df cap +
+    // both join legs read the materialized shingle blocks
+    val sh0 = shims.checkpointWithStats(
+      shingleIndexHashed(docs, idCol, textCol, n))
     val sizes = sh0.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val sh = maxShingleDf match {
       case None => sh0
@@ -185,12 +198,15 @@ object DedupOps {
       .select(col("u").as("doc_a"), col("v").as("doc_b"), col("n_common"))
       .union(undirected
         .select(col("v").as("doc_a"), col("u").as("doc_b"), col("n_common")))
-    directed
+    val scored = directed
       .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .withColumn("containment",
         Numeric.roundBin(col("n_common").cast("double") / col("n_a"), 4))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
+    val out = shims.checkpointWithStats(scored)
+    shims.unpersistLocalCheckpoint(sh0)
+    out
   }
 
   /** MinHash signature: k independent hash functions h_i(s) = md5("i|"+s);
@@ -237,13 +253,19 @@ object DedupOps {
   /** Distinct candidate pairs (a < b) sharing at least one LSH band. */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
-    val bands = lshBands(minhashSignatures(docs, idCol, textCol, k, n), idCol, k, rowsPerBand)
-    bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
+    // both self-join legs read the materialized band table instead of
+    // each re-running the shingle -> minhash -> band pipeline
+    val bands = shims.checkpointWithStats(
+      lshBands(minhashSignatures(docs, idCol, textCol, k, n), idCol, k, rowsPerBand))
+    val out = shims.checkpointWithStats(
+      bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+        .distinct())
+    shims.unpersistLocalCheckpoint(bands)
+    out
   }
 
   /** Duplicated-SPAN extraction — the substring-level dedup primitive
