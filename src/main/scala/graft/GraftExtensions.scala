@@ -55,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(clazz.getName, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator physical planning: the native as-of join
+    // (graft.plans.AsOfJoin -> AsOfJoinExec streaming merge)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_product_scaled"),
       info(classOf[DotProductScaled], "dot_product_scaled"),

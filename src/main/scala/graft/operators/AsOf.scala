@@ -64,6 +64,66 @@ object AsOf {
     joinImpl(left, right, keys, leftTime, rightTime, rightCols,
       rightTieBreak, toleranceUs, forward = true)
 
+  /** [[joinBackward]] through the native whole-operator path:
+    * [[graft.plans.AsOfJoin]] → [[graft.plans.AsOfJoinExec]], a
+    * streaming merge over co-partitioned sorted children with O(1)
+    * per-partition state. Row-for-row identical to [[joinBackward]]
+    * (AsOfNativeSpec pins it); prefer it when the as-of sits in a hot
+    * path — each side sorts at its own row width instead of the union's,
+    * and the output keeps (keys, time) clustering+ordering for free.
+    */
+  def joinBackwardNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         leftTime: String, rightTime: String,
+                         rightCols: Seq[String], rightTieBreak: String,
+                         toleranceUs: Option[Long] = None): DataFrame =
+    nativeImpl(left, right, keys, leftTime, rightTime, rightCols,
+      rightTieBreak, toleranceUs, forward = false)
+
+  /** [[joinForward]] through the native whole-operator path. */
+  def joinForwardNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftTime: String, rightTime: String,
+                        rightCols: Seq[String], rightTieBreak: String,
+                        toleranceUs: Option[Long] = None): DataFrame =
+    nativeImpl(left, right, keys, leftTime, rightTime, rightCols,
+      rightTieBreak, toleranceUs, forward = true)
+
+  private def nativeImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         leftTime: String, rightTime: String,
+                         rightCols: Seq[String], rightTieBreak: String,
+                         toleranceUs: Option[Long], forward: Boolean): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graft.shims
+    import org.apache.spark.sql.types.LongType
+    require(rightCols.nonEmpty, "asof join needs at least one right payload column")
+    val spark = left.sparkSession
+    // sessions built without GraftExtensions still plan the node
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lPlan = shims.analyzed(left)
+    // Self-as-of: left and right may share a lineage, so their attribute
+    // ids collide. Re-alias every right column (fresh exprIds) so the
+    // node's two children are unambiguous — the same dedup the analyzer
+    // performs for stock Joins.
+    val rPlan0 = shims.analyzed(right)
+    val rPlan = Project(
+      rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).getOrElse(
+      sys.error(s"asof: column '$n' not found among ${p.output.map(_.name).mkString(", ")}"))
+    val payloadAttrs = rightCols.map(attr(rPlan, _))
+    val outAttrs = payloadAttrs.map(a =>
+      AttributeReference(a.name, a.dataType, nullable = true)()) :+
+      AttributeReference("asof_lag_us", LongType, nullable = true)()
+    val node = graft.plans.AsOfJoin(
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      payloadAttrs, attr(rPlan, rightTieBreak),
+      toleranceUs, forward, outAttrs, lPlan, rPlan)
+    shims.ofRows(spark, node)
+  }
+
   private def joinImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTime: String, rightTime: String,
                        rightCols: Seq[String], rightTieBreak: String,

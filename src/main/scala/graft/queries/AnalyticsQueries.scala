@@ -460,6 +460,40 @@ object AnalyticsQueries {
         .select("event_id", "user_id", "click_id", "click_value", "asof_lag_us")
     }),
 
+    // ---- the SAME as-of semantics through the native whole-operator
+    //      path: AsOfJoin logical node -> AsOfJoinExec streaming merge
+    //      (plans/AsOfJoinPlan) — co-partitioned sorted children, O(1)
+    //      per-partition state, no union row-widening, no window
+    "x_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value").as("click_value"))
+      graft.operators.AsOf.joinBackwardNative(views, clicks, Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("click_id", "click_value"), rightTieBreak = "click_id",
+          toleranceUs = Some(6L * 3600 * 1000000))
+        .select("event_id", "user_id", "click_id", "click_value", "asof_lag_us")
+    }),
+
+    // ---- forward variant of the native operator: next click at-or-after
+    //      each view within 6h; ties to the SMALLEST right id
+    "x_asof_fwd_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value").as("click_value"))
+      graft.operators.AsOf.joinForwardNative(views, clicks, Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("click_id", "click_value"), rightTieBreak = "click_id",
+          toleranceUs = Some(6L * 3600 * 1000000))
+        .select("event_id", "user_id", "click_id", "click_value", "asof_lag_us")
+    }),
+
     // ---- point-in-interval range join: each error event located in its
     //      containing session window — bucket-grid equi-join
     //      (operators/RangeJoin), not a per-key all-pairs inequality join
@@ -916,6 +950,31 @@ object AnalyticsQueries {
         |  AND epoch_us(v.ts) - epoch_us(c.ts) <= 21600000000
         |QUALIFY row_number() OVER (PARTITION BY v.event_id
         |  ORDER BY c.ts DESC, c.click_id DESC) = 1""".stripMargin,
+
+    // same declarative oracle as x_asof_join — the native exec must land
+    // on the identical rows
+    "x_asof_native" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.event_id, v.user_id, c.click_id, c.click_value,
+        |  epoch_us(v.ts) - epoch_us(c.ts) AS asof_lag_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id AND c.ts <= v.ts
+        |  AND epoch_us(v.ts) - epoch_us(c.ts) <= 21600000000
+        |QUALIFY row_number() OVER (PARTITION BY v.event_id
+        |  ORDER BY c.ts DESC, c.click_id DESC) = 1""".stripMargin,
+
+    // forward: nearest at-or-after, smallest (ts, id); lag sign flips
+    "x_asof_fwd_native" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.event_id, v.user_id, c.click_id, c.click_value,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS asof_lag_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id AND c.ts >= v.ts
+        |  AND epoch_us(c.ts) - epoch_us(v.ts) <= 21600000000
+        |QUALIFY row_number() OVER (PARTITION BY v.event_id
+        |  ORDER BY c.ts ASC, c.click_id ASC) = 1""".stripMargin,
 
     "p_scalar_suite" ->
       """SELECT event_id,

@@ -14,6 +14,21 @@ object shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a custom resolved `LogicalPlan` as a DataFrame
+    * (`Dataset.ofRows` is sql-package-private; this is how extension
+    * libraries surface custom logical operators to the public API).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame — the resolved-attribute
+    * view custom logical operators are built from.
+    */
+  def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** Free the storage blocks behind a `localCheckpoint(eager = true)`'d
     * DataFrame once its contents are no longer needed. `Dataset.unpersist`
     * only clears CacheManager entries, not checkpoint blocks; without an
