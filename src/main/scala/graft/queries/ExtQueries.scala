@@ -114,6 +114,13 @@ object ExtQueries {
     "x_lsh_candidates" -> ((s, d) =>
       DedupOps.lshCandidates(Tables.documents(s, d), "doc_id", "text")),
 
+    // ---- the SAME candidate pairs computed as documents STREAM in:
+    //      map-only per-doc signatures + band-keyed flatMapGroupsWithState
+    //      (streaming/StreamingNearDup), drained AvailableNow — pinned to
+    //      the batch lshCandidates oracle
+    "t8_streaming_neardup" -> ((s, d) =>
+      graft.streaming.StreamingNearDup.availableNowCandidates(s, d)),
+
     // ---- LSH recall report: what fraction of TRUE near-dup pairs
     //      (jaccard >= 0.1) the banding surfaces — the number that says
     //      whether the band sizing is safe to ship. One row.
@@ -1826,6 +1833,19 @@ object ExtQueries {
          |SELECT * FROM sig""".stripMargin,
 
     "x_lsh_candidates" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $minhashSigCte,
+         |bands AS (
+         |  $bandSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    // the streaming drain must land on the batch candidate set exactly
+    "t8_streaming_neardup" -> {
       val bandSelects = (0 until 4).map { b =>
         s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM sig"
       }.mkString("\n  UNION ALL ")
