@@ -70,7 +70,12 @@ object DumpPlans {
     "x_ivm_merge" -> ("the base state scan feeds two BroadcastHashJoins " +
       "(anti for untouched keys, semi for touched) and is never " +
       "exchanged; the only shuffles belong to the delta partials and " +
-      "the touched-key re-agg")
+      "the touched-key re-agg"),
+    "x_asof_native" -> ("the custom whole-operator plan: AsOfJoin exec " +
+      "over two hash-clustered sorted children — one exchange + sort " +
+      "per side at each side's own row width, no Union, no Window, " +
+      "O(1) merge state per partition; compare x_asof_join's " +
+      "union+window spelling above")
   )
 
   def main(args: Array[String]): Unit = {

@@ -22,6 +22,9 @@ import graft.functions.{BottomKSample, CharNgrams, DotProductScaled, HistQuantil
   *  - `hll_distinct(value)` — deterministic md5-based HyperLogLog
   *    approx-distinct ([[graft.functions.HllDistinct]]; caller casts the
   *    value to string to fix the hashed representation)
+  *  - `hll_sketch(value)` / `hll_merge_estimate(sketch)` — the stored
+  *    sketch-table split: emit the 256-byte register array / merge
+  *    stored arrays and estimate ([[graft.ext.Sketches]])
   *  - `bottom_k_sample(tag, value, k)` — mergeable uniform sample of
   *    the k smallest-tagged rows ([[graft.functions.BottomKSample]])
   *  - `hist_quantiles(v, lo, width, buckets, percents_csv)` —
@@ -104,6 +107,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // string rendering, whatever the input type
         HllDistinct(org.apache.spark.sql.catalyst.expressions.Cast(
           args(0), org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_sketch"),
+      info(classOf[graft.functions.HllSketch], "hll_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "hll_sketch(value)")
+        graft.functions.HllSketch(org.apache.spark.sql.catalyst.expressions.Cast(
+          args(0), org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_merge_estimate"),
+      info(classOf[graft.functions.HllMergeEstimate], "hll_merge_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "hll_merge_estimate(sketch_binary)")
+        graft.functions.HllMergeEstimate(args(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("bottom_k_sample"),

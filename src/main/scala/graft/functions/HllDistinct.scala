@@ -64,29 +64,12 @@ case class HllDistinct(
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v == null) return buf
-    val md = MessageDigest.getInstance("MD5")
-    val digest = md.digest(v.asInstanceOf[UTF8String].getBytes)
-    val bucket = digest(0) & 0xff
-    // leading zero bits across digest bytes 1..15 (= hex chars 3..32)
-    var zeros = 0
-    var i = 1
-    var scanning = true
-    while (i < 16 && scanning) {
-      val b = digest(i) & 0xff
-      if (b == 0) zeros += 8
-      else { zeros += Integer.numberOfLeadingZeros(b) - 24; scanning = false }
-      i += 1
-    }
-    val rho = math.min(31, zeros + 1).toByte
-    if (rho > buf(bucket)) buf(bucket) = rho
+    HllDistinct.updateValue(buf, v.asInstanceOf[UTF8String])
     buf
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-    a
-  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllDistinct.mergeInto(a, b)
 
   override def eval(buf: Array[Byte]): Any = HllDistinct.estimate(buf)
 
@@ -104,6 +87,38 @@ case class HllDistinct(
 object HllDistinct {
   /** Register count (p = 8 bucket bits = the first 2 md5 hex chars). */
   val M = 256
+
+  /** Fold one value into a register array (shared by [[HllDistinct]]
+    * and [[HllSketch]]). Leading-zero bits are counted across digest
+    * bytes 1..15 (= hex chars 3..32).
+    */
+  def updateValue(buf: Array[Byte], v: UTF8String): Unit = {
+    val md = MessageDigest.getInstance("MD5")
+    val digest = md.digest(v.getBytes)
+    val bucket = digest(0) & 0xff
+    var zeros = 0
+    var i = 1
+    var scanning = true
+    while (i < 16 && scanning) {
+      val b = digest(i) & 0xff
+      if (b == 0) zeros += 8
+      else { zeros += Integer.numberOfLeadingZeros(b) - 24; scanning = false }
+      i += 1
+    }
+    val rho = math.min(31, zeros + 1).toByte
+    if (rho > buf(bucket)) buf(bucket) = rho
+  }
+
+  /** Element-wise register max of `b` into `a` — HLL merge is LOSSLESS:
+    * merge(sketch(A), sketch(B)) has bit-identical registers to
+    * sketch(A ∪ B), which is what makes a stored sketch table's rollup
+    * exactly equal the from-scratch aggregate.
+    */
+  def mergeInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
 
   /** Estimator over a register array — shared by the aggregate and specs.
     * Every arithmetic step here has a verbatim twin in [[oracleSqlFor]];
@@ -132,6 +147,20 @@ object HllDistinct {
     */
   def hllDistinct(c: Column): Column =
     shims.column(HllDistinct(shims.expression(c.cast("string"))).toAggregateExpression())
+
+  /** Aggregate Column: the 256-byte REGISTER ARRAY itself (BinaryType) —
+    * the storable form for pre-aggregated sketch tables
+    * ([[graft.ext.Sketches]]).
+    */
+  def hllSketch(c: Column): Column =
+    shims.column(HllSketch(shims.expression(c.cast("string"))).toAggregateExpression())
+
+  /** Aggregate Column over stored sketches: register-max merge, then the
+    * same estimator — equals [[hllDistinct]] over the union of the rows
+    * each input sketch summarized.
+    */
+  def hllMergeEstimate(c: Column): Column =
+    shims.column(HllMergeEstimate(shims.expression(c)).toAggregateExpression())
 
   /** DuckDB twin of the whole sketch for a grouped approx-distinct:
     * identical md5-hex bucketing, identical exact-integer register sum,
@@ -172,4 +201,83 @@ object HllDistinct {
        |    ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2147483648.0 / s_int
        |    END) AS BIGINT) AS $resultCol
        |FROM s""".stripMargin
+}
+
+/** [[HllDistinct]]'s update/merge with the register ARRAY as the result
+  * (BinaryType) — what a pre-aggregated sketch table stores per cell.
+  */
+case class HllSketch(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_sketch"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](HllDistinct.M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) HllDistinct.updateValue(buf, v.asInstanceOf[UTF8String])
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllDistinct.mergeInto(a, b)
+
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HllSketch =
+    copy(child = newChild)
+}
+
+/** Register-max merge over STORED sketches (BinaryType input) + the
+  * [[HllDistinct.estimate]] estimator — the probe side of a sketch
+  * table. Malformed sketch lengths fail loudly rather than estimating
+  * from garbage.
+  */
+case class HllMergeEstimate(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_merge_estimate"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](HllDistinct.M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val sk = v.asInstanceOf[Array[Byte]]
+    require(sk.length == HllDistinct.M,
+      s"hll_merge_estimate: expected ${HllDistinct.M}-byte sketch, got ${sk.length}")
+    HllDistinct.mergeInto(buf, sk)
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllDistinct.mergeInto(a, b)
+
+  override def eval(buf: Array[Byte]): Any = HllDistinct.estimate(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllMergeEstimate =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllMergeEstimate =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HllMergeEstimate =
+    copy(child = newChild)
 }

@@ -232,6 +232,21 @@ object AnalyticsQueries {
         .agg(graft.functions.HllDistinct.hllDistinct(col("user_id")).as("approx_users"))
     }),
 
+    // ---- the SAME estimates answered from a STORED sketch table:
+    //      (event_type, day) cells hold 256-byte HLL register arrays,
+    //      the probe merges cells (register max — lossless, so the
+    //      rollup is bit-identical to the from-scratch aggregate and
+    //      shares its oracle). ext/Sketches: the DataSketches
+    //      INIT+MERGE split — at 100 TB the fact scan happens once per
+    //      ingest window, every later distinct question merges KB cells
+    "x_hll_stored" -> ((s, d) => {
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_hll_daily").toString
+      graft.ext.Sketches.writeHllDaily(
+        Tables.events(s, d), "event_type", "user_id", "ts", path)
+      graft.ext.Sketches.hllRollup(s, path, "event_type", "approx_users")
+    }),
+
     // ---- exact interpolated percentiles (rounded binary-deterministically:
     //      both engines interpolate within 2 ULP of the true ≤3-decimal value)
     // ---- equi-width histogram: 20 buckets over the observed [min, max],
@@ -766,6 +781,11 @@ object AnalyticsQueries {
     // the full deterministic-HLL sketch replicated in SQL (HllDistinct
     // .oracleSqlFor) — estimate checked bit-for-bit, not rows-only
     "x_approx_distinct" -> graft.functions.HllDistinct.oracleSqlFor(
+      "events", "event_type", "user_id", "approx_users"),
+
+    // lossless register merge ⇒ the stored-table rollup must land on the
+    // identical estimates — same oracle as the from-scratch aggregate
+    "x_hll_stored" -> graft.functions.HllDistinct.oracleSqlFor(
       "events", "event_type", "user_id", "approx_users"),
 
     // the maintained state must equal the from-scratch aggregate — the

@@ -102,6 +102,14 @@ object StoredSplits {
           withB.filter(col("bucket") >= 204), "doc_id", "text")
       }),
 
+    "x_hll_stored" -> (
+      (s: SparkSession, d: String) =>
+        graft.ext.Sketches.writeHllDaily(Tables.events(s, d),
+          "event_type", "user_id", "ts", tmp("graft_hll_daily")),
+      (s: SparkSession, _: String) =>
+        graft.ext.Sketches.hllRollup(s, tmp("graft_hll_daily"),
+          "event_type", "approx_users")),
+
     "x_ann_ivf_stored" -> (
       (s: SparkSession, d: String) =>
         Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id",

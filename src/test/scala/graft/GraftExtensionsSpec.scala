@@ -116,6 +116,23 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("hll_sketch + hll_merge_estimate from SQL: the stored split equals hll_distinct") {
+    withExtSession { s =>
+      val r = s.sql(
+        """WITH cells AS (
+          |  SELECT id % 7 AS grp, id % 3 AS day, hll_sketch(id % 500) AS sk
+          |  FROM range(0, 10000) GROUP BY 1, 2)
+          |SELECT grp, hll_merge_estimate(sk) AS merged FROM cells GROUP BY grp
+          |ORDER BY grp""".stripMargin).collect()
+      val direct = s.sql(
+        """SELECT id % 7 AS grp, hll_distinct(id % 500) AS est
+          |FROM range(0, 10000) GROUP BY grp ORDER BY grp""".stripMargin).collect()
+      assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+        direct.map(x => (x.getLong(0), x.getLong(1))).toSeq)
+      assert(r.length == 7)
+    }
+  }
+
   test("bottom_k_sample from SQL selects the k smallest-tagged rows") {
     withExtSession { s =>
       val sample = s.sql(
