@@ -124,6 +124,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.HllMergeEstimate(args(0))
       }))
     ext.injectFunction((
+      FunctionIdentifier("hll_merge_sketch"),
+      info(classOf[graft.functions.HllMergeSketch], "hll_merge_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "hll_merge_sketch(sketch_binary)")
+        graft.functions.HllMergeSketch(args(0))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("bottom_k_sample"),
       info(classOf[BottomKSample], "bottom_k_sample"),
       (args: Seq[Expression]) => {

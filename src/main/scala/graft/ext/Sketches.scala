@@ -58,4 +58,66 @@ object Sketches {
       .filter(col("day").between(lit(from).cast("date"), lit(to).cast("date")))
       .groupBy(col(groupCol))
       .agg(HllDistinct.hllMergeEstimate(col("sketch")).as(resultCol))
+
+  /** Streaming maintenance of the sketch table (the StreamingIvm posture
+    * applied to sketches): each micro-batch's rows aggregate to per-cell
+    * partial sketches, which register-max into the standing cells — the
+    * fact history is never rescanned and there is NO state-store growth
+    * (the table IS the state). Register max is associative, commutative
+    * AND idempotent, but replay is still guarded by the batchId marker
+    * for uniformity with the other sinks (and so the merge job itself is
+    * skipped on replay, not just harmless).
+    */
+  def sketchSink(outPath: String, groupCol: String, valueCol: String,
+                 tsCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val shims = org.apache.spark.sql.graft.shims
+    val target = new org.apache.hadoop.fs.Path(outPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.AtomicSwap.heal(fs, target)
+    val lineage = graft.streaming.AtomicSwap.streamLineage(spark)
+    if (graft.streaming.AtomicSwap.alreadyApplied(fs, target, batchId, lineage)) return
+    val partials = shims.checkpointWithStats(
+      batch.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+        .agg(HllDistinct.hllSketch(col(valueCol)).as("sketch")))
+    val merged =
+      if (fs.exists(target))
+        spark.read.parquet(outPath).unionByName(partials)
+          .groupBy(col(groupCol), col("day"))
+          .agg(HllDistinct.hllMergeSketch(col("sketch")).as("sketch"))
+          // the merge reads the path it replaces — materialize first
+          .localCheckpoint(true)
+      else partials
+    graft.streaming.AtomicSwap.commit(merged, outPath, batchId, lineage)
+    shims.unpersistLocalCheckpoint(merged)
+    shims.unpersistLocalCheckpoint(partials)
+  }
+
+  /** Drain events through [[sketchSink]] (`Trigger.AvailableNow`) and
+    * answer the rollup from the MAINTAINED table — must equal the
+    * from-scratch aggregate for any micro-batch split (register max is
+    * split-invariant), which is exactly the `x_approx_distinct` oracle.
+    */
+  def availableNowSketchMart(spark: SparkSession, sfDir: String,
+                             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_sketch").toString
+    val mart = s"$work/cells"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+    val events = graft.Tables.normalizeTs(
+      maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+        .parquet(s"$sfDir/{events.parquet}"))
+    graft.streaming.DrainWidth.clamped(spark) {
+      val q = events.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(sketchSink(mart, "event_type", "user_id", "ts") _)
+        .start()
+      q.awaitTermination()
+    }
+    hllRollup(spark, mart, "event_type", "approx_users")
+  }
 }

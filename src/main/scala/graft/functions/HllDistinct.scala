@@ -162,6 +162,12 @@ object HllDistinct {
   def hllMergeEstimate(c: Column): Column =
     shims.column(HllMergeEstimate(shims.expression(c)).toAggregateExpression())
 
+  /** Aggregate Column: merge stored sketches into a SKETCH (the cell
+    * coarsening / incremental-maintenance aggregate).
+    */
+  def hllMergeSketch(c: Column): Column =
+    shims.column(HllMergeSketch(shims.expression(c)).toAggregateExpression())
+
   /** DuckDB twin of the whole sketch for a grouped approx-distinct:
     * identical md5-hex bucketing, identical exact-integer register sum,
     * identical estimator arithmetic. `groupCol` must be null-free (the
@@ -279,5 +285,48 @@ case class HllMergeEstimate(
   override def withNewInputAggBufferOffset(offset: Int): HllMergeEstimate =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildInternal(newChild: Expression): HllMergeEstimate =
+    copy(child = newChild)
+}
+
+/** Register-max merge with the merged SKETCH as the result (BinaryType
+  * in, BinaryType out) — the "combine stored sketches into a coarser
+  * cell / maintained cell" aggregate; completes the INIT
+  * ([[HllSketch]]) / MERGE (this) / ESTIMATE ([[HllMergeEstimate]])
+  * algebra.
+  */
+case class HllMergeSketch(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_merge_sketch"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](HllDistinct.M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val sk = v.asInstanceOf[Array[Byte]]
+    require(sk.length == HllDistinct.M,
+      s"hll_merge_sketch: expected ${HllDistinct.M}-byte sketch, got ${sk.length}")
+    HllDistinct.mergeInto(buf, sk)
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllDistinct.mergeInto(a, b)
+
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllMergeSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllMergeSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HllMergeSketch =
     copy(child = newChild)
 }

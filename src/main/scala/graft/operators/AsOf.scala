@@ -77,7 +77,7 @@ object AsOf {
                          rightCols: Seq[String], rightTieBreak: String,
                          toleranceUs: Option[Long] = None): DataFrame =
     nativeImpl(left, right, keys, leftTime, rightTime, rightCols,
-      rightTieBreak, toleranceUs, forward = false)
+      rightTieBreak, toleranceUs, graft.plans.AsOfDirection.Backward)
 
   /** [[joinForward]] through the native whole-operator path. */
   def joinForwardNative(left: DataFrame, right: DataFrame, keys: Seq[String],
@@ -85,12 +85,30 @@ object AsOf {
                         rightCols: Seq[String], rightTieBreak: String,
                         toleranceUs: Option[Long] = None): DataFrame =
     nativeImpl(left, right, keys, leftTime, rightTime, rightCols,
-      rightTieBreak, toleranceUs, forward = true)
+      rightTieBreak, toleranceUs, graft.plans.AsOfDirection.Forward)
+
+  /** Nearest-either-side as-of (pandas `merge_asof(direction='nearest')`):
+    * the right row minimizing |rightTime − leftTime| within tolerance;
+    * an exact distance tie resolves backward, side-internal ties follow
+    * that side's rule (backward largest / forward smallest tie value).
+    * `asof_lag_us` is the nonnegative DISTANCE; compare the matched
+    * right time against the left time for the side. Only native — the
+    * single-window composed spelling cannot see both sides at once
+    * (the equivalent composition is a backward and a forward pass
+    * joined, which AsOfNativeSpec uses as the differential oracle).
+    */
+  def joinNearestNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftTime: String, rightTime: String,
+                        rightCols: Seq[String], rightTieBreak: String,
+                        toleranceUs: Option[Long] = None): DataFrame =
+    nativeImpl(left, right, keys, leftTime, rightTime, rightCols,
+      rightTieBreak, toleranceUs, graft.plans.AsOfDirection.Nearest)
 
   private def nativeImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
                          leftTime: String, rightTime: String,
                          rightCols: Seq[String], rightTieBreak: String,
-                         toleranceUs: Option[Long], forward: Boolean): DataFrame = {
+                         toleranceUs: Option[Long],
+                         direction: graft.plans.AsOfDirection): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.graft.shims
@@ -120,7 +138,7 @@ object AsOf {
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
       payloadAttrs, attr(rPlan, rightTieBreak),
-      toleranceUs, forward, outAttrs, lPlan, rPlan)
+      toleranceUs, direction, outAttrs, lPlan, rPlan)
     shims.ofRows(spark, node)
   }
 

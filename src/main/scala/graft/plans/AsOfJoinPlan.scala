@@ -8,6 +8,20 @@ import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistrib
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
+/** Match direction of the as-of join. `Nearest` picks the right row
+  * minimizing |rightTime − leftTime|; an exact distance tie between the
+  * at-or-before and the after candidate resolves BACKWARD (the pandas
+  * `merge_asof(direction='nearest')` convention), and ties within a side
+  * follow that side's rule (backward: largest tie value, forward:
+  * smallest).
+  */
+sealed trait AsOfDirection extends Product with Serializable
+object AsOfDirection {
+  case object Backward extends AsOfDirection
+  case object Forward extends AsOfDirection
+  case object Nearest extends AsOfDirection
+}
+
 /** Whole-operator as-of join: logical node + planner strategy + merge
   * exec — the custom-operator rung where composing built-ins genuinely
   * loses. The composed spelling ([[graft.operators.AsOf]]) UNIONs both
@@ -43,7 +57,7 @@ case class AsOfJoin(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     payload: Seq[Attribute], tieBreak: Attribute,
-    toleranceUs: Option[Long], forward: Boolean,
+    toleranceUs: Option[Long], direction: AsOfDirection,
     outAttrs: Seq[Attribute],
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
 
@@ -77,7 +91,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoin =>
       AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
-        j.payload, j.tieBreak, j.toleranceUs, j.forward, j.outAttrs,
+        j.payload, j.tieBreak, j.toleranceUs, j.direction, j.outAttrs,
         planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
@@ -95,6 +109,9 @@ object AsOfJoinStrategy extends SparkStrategy {
   *    `r.t < l.t`), then PEEK (never consume — a later left with the
   *    same time may match the same right row): the cursor row is the
   *    (smallest-t, smallest-tie) nearest-at-or-after.
+  *  - nearest: backward-style advancing (held = nearest at-or-before)
+  *    PLUS the forward peek (cursor = nearest strictly-after); emit
+  *    whichever is closer, backward on an exact distance tie.
   *
   * Rows with a NULL in any key or a NULL time sort first within their
   * group and are consumed without holding (right) or emitted unmatched
@@ -104,7 +121,7 @@ case class AsOfJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     payload: Seq[Attribute], tieBreak: Attribute,
-    toleranceUs: Option[Long], forward: Boolean,
+    toleranceUs: Option[Long], direction: AsOfDirection,
     outAttrs: Seq[Attribute],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
@@ -146,7 +163,7 @@ case class AsOfJoinExec(
     val tieAttr = tieBreak
     val outAll = output
     val tol = toleranceUs
-    val fwd = forward
+    val dir = direction
     val outRows = longMetric("numOutputRows")
     val matchedRows = longMetric("numMatched")
 
@@ -210,6 +227,11 @@ case class AsOfJoinExec(
               if (heldPayload != null && !heldKey.equals(lKey)) {
                 heldPayload = null; heldKey = null
               }
+              // Forward consumes strictly-before rights; backward AND
+              // nearest consume at-or-before rights into the hold
+              // (nearest's forward candidate is then strictly-after,
+              // so an equal-time right resolves backward — distance 0)
+              val holdAtOrBefore = dir != AsOfDirection.Forward
               var advance = true
               while (advance && readRight()) {
                 val cmp = keyOrd.compare(rKey, lKey)
@@ -218,32 +240,46 @@ case class AsOfJoinExec(
                   consumeRight()
                 } else if (cmp > 0 || ltNull) {
                   advance = false
-                } else if (fwd) {
-                  if (rT < lT) consumeRight() else advance = false
-                } else {
-                  if (rT <= lT) {
+                } else if (if (holdAtOrBefore) rT <= lT else rT < lT) {
+                  if (holdAtOrBefore) {
                     heldKey = rKey
                     heldT = rT
                     heldPayload = payloadProj(rCurr).copy()
-                    consumeRight()
-                  } else advance = false
-                }
+                  }
+                  consumeRight()
+                } else advance = false
               }
             }
 
+            // the peeked forward candidate, if the cursor sits on this key
+            def peekLag: Long =
+              if (rCurr != null && !ltNull && keyOrd.compare(rKey, lKey) == 0) rT - lT
+              else -1L
             val extra: InternalRow =
               if (!keyOk || ltNull) nullRow
-              else if (fwd) {
-                if (rCurr != null && !rKey.anyNull && keyOrd.compare(rKey, lKey) == 0 &&
-                    rT >= lT && tol.forall(rT - lT <= _)) {
-                  matchedRows += 1
-                  buildExtra(payloadProj(rCurr), rT - lT)
-                } else nullRow
-              } else {
-                if (heldPayload != null && tol.forall(lT - heldT <= _)) {
-                  matchedRows += 1
-                  buildExtra(heldPayload, lT - heldT)
-                } else nullRow
+              else dir match {
+                case AsOfDirection.Forward =>
+                  val lag = peekLag
+                  if (lag >= 0 && tol.forall(lag <= _)) {
+                    matchedRows += 1
+                    buildExtra(payloadProj(rCurr), lag)
+                  } else nullRow
+                case AsOfDirection.Backward =>
+                  if (heldPayload != null && tol.forall(lT - heldT <= _)) {
+                    matchedRows += 1
+                    buildExtra(heldPayload, lT - heldT)
+                  } else nullRow
+                case AsOfDirection.Nearest =>
+                  val back = if (heldPayload != null) lT - heldT else -1L
+                  val fwd = peekLag
+                  // exact tie -> backward (held), per the direction doc
+                  if (back >= 0 && (fwd < 0 || back <= fwd) && tol.forall(back <= _)) {
+                    matchedRows += 1
+                    buildExtra(heldPayload, back)
+                  } else if (fwd >= 0 && tol.forall(fwd <= _)) {
+                    matchedRows += 1
+                    buildExtra(payloadProj(rCurr), fwd)
+                  } else nullRow
               }
             outRows += 1
             resultProj(joined(l, extra))

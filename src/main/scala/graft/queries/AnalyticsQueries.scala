@@ -239,6 +239,14 @@ object AnalyticsQueries {
     //      shares its oracle). ext/Sketches: the DataSketches
     //      INIT+MERGE split — at 100 TB the fact scan happens once per
     //      ingest window, every later distinct question merges KB cells
+    // ---- the sketch table MAINTAINED by a stream (StreamingIvm posture:
+    //      per-batch partial sketches register-max into standing cells,
+    //      no state store, facts never rescanned) — rollup of the
+    //      maintained table must equal the from-scratch aggregate for
+    //      any micro-batch split
+    "t9_streaming_sketch" -> ((s, d) =>
+      graft.ext.Sketches.availableNowSketchMart(s, d)),
+
     "x_hll_stored" -> ((s, d) => {
       val path = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_hll_daily").toString
@@ -503,6 +511,24 @@ object AnalyticsQueries {
         .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
           col("value").as("click_value"))
       graft.operators.AsOf.joinForwardNative(views, clicks, Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("click_id", "click_value"), rightTieBreak = "click_id",
+          toleranceUs = Some(6L * 3600 * 1000000))
+        .select("event_id", "user_id", "click_id", "click_value", "asof_lag_us")
+    }),
+
+    // ---- nearest-either-side as-of (pandas direction='nearest'):
+    //      closest click within 6h on either side, exact ties backward —
+    //      only expressible in one pass by the native exec (the composed
+    //      spelling needs a backward AND a forward window)
+    "x_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value").as("click_value"))
+      graft.operators.AsOf.joinNearestNative(views, clicks, Seq("user_id"),
           leftTime = "ts", rightTime = "ts",
           rightCols = Seq("click_id", "click_value"), rightTieBreak = "click_id",
           toleranceUs = Some(6L * 3600 * 1000000))
@@ -788,6 +814,10 @@ object AnalyticsQueries {
     "x_hll_stored" -> graft.functions.HllDistinct.oracleSqlFor(
       "events", "event_type", "user_id", "approx_users"),
 
+    // split-invariant maintenance ⇒ the streamed mart shares it too
+    "t9_streaming_sketch" -> graft.functions.HllDistinct.oracleSqlFor(
+      "events", "event_type", "user_id", "approx_users"),
+
     // the maintained state must equal the from-scratch aggregate — the
     // bucket split (x_ivm_merge) / micro-batch split (t7) the Spark
     // side maintains across is invisible here
@@ -983,6 +1013,22 @@ object AnalyticsQueries {
         |  AND epoch_us(v.ts) - epoch_us(c.ts) <= 21600000000
         |QUALIFY row_number() OVER (PARTITION BY v.event_id
         |  ORDER BY c.ts DESC, c.click_id DESC) = 1""".stripMargin,
+
+    // nearest: minimize |distance| within tolerance; side tie -> backward
+    // (CASE side), side-internal id tie follows the side's rule (backward
+    // DESC / forward ASC, spelled as one signed-id ASC key)
+    "x_asof_nearest" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.event_id, v.user_id, c.click_id, c.click_value,
+        |  abs(epoch_us(c.ts) - epoch_us(v.ts)) AS asof_lag_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  AND abs(epoch_us(c.ts) - epoch_us(v.ts)) <= 21600000000
+        |QUALIFY row_number() OVER (PARTITION BY v.event_id
+        |  ORDER BY abs(epoch_us(c.ts) - epoch_us(v.ts)) ASC,
+        |    CASE WHEN c.ts <= v.ts THEN 0 ELSE 1 END ASC,
+        |    CASE WHEN c.ts <= v.ts THEN -c.click_id ELSE c.click_id END ASC) = 1""".stripMargin,
 
     // forward: nearest at-or-after, smallest (ts, id); lag sign flips
     "x_asof_fwd_native" ->

@@ -60,6 +60,48 @@ class SketchesSpec extends SparkSuite {
     assert(lens == Seq(HllDistinct.M))
   }
 
+  test("streaming-maintained sketch mart equals the from-scratch estimates") {
+    val streamed = Sketches.availableNowSketchMart(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = events.groupBy(col("event_type"))
+      .agg(HllDistinct.hllDistinct(col("user_id")).as("approx_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == direct && streamed.nonEmpty)
+  }
+
+  test("micro-batch split does not change the maintained cells (register max is split-invariant)") {
+    val work = java.nio.file.Files.createTempDirectory("sketch_split").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val split = Sketches.availableNowSketchMart(spark, work,
+        maxFilesPerTrigger = Some(1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = Sketches.availableNowSketchMart(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split == whole)
+  }
+
+  test("replayed batchId is skipped by the marker; a new batch merges") {
+    import spark.implicits._
+    val mart = java.nio.file.Files.createTempDirectory("sketch_replay")
+      .toString + "/cells"
+    def mkBatch(users: Seq[Long]) = users.toDF("user_id")
+      .select(lit("view").as("event_type"), col("user_id"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:30:00")).as("ts"))
+    val sink = Sketches.sketchSink(mart, "event_type", "user_id", "ts") _
+    sink(mkBatch(Seq(1L, 2L, 3L)), 0L)
+    val once = spark.read.parquet(mart).collect().map(_.getAs[Array[Byte]]("sketch"))
+    sink(mkBatch(Seq(1L, 2L, 3L)), 0L) // replay: skipped outright
+    val twice = spark.read.parquet(mart).collect().map(_.getAs[Array[Byte]]("sketch"))
+    assert(once.length == 1 && twice.length == 1)
+    assert(java.util.Arrays.equals(once.head, twice.head))
+    sink(mkBatch(Seq(4L, 5L)), 1L) // real new batch: cell absorbs it
+    val est = Sketches.hllRollup(spark, mart, "event_type", "n")
+      .collect().head.getLong(1)
+    assert(est == 5L) // linear-counting regime is exact at tiny n
+  }
+
   test("merge of disjoint partial sketches is register-identical to the whole") {
     val whole = events
       .agg(HllDistinct.hllSketch(col("user_id")).as("s"))

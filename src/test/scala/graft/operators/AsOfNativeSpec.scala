@@ -184,6 +184,70 @@ class AsOfNativeSpec extends SparkSuite {
     assert("(?m)^[^\\n]*\\bSort\\b".r.findAllIn(plan).size == 2, plan)
   }
 
+  test("nearest fixture: closer side wins, exact tie resolves backward") {
+    val lefts = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:04")), // 100 is 4s back, 101 is 1s ahead → 101
+      (2L, 1L, ts("2024-01-01 10:00:02")), // 100 is 2s back, 101 is 3s ahead → 100
+      (3L, 1L, ts("2024-01-01 10:00:05")), // equal ts → backward, distance 0
+      (4L, 3L, ts("2024-01-01 10:00:00"))  // key never quoted → unmatched
+    ).toDF("t_id", "key", "ts")
+    val r = AsOf.joinNearestNative(lefts, quotes, Seq("key"), "ts", "ts",
+        Seq("q_id"), rightTieBreak = "q_id")
+      .select("t_id", "q_id", "asof_lag_us")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L) == (1L, Some(101L), Some(1000000L)))
+    assert(r(2L) == (2L, Some(100L), Some(2000000L)))
+    assert(r(3L) == (3L, Some(101L), Some(0L)))
+    assert(r(4L) == (4L, None, None))
+  }
+
+  test("nearest: exact backward/forward distance tie goes backward") {
+    val mid = Seq((1L, 1L, ts("2024-01-01 10:00:30"))).toDF("t_id", "key", "ts")
+    val pair = Seq(
+      (500L, 1L, ts("2024-01-01 10:00:00"), 1.0),  // 30s back
+      (501L, 1L, ts("2024-01-01 10:01:00"), 2.0)   // 30s ahead
+    ).toDF("q_id", "key", "ts", "px")
+    val r = AsOf.joinNearestNative(mid, pair, Seq("key"), "ts", "ts",
+        Seq("q_id"), rightTieBreak = "q_id")
+      .select("q_id", "asof_lag_us").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((500L, 30000000L)))
+  }
+
+  test("nearest tolerance: both candidates beyond the bound → unmatched, row kept") {
+    val far = Seq((1L, 2L, ts("2024-01-01 12:00:00"))).toDF("t_id", "key", "ts")
+    val r = AsOf.joinNearestNative(far, quotes, Seq("key"), "ts", "ts",
+        Seq("q_id"), rightTieBreak = "q_id", toleranceUs = Some(60L * 1000000))
+      .select("t_id", "q_id").as[(Long, Option[Long])].collect()
+    assert(r.toSeq == Seq((1L, None)))
+  }
+
+  test("nearest differential: equals backward+forward composition on real events") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val views = ev.filter($"event_type" === "view")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts")
+    val nat = AsOf.joinNearestNative(views, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), "click_id")
+      .select("event_id", "click_id", "asof_lag_us")
+      .collect().map(_.toString).sorted.toSeq
+    val b = AsOf.joinBackward(views, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), "click_id")
+      .select($"event_id", $"click_id".as("b_id"), $"asof_lag_us".as("b_lag"))
+    val f = AsOf.joinForward(views, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), "click_id")
+      .select($"event_id", $"click_id".as("f_id"), $"asof_lag_us".as("f_lag"))
+    val composed = b.join(f, "event_id")
+      .select($"event_id",
+        when($"b_lag".isNotNull && ($"f_lag".isNull || $"b_lag" <= $"f_lag"), $"b_id")
+          .otherwise($"f_id").as("click_id"),
+        when($"b_lag".isNotNull && ($"f_lag".isNull || $"b_lag" <= $"f_lag"), $"b_lag")
+          .otherwise($"f_lag").as("asof_lag_us"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(nat == composed && nat.nonEmpty)
+  }
+
   test("result survives adversarial pre-partitioning of the inputs") {
     val l = trades.repartition(7, $"t_id")   // partitioned on the WRONG key
     val r = quotes.repartition(3, $"px")
