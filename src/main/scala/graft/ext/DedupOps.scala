@@ -60,15 +60,23 @@ object DedupOps {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.02,
-                   maxShingleDf: Option[Long] = None): DataFrame = {
+                   maxShingleDf: Option[Long] = None,
+                   materialize: Boolean = true): DataFrame = {
     // materialized ONCE: the shingle index feeds the per-doc sizes, the
     // df cap, and BOTH self-join legs — Catalyst does not dedupe common
     // subplans, so un-checkpointed the tokenize→shingle→distinct corpus
     // pass ran ~4x per query (the tfidfCosinePairs/mergeDeltaSmall
     // rationale). Freed once the threshold-filtered pair result is
     // materialized (EAGER contract; planOnly degrades both to no-ops).
-    val sh0 = shims.checkpointWithStats(
-      shingleIndexHashed(docs, idCol, textCol, n))
+    // `materialize = false` keeps the whole derivation lazy: for
+    // SAMPLE-sized inputs (the recall gauges) the two checkpoint
+    // barriers cost more than the pipeline re-runs they avoid —
+    // measured +0.6 s on x_lsh_recall's md5-half corpus at sf0.1.
+    val ck: DataFrame => DataFrame =
+      if (materialize) shims.checkpointWithStats else identity
+    val free: DataFrame => Unit =
+      if (materialize) shims.unpersistLocalCheckpoint else _ => ()
+    val sh0 = ck(shingleIndexHashed(docs, idCol, textCol, n))
     val sizes = sh0.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val sh = maxShingleDf match {
       case None => sh0
@@ -90,8 +98,8 @@ object DedupOps {
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
-    val out = shims.checkpointWithStats(scored)
-    shims.unpersistLocalCheckpoint(sh0)
+    val out = ck(scored)
+    free(sh0)
     out
   }
 
@@ -176,11 +184,16 @@ object DedupOps {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5,
-                       maxShingleDf: Option[Long] = None): DataFrame = {
-    // same checkpoint-once discipline as jaccardPairs: sizes + df cap +
-    // both join legs read the materialized shingle blocks
-    val sh0 = shims.checkpointWithStats(
-      shingleIndexHashed(docs, idCol, textCol, n))
+                       maxShingleDf: Option[Long] = None,
+                       materialize: Boolean = true): DataFrame = {
+    // same checkpoint-once discipline (and same sample-scale escape
+    // hatch) as jaccardPairs: sizes + df cap + both join legs read the
+    // materialized shingle blocks
+    val ck: DataFrame => DataFrame =
+      if (materialize) shims.checkpointWithStats else identity
+    val free: DataFrame => Unit =
+      if (materialize) shims.unpersistLocalCheckpoint else _ => ()
+    val sh0 = ck(shingleIndexHashed(docs, idCol, textCol, n))
     val sizes = sh0.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val sh = maxShingleDf match {
       case None => sh0
@@ -204,8 +217,8 @@ object DedupOps {
         Numeric.roundBin(col("n_common").cast("double") / col("n_a"), 4))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
-    val out = shims.checkpointWithStats(scored)
-    shims.unpersistLocalCheckpoint(sh0)
+    val out = ck(scored)
+    free(sh0)
     out
   }
 
@@ -250,21 +263,29 @@ object DedupOps {
     sigs.select(col(idCol), posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
   }
 
-  /** Distinct candidate pairs (a < b) sharing at least one LSH band. */
+  /** Distinct candidate pairs (a < b) sharing at least one LSH band.
+    * `materialize = false`: the sample-scale escape hatch, as on
+    * [[jaccardPairs]].
+    */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+                    k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
+                    materialize: Boolean = true): DataFrame = {
     // both self-join legs read the materialized band table instead of
     // each re-running the shingle -> minhash -> band pipeline
-    val bands = shims.checkpointWithStats(
+    val ck: DataFrame => DataFrame =
+      if (materialize) shims.checkpointWithStats else identity
+    val free: DataFrame => Unit =
+      if (materialize) shims.unpersistLocalCheckpoint else _ => ()
+    val bands = ck(
       lshBands(minhashSignatures(docs, idCol, textCol, k, n), idCol, k, rowsPerBand))
-    val out = shims.checkpointWithStats(
+    val out = ck(
       bands.as("a").join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
         .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
         .distinct())
-    shims.unpersistLocalCheckpoint(bands)
+    free(bands)
     out
   }
 

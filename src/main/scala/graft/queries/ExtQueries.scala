@@ -134,14 +134,20 @@ object ExtQueries {
     "x_lsh_recall" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < lit("8"))
-      val truth = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.1)
+      // materialize = false: on the gauge's md5-half SAMPLE the
+      // checkpoint barriers cost more than the pipeline reuse they buy
+      // (BenchRegressionSpec caught +0.6 s; production-sized corpora
+      // keep the default eager materialization)
+      val truth = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3,
+          threshold = 0.1, materialize = false)
         .select(col("doc_a"), col("doc_b"))
       // single pass: a left join with a match flag references the truth
       // subplan ONCE — the semi-join + separate-count formulation would
       // evaluate the exact-jaccard computation twice (Catalyst doesn't
       // dedupe common subplans), doubling the dominant cost at scale
       val flagged = truth.join(
-        DedupOps.lshCandidates(docs, "doc_id", "text").withColumn("__hit", lit(1)),
+        DedupOps.lshCandidates(docs, "doc_id", "text", materialize = false)
+          .withColumn("__hit", lit(1)),
         Seq("doc_a", "doc_b"), "left")
       flagged.agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_hit"))
         .select(col("n_true"), col("n_hit"),
