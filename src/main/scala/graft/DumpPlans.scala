@@ -75,7 +75,13 @@ object DumpPlans {
       "over two hash-clustered sorted children — one exchange + sort " +
       "per side at each side's own row width, no Union, no Window, " +
       "O(1) merge state per partition; compare x_asof_join's " +
-      "union+window spelling above")
+      "union+window spelling above"),
+    "x_components_incremental" -> ("the standing label table appears " +
+      "exactly twice (endpoint-lookup join + final remap union) and is " +
+      "never inside a loop; the contraction solve's inputs are " +
+      "delta-sized, and every checkpoint leaf carries measured stats — " +
+      "finite sizeInBytes, no join-product BigInt blow-up (the r9 " +
+      "driver-planning hazard; see SCALE.md)")
   )
 
   def main(args: Array[String]): Unit = {

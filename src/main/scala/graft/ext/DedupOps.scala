@@ -497,16 +497,30 @@ object DedupOps {
     */
   def resolveComponentsCounted(pairs: DataFrame,
                                maxIterations: Int = 50): (DataFrame, Int) = {
+    // Per-round checkpoints MUST reinject measured stats, not snapshot
+    // the origin plan's estimate: a plain localCheckpoint(eager) copies
+    // the SizeInBytesOnly join-PRODUCT estimate into the LogicalRDD, and
+    // since every round's plan joins the previous checkpoint against
+    // itself, the carried BigInt SQUARES per round — digit count grows
+    // 2^rounds, and NESTING component runs (componentsIncremental runs
+    // this loop twice, the second seeded by the first's output) left the
+    // driver burning >1000 s of CPU in Toom-Cook BigInteger multiplies
+    // inside stats estimation at sf0.01 (jstack-verified). Measured
+    // stats keep the numbers small AND let AQE broadcast small label
+    // sides from real sizes. planOnly keeps the old origin-stats
+    // checkpoint: this loop is inherently eager (per-round convergence
+    // probe), so jobless construction is impossible anyway and the
+    // plain form avoids the count pass.
+    def ckpt(df: DataFrame): DataFrame =
+      if (shims.planOnly) df.localCheckpoint(true) else shims.checkpointWithStats(df)
     // materialize the edge list once and truncate label lineage per round —
     // otherwise every iteration's plan re-embeds the full upstream
     // candidate pipeline (~2× per round) and the final plan replays it
     // dozens of times
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
+    val edges = ckpt(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = ckpt(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")))
     var converged = false
     var round = 0
     var prevCheckpoint = labels // superseded once the next round materializes
@@ -531,7 +545,7 @@ object DedupOps {
           Seq("label"), "left")
         .select(col("doc_id"), col("prev_label"),
           least(col("label"), coalesce(col("jmp"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .transform(ckpt)
       converged = jumped.filter(col("label") < col("prev_label")).isEmpty
       // `jumped` is materialized and lineage-free: the prior round's
       // blocks are now dead

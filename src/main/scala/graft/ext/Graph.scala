@@ -106,6 +106,142 @@ object Graph {
         edges.select(col("u").as("doc_a"), col("v").as("doc_b")))
       .select(col("doc_id").as("n"), col("keep_id").as("component"))
 
+  /** INCREMENTAL connected components — maintain a standing (n,
+    * component) label table under edge INSERTS without recomputing from
+    * scratch: `componentsIncremental(connectedComponents(E1), E2)` ≡
+    * `connectedComponents(E1 ∪ E2)` row-for-row (spec- and
+    * oracle-pinned).
+    *
+    * Why it's exact: stored labels are the MIN node id of their
+    * E1-component. Contract each old component to its label
+    * (super-node), add the delta's endpoints (unseen nodes label
+    * themselves), and run components over the CONTRACTED graph — whose
+    * node set is only the labels the delta touches. The min label of a
+    * merged super-component is the min node id of the merged real
+    * component, so composing the two mappings reproduces the
+    * from-scratch labeling exactly.
+    *
+    * Scale shape (the reason to maintain rather than recompute): the
+    * iterative min-propagation runs on |delta-touched labels| nodes and
+    * |delta| edges — at 100 TB a daily delta touches a sliver of the
+    * accumulated graph, and the standing table is read ONCE for the
+    * endpoint lookup plus once for the final label remap (two keyed
+    * joins, no iteration over history). The dedup-cluster use: near-dup
+    * pair streams grow daily; cluster ids stay current at delta cost.
+    */
+  def componentsIncremental(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    // checkpoint-once discipline: the delta feeds three consumers
+    // (endpoint extraction + both sides of the contraction join) and the
+    // endpoint-label table feeds three more — without materialization
+    // each consumer re-derives the caller's delta lineage (for a
+    // co-occurrence delta that's a full self-join per reference).
+    // Measured stats also let AQE broadcast the delta-sized sides, which
+    // is the whole point: |delta| ≪ |standing table|.
+    val delta = if (shims.planOnly) newEdges.select(col("u"), col("v"))
+      else shims.checkpointWithStats(newEdges.select(col("u"), col("v")))
+    val nodes = delta.select(col("u").as("n"))
+      .unionAll(delta.select(col("v").as("n"))).distinct()
+    // endpoint → current label (unseen endpoints are their own label)
+    val lab0 = nodes.join(labels, Seq("n"), "left")
+      .select(col("n"), coalesce(col("component"), col("n")).as("lbl"))
+    val lab = if (shims.planOnly) lab0 else shims.checkpointWithStats(lab0)
+    val contracted = delta
+      .join(lab.select(col("n").as("u"), col("lbl").as("lu")), Seq("u"))
+      .join(lab.select(col("n").as("v"), col("lbl").as("lv")), Seq("v"))
+      .select(col("lu").as("u"), col("lv").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val superComp = connectedComponents(contracted)
+      .select(col("n").as("component"), col("component").as("__newc"))
+    // connectedComponents materialized eagerly, so the delta blocks are
+    // dead here (lab stays live: the result plan unions it below)
+    if (!shims.planOnly) shims.unpersistLocalCheckpoint(delta)
+    // all labeled nodes: the standing table plus the delta's endpoints
+    // (overlap carries the same label on both sides; min-dedupe)
+    val all = labels
+      .unionByName(lab.select(col("n"), col("lbl").as("component")))
+      .groupBy(col("n")).agg(min(col("component")).as("component"))
+    // labels untouched by the delta miss in superComp and keep themselves
+    all.join(superComp, Seq("component"), "left")
+      .select(col("n"), coalesce(col("__newc"), col("component")).as("component"))
+  }
+
+  /** foreachBatch sink maintaining a STANDING component-label table
+    * under a streaming edge feed — each micro-batch of edge inserts
+    * folds into the stored labeling via [[componentsIncremental]] (the
+    * StreamingIvm posture applied to graph state: the table IS the
+    * state, no state store, the edge history is never rescanned).
+    * Because the incremental fold is exact for ANY insert sequence
+    * (GraphSpec's randomized-split differential), the maintained table
+    * equals from-scratch components over all edges regardless of how
+    * the source splits into micro-batches — so the drained result is
+    * oracle-checkable against the same recursive-CTE twin as the batch
+    * operator. Replay is guarded by the lineage-scoped batchId marker
+    * (idempotent anyway — re-inserting edges cannot change a labeling —
+    * but the guard skips the merge job itself, same as the other sinks).
+    *
+    * The dedup use at 100 TB: near-dup PAIR streams grow daily; cluster
+    * ids stay current at per-delta cost, with the standing table read
+    * twice per batch (endpoint lookup + final remap), never iterated.
+    */
+  def componentsSink(outPath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(outPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.AtomicSwap.heal(fs, target)
+    val lineage = graft.streaming.AtomicSwap.streamLineage(spark)
+    if (graft.streaming.AtomicSwap.alreadyApplied(fs, target, batchId, lineage)) return
+    val standing =
+      if (fs.exists(target)) spark.read.parquet(outPath)
+      else spark.range(0).select(col("id").as("n"), col("id").as("component"))
+    val merged0 = componentsIncremental(standing, batch)
+    // the merge reads the path it is about to replace — materialize
+    // before the swap (same reason the ivm/sketch sinks checkpoint)
+    val merged = merged0.localCheckpoint(true)
+    graft.streaming.AtomicSwap.commit(merged, outPath, batchId, lineage)
+    // mart is on disk: free this batch's blocks — the internal `lab` /
+    // loop checkpoints still referenced by merged0's plan, then the
+    // swap copy itself
+    shims.unpersistLocalCheckpoint(merged0)
+    shims.unpersistLocalCheckpoint(merged)
+  }
+
+  /** Drain an edge table through [[componentsSink]]
+    * (`Trigger.AvailableNow`, one file per micro-batch) and return the
+    * MAINTAINED label table — must equal [[connectedComponents]] over
+    * all edges for any file split. `edges` is materialized to a temp
+    * parquet dir first so the stream has a file source; `filesPerBatch`
+    * controls how many incremental folds the drain exercises.
+    */
+  def availableNowComponents(spark: SparkSession, edges: DataFrame,
+                             filesPerBatch: Int = 1): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_cc").toString
+    val src = s"$work/edges"
+    val mart = s"$work/labels"
+    // 3 files → cold solve + 2 incremental folds at filesPerBatch=1:
+    // enough splits to exercise merge/bridge/new-node paths. NOTE a
+    // random split is the WORST case for the incremental fold — each
+    // third of a co-occurrence graph touches most nodes, so every
+    // fold's contraction is near-graph-sized; the |delta| ≪ |standing|
+    // case the operator exists for (daily pair-stream growth) is
+    // exercised by GraphSpec and priced in SCALE.md instead
+    edges.repartition(3).write.parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(src)
+    graft.streaming.DrainWidth.clamped(spark) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(componentsSink(mart) _)
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(mart)
+  }
+
   /** Top-k node pairs by COMMON NEIGHBOR count — the classic
     * link-prediction / related-items score. Deliberately the symmetric
     * spelling (both directions of every edge joined on the shared

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.Tables
 import graft.ext.Graph
@@ -96,6 +97,26 @@ object GraphQueries {
     // pointer-jumping min-label propagation, O(log diameter) rounds
     "x_graph_components" -> ((s, d) =>
       Graph.connectedComponents(backbone(s, d))),
+
+    // the SAME labeling maintained incrementally: cold components on the
+    // (u+v)-even half of the backbone, then the odd half folded in as an
+    // edge-insert delta (ext/Graph.componentsIncremental — contract old
+    // components to their labels, solve the delta-touched contraction,
+    // compose). Must land on the from-scratch oracle exactly.
+    "x_components_incremental" -> ((s, d) => {
+      val edges = backbone(s, d)
+      val even = edges.filter((col("u") + col("v")) % 2 === 0)
+      val odd = edges.filter((col("u") + col("v")) % 2 =!= 0)
+      Graph.componentsIncremental(Graph.connectedComponents(even), odd)
+    }),
+
+    // the same labeling maintained by a STREAM: backbone edges drained
+    // file-by-file through componentsSink (per-batch incremental fold
+    // into the standing table, StreamingIvm posture — no state store,
+    // history never rescanned). Must equal from-scratch components over
+    // all edges for any micro-batch split.
+    "t10_streaming_components" -> ((s, d) =>
+      Graph.availableNowComponents(s, backbone(s, d))),
 
     // weighted PageRank on the w>=2 backbone: rank splits by edge
     // weight ((rank*w) div strength), exact integers end to end
@@ -301,6 +322,40 @@ object GraphQueries {
     // the prune is safe); UNION dedups -> guaranteed termination. The
     // engine-side pointer jumping computes the identical min-id labeling.
     "x_graph_components" ->
+      """WITH RECURSIVE inc AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+        |wpairs AS (
+        |  SELECT a.i AS u, b.i AS v, count(*) AS w
+        |  FROM inc a JOIN inc b USING (k) WHERE a.i < b.i GROUP BY 1, 2),
+        |pairs AS (SELECT u, v FROM wpairs WHERE w >= 2),
+        |sym AS (SELECT u AS s, v AS d FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+        |  UNION
+        |  SELECT sym.d, reach.m FROM reach JOIN sym ON sym.s = reach.n
+        |  WHERE reach.m < sym.d)
+        |SELECT n, min(m) AS component FROM reach GROUP BY n""".stripMargin,
+
+    // streaming maintenance must be invisible in the result, same
+    // contract as the batch-incremental twin below
+    "t10_streaming_components" ->
+      """WITH RECURSIVE inc AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+        |wpairs AS (
+        |  SELECT a.i AS u, b.i AS v, count(*) AS w
+        |  FROM inc a JOIN inc b USING (k) WHERE a.i < b.i GROUP BY 1, 2),
+        |pairs AS (SELECT u, v FROM wpairs WHERE w >= 2),
+        |sym AS (SELECT u AS s, v AS d FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+        |  UNION
+        |  SELECT sym.d, reach.m FROM reach JOIN sym ON sym.s = reach.n
+        |  WHERE reach.m < sym.d)
+        |SELECT n, min(m) AS component FROM reach GROUP BY n""".stripMargin,
+
+    // incremental maintenance must be invisible in the result: the
+    // oracle is the identical from-scratch recursive CTE over ALL edges
+    "x_components_incremental" ->
       """WITH RECURSIVE inc AS (
         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
         |wpairs AS (

@@ -76,6 +76,59 @@ class GraphSpec extends SparkSuite {
     assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("componentsIncremental: bridge edge merges two stored components, labels recompose to min") {
+    // stored: {1,2,3} labeled 1, {7,8} labeled 7 — delta bridges 3-7 and
+    // brings an unseen chain 20-21
+    val e1 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L)).toDF("u", "v")
+    val delta = Seq((3L, 7L), (20L, 21L)).toDF("u", "v")
+    val inc = Graph.componentsIncremental(Graph.connectedComponents(e1), delta)
+      .as[(Long, Long)].collect().toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 8L -> 1L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("componentsIncremental == from-scratch components for arbitrary splits (randomized)") {
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 3) {
+      val all = (1 to 120).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val (e1, e2) = all.partition(_ => rnd.nextBoolean())
+      val e1Df = e1.toDF("u", "v"); val e2Df = e2.toDF("u", "v")
+      val inc = Graph.componentsIncremental(
+          Graph.connectedComponents(e1Df), e2Df)
+        .as[(Long, Long)].collect().toMap
+      val scratch = Graph.connectedComponents(e1Df.unionAll(e2Df))
+        .as[(Long, Long)].collect().toMap
+      assert(inc == scratch, s"trial $trial: ${inc.toSeq.sorted.take(5)}...")
+    }
+  }
+
+  test("availableNowComponents: stream-maintained labels equal from-scratch components") {
+    val rnd = new scala.util.Random(11L)
+    val all = (1 to 150).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = all.toDF("u", "v")
+    val streamed = Graph.availableNowComponents(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    val scratch = Graph.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == scratch)
+  }
+
+  test("componentsIncremental edge cases: empty stored table, empty delta") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val none = Graph.connectedComponents(e).limit(0)
+    val coldViaInc = Graph.componentsIncremental(none, e)
+      .as[(Long, Long)].collect().toMap
+    assert(coldViaInc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val labels = Graph.connectedComponents(e)
+    val noDelta = Graph.componentsIncremental(labels, e.limit(0))
+      .as[(Long, Long)].collect().toMap
+    assert(noDelta == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("pageRankScaledWeighted: unit weights reduce exactly to the unweighted ranks") {
     // (rank·c) div (c·deg) == rank div deg as exact rationals, so the
     // weighted form with uniform weights must be bit-identical
