@@ -123,7 +123,12 @@ object Bench {
     val splitJson = splits
       .map { case (k, (b, p)) => "\"" + k + s"""\":{"build":$b,"probe":$p}""" }
       .mkString("{", ",", "}")
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    // a BENCH_ONLY-filtered run must not clobber the committed full
+    // snapshot (BenchRegressionSpec reads it; a 2-query file canceled
+    // the latch and cost a full re-run this round) — sidecar it
+    val snapshotName =
+      if (only.isDefined) "BENCH_LOCAL_partial.json" else "BENCH_LOCAL.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(snapshotName),
       results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
         .mkString(s"""{"total":$total,"sf":"$sfLabel","queries":{""", ",",
           s"""},"stored_splits":$splitJson}\n""")

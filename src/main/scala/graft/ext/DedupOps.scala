@@ -507,12 +507,13 @@ object DedupOps {
     // driver burning >1000 s of CPU in Toom-Cook BigInteger multiplies
     // inside stats estimation at sf0.01 (jstack-verified). Measured
     // stats keep the numbers small AND let AQE broadcast small label
-    // sides from real sizes. planOnly keeps the old origin-stats
-    // checkpoint: this loop is inherently eager (per-round convergence
-    // probe), so jobless construction is impossible anyway and the
-    // plain form avoids the count pass.
-    def ckpt(df: DataFrame): DataFrame =
-      if (shims.planOnly) df.localCheckpoint(true) else shims.checkpointWithStats(df)
+    // sides from real sizes. The EAGER variant runs even in planOnly
+    // mode: this loop is inherently eager (per-round convergence
+    // probe), and with upstream stats checkpoints degraded to identity
+    // there, an origin-stats checkpoint would carry the UNCUT lineage's
+    // join-product estimate — the blow-up, squared per round (measured:
+    // DumpPlans hung >580 s planning x_components_incremental).
+    def ckpt(df: DataFrame): DataFrame = shims.checkpointWithStatsEager(df)
     // materialize the edge list once and truncate label lineage per round —
     // otherwise every iteration's plan re-embeds the full upstream
     // candidate pipeline (~2× per round) and the final plan replays it

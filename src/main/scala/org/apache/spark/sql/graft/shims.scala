@@ -96,6 +96,19 @@ object shims {
   def checkpointWithStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     checkpointVariant(df, keepStats = true, keepLayout = false)
 
+  /** [[checkpointWithStats]] that does NOT degrade to identity in
+    * [[planOnly]] mode. For checkpoints inside inherently-eager loops
+    * (the components fixed point): the loop runs jobs regardless, and a
+    * plain eager checkpoint there would snapshot ORIGIN stats — in
+    * planOnly mode the upstream stats checkpoints ARE identity, so the
+    * origin estimate is the join-product of the whole uncut lineage and
+    * the per-round squaring blow-up returns (measured: DumpPlans hung
+    * >580 s planning x_components_incremental). Measured stats are the
+    * only safe checkpoint for loop-fed frames in every mode.
+    */
+  def checkpointWithStatsEager(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    checkpointVariantImpl(df, keepStats = true, keepLayout = false)
+
   /** [[checkpointWithStats]] that ALSO preserves the materialized
     * output partitioning/ordering. Use ONLY where the layout is
     * exploited by a downstream operator that consumes the frame ONCE
@@ -146,6 +159,11 @@ object shims {
   def checkpointVariant(df: org.apache.spark.sql.DataFrame,
       keepStats: Boolean, keepLayout: Boolean): org.apache.spark.sql.DataFrame = {
     if (planOnly) return df
+    checkpointVariantImpl(df, keepStats, keepLayout)
+  }
+
+  private def checkpointVariantImpl(df: org.apache.spark.sql.DataFrame,
+      keepStats: Boolean, keepLayout: Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder}
     import org.apache.spark.sql.catalyst.plans.logical.Statistics
     import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection, UnknownPartitioning}

@@ -71,9 +71,18 @@ class BenchRegressionSpec extends AnyFunSuite {
       s"BENCH_LOCAL is a partial run (${localQ.size} of ${priorQ.size} queries)")
 
     val offenders = localQ.toSeq.sortBy(_._1).flatMap { case (name, now) =>
+      // Streaming DRAINS (t<N>_*) get a wider latch: their time is
+      // dominated by fixed micro-batch machinery (AvailableNow
+      // scheduling, state-store setup, mart IO on /tmp), not data-plane
+      // work, and measures a 1.2–2.3x same-code drift band against any
+      // single prior sample (r9: t2_streaming_merge spanned 2.14–4.44 s
+      // across six same-binary runs vs r8's one 1.90 s sample, with the
+      // code path diffed clean — see SCALE.md). 1.5x on them latches
+      // weather; 2.5x still catches the r8-class 2.7–3.5x blow-ups.
+      val ratio = if (name.matches("t\\d+_.*")) 2.5 else 1.5
       priorQ.get(name).collect {
-        case was if now > was * 1.5 && now - was > 0.5 =>
-          f"$name: $was%.2f s -> $now%.2f s (${now / was}%.2fx)"
+        case was if now > was * ratio && now - was > 0.5 =>
+          f"$name: $was%.2f s -> $now%.2f s (${now / was}%.2fx, latch ${ratio}x)"
       }
     }
     assert(offenders.isEmpty,
