@@ -129,4 +129,32 @@ class CheckpointStatsSpec extends SparkSuite {
         s"identical deg subtrees over the checkpoint were not deduped:\n$p")
     } finally shims.unpersistLocalCheckpoint(e)
   }
+
+  test("iterative solves keep finite plan stats — no join-product BigInt growth (r9 hazard pin)") {
+    // plain eager localCheckpoint copies the origin plan's join-PRODUCT
+    // size estimate into the LogicalRDD, so a loop joining its own
+    // checkpoint SQUARES the carried BigInt per round (digit count
+    // ~2^rounds); nesting two solves (componentsIncremental) reached
+    // ~1e5-digit sizeInBytes and >1000 s of driver CPU inside stats
+    // estimation. The loop's measured-stats checkpoints keep every
+    // plan's sizeInBytes physically plausible — pin it with a digit
+    // budget that exponential growth blows through on round one.
+    import spark.implicits._
+    val rnd = new scala.util.Random(3L)
+    val edges = (1 to 200).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("u", "v")
+    val labels = ext.Graph.connectedComponents(edges)
+    val solveDigits =
+      labels.queryExecution.optimizedPlan.stats.sizeInBytes.toString(10).length
+    assert(solveDigits <= 20,
+      s"components output stats carry $solveDigits digits — origin-stats checkpoint leaked back in")
+    // the nested case: incremental fold seeded by the first solve
+    val inc = ext.Graph.componentsIncremental(labels,
+      Seq((1L, 200L), (200L, 201L)).toDF("u", "v"))
+    val incDigits =
+      inc.queryExecution.optimizedPlan.stats.sizeInBytes.toString(10).length
+    assert(incDigits <= 40,
+      s"incremental-fold plan stats carry $incDigits digits — nesting re-grows the estimate")
+  }
 }
