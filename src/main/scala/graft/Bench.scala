@@ -12,7 +12,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the machine's actual width: every scale probe runs at 32
+    // and a "4" fallback here produced a 2-4x-inflated mid-session
+    // snapshot once (see 4ee578c) — the env var stays for pinning runs
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     // non-AQE-fallback width defaults to cpus; the real sizing is AQE's
     // initialPartitionNum (GraftSession): start wide, coalesce to actual
     // bytes — the engine default that keeps sf10 sorts in memory

@@ -130,6 +130,36 @@ object AsOf {
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              n: String) = p.output.find(_.name == n).getOrElse(
       sys.error(s"asof: column '$n' not found among ${p.output.map(_.name).mkString(", ")}"))
+    // Fail-fast type validation: the exec reads time columns via getLong
+    // (micros-backed types only), compares keys as raw UnsafeRow bytes,
+    // and orders partitions by the LEFT key types — a DateType time
+    // column, an int-vs-bigint key mismatch, or float keys (whose
+    // -0.0/NaN byte forms skip the NormalizeFloatingNumbers rewrite
+    // stock joins get) would silently mis-match instead of erroring.
+    // The composed joinImpl path coerces or fails loudly; this path
+    // must reject what it cannot represent.
+    import org.apache.spark.sql.types.{DoubleType, FloatType, TimestampNTZType, TimestampType}
+    val timeOk: Set[org.apache.spark.sql.types.DataType] =
+      Set(TimestampType, TimestampNTZType, LongType)
+    for ((tn, p, side) <- Seq((leftTime, lPlan, "left"), (rightTime, rPlan, "right"))) {
+      val dt = attr(p, tn).dataType
+      require(timeOk.contains(dt),
+        s"asof native: $side time column '$tn' is $dt; must be TIMESTAMP/TIMESTAMP_NTZ/BIGINT " +
+          "(micros-backed) — cast it, or use the composed AsOf.joinBackward/joinForward")
+    }
+    require(attr(lPlan, leftTime).dataType == attr(rPlan, rightTime).dataType,
+      s"asof native: time columns '$leftTime' (${attr(lPlan, leftTime).dataType}) and " +
+        s"'$rightTime' (${attr(rPlan, rightTime).dataType}) must share one type — raw BIGINT " +
+        "and TIMESTAMP micros would compare in different units")
+    keys.foreach { k =>
+      val (lt, rt) = (attr(lPlan, k).dataType, attr(rPlan, k).dataType)
+      require(lt == rt,
+        s"asof native: key '$k' is $lt on the left but $rt on the right — binary key " +
+          "comparison needs identical types; cast one side")
+      require(lt != FloatType && lt != DoubleType,
+        s"asof native: key '$k' is floating-point ($lt); -0.0/NaN byte-compare unsafely — " +
+          "cast to a decimal/integral key or use the composed path")
+    }
     val payloadAttrs = rightCols.map(attr(rPlan, _))
     val outAttrs = payloadAttrs.map(a =>
       AttributeReference(a.name, a.dataType, nullable = true)()) :+

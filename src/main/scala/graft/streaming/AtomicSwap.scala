@@ -73,12 +73,28 @@ object AtomicSwap {
     * old mart's high-water mark would silently drop data. A blank
     * lineage on either side (legacy marker, non-stream caller) falls
     * back to the batchId-only rule.
+    *
+    * UPGRADE PATH CAVEAT: a mart carrying a legacy (pre-lineage, blank)
+    * marker attached to a NEW stream keeps skipping that stream's early
+    * batches under the fallback rule until the first new-format marker
+    * lands — the exact window the lineage guard closes for new marts.
+    * The skip is logged loudly below so the window is visible; to close
+    * it entirely, delete (or rewrite via [[writeMarker]] with the new
+    * stream's lineage) the `_applied_batch` file when attaching a fresh
+    * stream to a pre-existing mart.
     */
   def alreadyApplied(fs: FileSystem, target: Path, batchId: Long,
       lineage: String): Boolean =
     lastApplied(fs, target).exists { case (applied, storedLineage) =>
-      applied >= batchId &&
+      val skip = applied >= batchId &&
         (storedLineage.isEmpty || lineage.isEmpty || storedLineage == lineage)
+      if (skip && storedLineage.isEmpty && lineage.nonEmpty)
+        System.err.println(
+          s"[atomic-swap] WARNING: skipping batch $batchId of stream $lineage at " +
+            s"$target on a LEGACY lineage-less marker (applied=$applied). If this " +
+            "is a fresh stream attached to a pre-existing mart, its early batches " +
+            "are being dropped — remove or rewrite the mart's _applied_batch marker.")
+      skip
     }
 
   /** Restore a consistent state after a crash, in sink-start position:

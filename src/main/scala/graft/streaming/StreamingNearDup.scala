@@ -77,6 +77,11 @@ object StreamingNearDup {
                      ttlMs: Long = 0L): Dataset[CandidatePair] = {
     import bands.sparkSession.implicits._
     val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    // fail at construction, not per-group at runtime: a real timeout with
+    // the default ttlMs=0 would make every setTimeoutDuration(0) throw
+    // IllegalArgumentException inside the first micro-batch
+    require(!useTimeout || ttlMs > 0,
+      s"candidatePairs: timeout=$timeout needs ttlMs > 0 (got $ttlMs)")
     bands.groupByKey(b => (b.band_idx, b.band_key))
       .flatMapGroupsWithState[BandSeen, CandidatePair](
         OutputMode.Append, timeout) { case (_, rows, state) =>
