@@ -8,6 +8,23 @@ import org.apache.spark.sql.SparkSession
   * Warmup first touches every table (file-footer + page cache + JIT +
   * codegen warm) so per-query numbers measure the query, not first-touch
   * costs; queries then run in sorted name order for run-to-run stability.
+  *
+  * BURST ARBITRATION (r9 VERDICT #1): two consecutive driver snapshots
+  * read 8-40x over the committed idle min-of-3 on a contiguous block of
+  * queries, and the exculpatory evidence (ambient CPU bursts on the
+  * shared host) lived only in SCALE.md prose. This run now settles the
+  * question inside the artifact itself:
+  *
+  *  - every query carries wall-clock start/end stamps (offsets from
+  *    suite start on the stdout line, epoch millis in the sidecar), so
+  *    an alphabetically/temporally CONTIGUOUS slow window is visible
+  *    from the JSON alone;
+  *  - any query whose fresh min reads >2.5x its previously committed
+  *    BENCH_LOCAL time (and >0.5 s absolute — sub-half-second queries
+  *    swing 2x on ambient load) is re-measured ONCE more, alone, after
+  *    the whole suite. A clean re-measure (back near the committed
+  *    time, identical code, same JVM) proves the earlier reading was an
+  *    environment burst; a dirty one indicts the code.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,6 +45,23 @@ object Bench {
       initialPartitions = math.max(parts.toInt, GraftSession.DefaultInitialPartitions)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // the PREVIOUS committed sidecar is the re-measure reference — read
+    // before this run overwrites it. Numbers only; a missing/unparseable
+    // file just disables flagging (first run, fresh clone).
+    val refTimes: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = java.nio.file.Files.readString(p)
+        """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s).map(_.group(1)) match {
+          case None => Map.empty
+          case Some(body) =>
+            """"([A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
 
     // warmup: touch every table once (schema + full scan) + JIT the agg path
     // (events is warmed via Tables.events below — a plain read would hit
@@ -55,29 +89,35 @@ object Bench {
     // leak hunting (is cross-query contamination block/broadcast/disk
     // accumulation?), excluded from the timed sections
     val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        // noop sink, not count(): under count() Catalyst prunes every
-        // projection to nothing, so expression-heavy scan queries would
-        // time as bare scans; the noop sink materializes every column.
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => errors += name; None }
-        finally {
-          // drop storage blocks a query left behind (e.g. the final
-          // round's checkpoint in the resolution loops): with a big heap
-          // the async ContextCleaner may never run, and accumulated dead
-          // blocks degrade every LATER query — cross-query contamination,
-          // not real per-query cost (measured 3-30× at sf1)
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        }
+    val suiteT0 = System.currentTimeMillis()
+    def measureOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      // noop sink, not count(): under count() Catalyst prunes every
+      // projection to nothing, so expression-heavy scan queries would
+      // time as bare scans; the noop sink materializes every column.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => errors += name; None }
+      finally {
+        // drop storage blocks a query left behind (e.g. the final
+        // round's checkpoint in the resolution loops): with a big heap
+        // the async ContextCleaner may never run, and accumulated dead
+        // blocks degrade every LATER query — cross-query contamination,
+        // not real per-query cost (measured 3-30× at sf1)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
+    }
+    // per-query record: (min seconds, wall-clock start/end epoch ms
+    // spanning ALL reps) — the stamps are the burst-window evidence
+    val results = selected.map { case (name, fn) =>
+      val w0 = System.currentTimeMillis()
+      val times = (1 to reps).flatMap(_ => measureOnce(name, fn))
+      val w1 = System.currentTimeMillis()
       if (diag) System.err.println(
         f"DIAG $name min=${times.minOption.getOrElse(Double.NaN)}%.2f " +
           org.apache.spark.sql.graft.shims.storageDiag(spark.sparkContext))
-      name -> times.minOption
+      (name, times.minOption, w0, w1)
     }
     // errored-out queries print as null (JSON-safe) and are excluded
     // from the total; the errors array is the visibility signal.
@@ -91,27 +131,26 @@ object Bench {
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t + "0" else t
     }
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val sfLabel = sfDir.split('/').last
-    def render(es: Seq[(String, Option[Double])], omitted: Int): String = {
-      val qs = es.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
-        .mkString("{", ",", "}")
-      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"errors":$errs,"sf":"$sfLabel"}"""
-    }
     // stored-index build/probe split (r7 VERDICT #2): the combined
     // numbers above stay the honest oracle-shaped cost; this pass
     // measures what a warehouse actually pays per refresh — build once,
-    // then min-of-reps probes against the standing index
+    // then min-of-reps probes against the standing index. Builds are
+    // now ALSO min-of-reps (r9 VERDICT #4: the one-sample weighted-walk
+    // build carried a known 5x burst into the committed artifact).
     val splits = queries.StoredSplits.splits.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) &&
         SparkEntry.queries.contains(n) }
       .flatMap { case (name, (build, probe)) =>
         try {
-          val b0 = System.nanoTime()
-          build(spark, sfDir)
-          val buildS = (System.nanoTime() - b0) / 1e9
+          val buildS = (1 to reps).map { _ =>
+            val b0 = System.nanoTime()
+            build(spark, sfDir)
+            val dt = (System.nanoTime() - b0) / 1e9
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+            dt
+          }.min
           val probeS = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             probe(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -122,10 +161,48 @@ object Bench {
           Some(name -> (buildS, probeS))
         } catch { case _: Throwable => errors += s"split:$name"; None }
       }
+    // END-OF-SUITE ISOLATED RE-MEASURE of flagged queries: fresh min
+    // >2.5x the previously committed time AND >0.5 s over it. Runs
+    // nothing when no reference exists; capped at 12 (worst excess
+    // first) so a systemically-slow host can't double the suite.
+    val flagged = results.collect {
+      case (name, Some(now), _, _) if refTimes.get(name).exists(ref =>
+        now > ref * 2.5 && now - ref > 0.5) =>
+        (name, now, refTimes(name))
+    }.sortBy { case (_, now, ref) => ref - now }.take(12)
+    val remeasures = flagged.flatMap { case (name, _, _) =>
+      selected.find(_._1 == name).map { case (_, fn) =>
+        val w0 = System.currentTimeMillis()
+        val re = measureOnce(name, fn)
+        name -> (re, w0, System.currentTimeMillis())
+      }
+    }.toMap
+    val suiteT1 = System.currentTimeMillis()
+    def offs(ms: Long): Long = (ms - suiteT0) / 1000
+    // flagged-block JSON: ref = committed time, min = this suite's
+    // min-of-reps, w = [start,end] offsets (s) of the in-suite window,
+    // re = the isolated end-of-suite re-measure (null = it errored)
+    val flaggedJson = flagged.map { case (name, now, ref) =>
+      val (re, r0, r1) = remeasures.getOrElse(name, (None, suiteT1, suiteT1))
+      val (q0, q1) = results.find(_._1 == name)
+        .map(r => (r._3, r._4)).getOrElse((suiteT0, suiteT0))
+      "\"" + name + s"""\":{"ref":${fmt(ref)},"min":${fmt(now)},"w":[${offs(q0)},${offs(q1)}],"re":${re.fold("null")(fmt)},"rw":[${offs(r0)},${offs(r1)}]}"""
+    }.mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def render(es: Seq[(String, Option[Double])], omitted: Int): String = {
+      val qs = es.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      val fl = if (flagged.nonEmpty) s""","flagged":$flaggedJson""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$fl,"errors":$errs,"sf":"$sfLabel","t0":$suiteT0,"t1":$suiteT1}"""
+    }
     // full-precision sidecar: the complete per-query record lives in the
     // repo regardless of what fits on the stdout line
     val splitJson = splits
       .map { case (k, (b, p)) => "\"" + k + s"""\":{"build":$b,"probe":$p}""" }
+      .mkString("{", ",", "}")
+    val stampsJson = results
+      .map { case (k, _, w0, w1) => "\"" + k + s"""\":[$w0,$w1]""" }
       .mkString("{", ",", "}")
     // a BENCH_ONLY-filtered run must not clobber the committed full
     // snapshot (BenchRegressionSpec reads it; a 2-query file canceled
@@ -133,13 +210,13 @@ object Bench {
     val snapshotName =
       if (only.isDefined) "BENCH_LOCAL_partial.json" else "BENCH_LOCAL.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(snapshotName),
-      results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
-        .mkString(s"""{"total":$total,"sf":"$sfLabel","queries":{""", ",",
-          s"""},"stored_splits":$splitJson}\n""")
+      results.map { case (k, v, _, _) => "\"" + k + "\":" + v.fold("null")(_.toString) }
+        .mkString(s"""{"total":$total,"sf":"$sfLabel","t0":$suiteT0,"t1":$suiteT1,"queries":{""", ",",
+          s"""},"stamps":$stampsJson,"flagged":$flaggedJson,"stored_splits":$splitJson}\n""")
         .getBytes("UTF-8"))
     // if the line would overflow the tail window, shed the CHEAPEST
     // entries (least informative per char) and say how many were dropped
-    var kept = results
+    var kept = results.map(r => (r._1, r._2))
     var line = render(kept, 0)
     while (line.length > 1900 && kept.exists(_._2.isDefined)) {
       val cheapest = kept.filter(_._2.isDefined).minBy(_._2.get)._1
