@@ -139,11 +139,41 @@ object Graph {
     // is the whole point: |delta| ≪ |standing table|.
     val delta = if (shims.planOnly) newEdges.select(col("u"), col("v"))
       else shims.checkpointWithStats(newEdges.select(col("u"), col("v")))
+    // BROADCAST-SMALL FAST PATH (r9 VERDICT #5): the distributed fold
+    // below has a ~3 s machinery floor per call — a second stats
+    // checkpoint plus an iterative contraction solve whose per-round
+    // fixed costs dominate when the delta is tiny. But the 100 TB
+    // regime this operator exists for (|delta| ≪ |standing|) is exactly
+    // the regime where the CONTRACTED graph fits in a broadcast: its
+    // node set is delta endpoints only. So when the measured delta is
+    // under the session's broadcast threshold — the same number AQE
+    // would use to broadcast it — solve the contraction with a driver
+    // union-find over the collected delta (the build side of a
+    // broadcast hash join collects the same bytes to the driver), and
+    // the whole fold becomes two standing-table scans with broadcast
+    // joins: endpoint-label lookup + final remap. No second checkpoint,
+    // no iterative jobs. Result is row-identical to the distributed
+    // path (same contraction, same min-label algebra) — GraphSpec's
+    // randomized differential and the x_components_incremental /
+    // t10_streaming_components oracles pin both.
+    val smallDelta = !shims.planOnly &&
+      (delta.schema.fields ++ labels.schema.fields).forall(_.dataType ==
+        org.apache.spark.sql.types.LongType) &&
+      shims.statsSizeInBytes(delta).exists(sz => sz > 0 &&
+        sz <= shims.autoBroadcastThresholdBytes(delta.sparkSession).max(1L))
+    if (smallDelta) return componentsIncrementalSmall(labels, delta)
     val nodes = delta.select(col("u").as("n"))
       .unionAll(delta.select(col("v").as("n"))).distinct()
-    // endpoint → current label (unseen endpoints are their own label)
+    // endpoint → current label (unseen endpoints are their own label);
+    // `__new` marks endpoints absent from the standing table — they are
+    // the ONLY nodes the union below may add, so the old groupBy-min
+    // dedup over the whole standing table (a full-table shuffle per
+    // fold) is replaced by a disjoint union: standing nodes keep their
+    // stored row (lab's lookup returned the same label), new nodes
+    // enter once
     val lab0 = nodes.join(labels, Seq("n"), "left")
-      .select(col("n"), coalesce(col("component"), col("n")).as("lbl"))
+      .select(col("n"), coalesce(col("component"), col("n")).as("lbl"),
+        col("component").isNull.as("__new"))
     val lab = if (shims.planOnly) lab0 else shims.checkpointWithStats(lab0)
     val contracted = delta
       .join(lab.select(col("n").as("u"), col("lbl").as("lu")), Seq("u"))
@@ -155,14 +185,77 @@ object Graph {
     // connectedComponents materialized eagerly, so the delta blocks are
     // dead here (lab stays live: the result plan unions it below)
     if (!shims.planOnly) shims.unpersistLocalCheckpoint(delta)
-    // all labeled nodes: the standing table plus the delta's endpoints
-    // (overlap carries the same label on both sides; min-dedupe)
-    val all = labels
-      .unionByName(lab.select(col("n"), col("lbl").as("component")))
-      .groupBy(col("n")).agg(min(col("component")).as("component"))
+    // all labeled nodes: the standing table plus the delta's NEW
+    // endpoints (disjoint by construction — no shuffle, no dedupe)
+    val all = labels.unionByName(
+      lab.filter(col("__new")).select(col("n"), col("lbl").as("component")))
     // labels untouched by the delta miss in superComp and keep themselves
     all.join(superComp, Seq("component"), "left")
       .select(col("n"), coalesce(col("__newc"), col("component")).as("component"))
+  }
+
+  /** [[componentsIncremental]]'s driver-solved fast path for broadcast-
+    * small deltas; `delta` is already stats-checkpointed with (u, v)
+    * BIGINT columns. Collects the delta (bounded by the broadcast
+    * threshold), looks up the endpoints' standing labels with ONE
+    * broadcast-join scan, runs a min-tracking union-find over the
+    * contracted label graph on the driver, and remaps the standing
+    * table with the (old → new) label map as a LocalRelation broadcast
+    * join — the standing table is still read exactly twice and never
+    * shuffled or iterated.
+    */
+  private def componentsIncrementalSmall(labels: DataFrame,
+                                         delta: DataFrame): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val edges = delta.collect().map(r => (r.getLong(0), r.getLong(1)))
+    shims.unpersistLocalCheckpoint(delta)
+    val nodeIds = {
+      val b = Array.newBuilder[Long]
+      edges.foreach { case (u, v) => b += u; b += v }
+      b.result().distinct
+    }
+    // one standing-table scan: which delta endpoints already have labels
+    // (the LocalRelation side carries exact stats → broadcast hash join)
+    val found = new java.util.HashMap[Long, Long]()
+    if (nodeIds.nonEmpty)
+      labels.join(nodeIds.toSeq.toDF("n"), Seq("n"), "left_semi")
+        .collect().foreach(r =>
+          found.put(r.getAs[Long]("n"), r.getAs[Long]("component")))
+    def lbl(n: Long): Long = found.getOrDefault(n, n)
+    // min-tracking union-find over the label space: the merged super-
+    // component's label is the min of its member labels, which (labels
+    // being min node ids of their old components, new nodes labeling
+    // themselves) is the min node id of the merged real component —
+    // the same algebra the distributed contraction solve computes
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(lbl(u)), find(lbl(v)))
+      if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+    }
+    // roots are min-by-construction (always union larger label under
+    // smaller), so find(L) IS the new label of L's super-component
+    val touched = nodeIds.map(lbl).distinct
+    val superPairs = touched.flatMap { l =>
+      val nl = find(l); if (nl != l) Some((l, nl)) else None
+    }
+    val newNodes = nodeIds.filterNot(found.containsKey)
+      .map(n => (n, find(lbl(n))))
+    val remapped =
+      if (superPairs.isEmpty) labels
+      else labels.join(superPairs.toSeq.toDF("component", "__newc"),
+          Seq("component"), "left")
+        .select(col("n"),
+          coalesce(col("__newc"), col("component")).as("component"))
+    if (newNodes.isEmpty) remapped
+    else remapped.unionByName(newNodes.toSeq.toDF("n", "component"))
   }
 
   /** foreachBatch sink maintaining a STANDING component-label table

@@ -291,4 +291,16 @@ object shims {
         lr.computeStats().rowCount.map(_.toLong)
       case _ => None
     }
+
+  /** Measured byte size of a [[checkpointWithStats]] frame, from the
+    * injected statistics — no job. None for other plans. The broadcast-
+    * small test an operator uses to pick a driver-side fast path should
+    * read the same number AQE would use to pick a broadcast join.
+    */
+  def statsSizeInBytes(df: org.apache.spark.sql.DataFrame): Option[Long] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        Some(lr.computeStats().sizeInBytes.toLong)
+      case _ => None
+    }
 }

@@ -104,6 +104,33 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("componentsIncremental: distributed path == driver-solved small path == from-scratch") {
+    // the broadcast-small fast path (driver union-find) engages whenever
+    // the measured delta fits the session broadcast threshold — i.e. for
+    // every spec-sized delta. Force the DISTRIBUTED contraction solve by
+    // disabling auto-broadcast, and pin all three against each other.
+    val rnd = new scala.util.Random(23L)
+    val all = (1 to 140).map(_ =>
+      (rnd.nextInt(45).toLong, rnd.nextInt(45).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val (e1, e2) = all.partition(_ => rnd.nextBoolean())
+    val labels = Graph.connectedComponents(e1.toDF("u", "v"))
+      .localCheckpoint(true)
+    val small = Graph.componentsIncremental(labels, e2.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val dist = try {
+      spark.conf.set(key, "-1")
+      Graph.componentsIncremental(labels, e2.toDF("u", "v"))
+        .as[(Long, Long)].collect().toMap
+    } finally spark.conf.set(key, saved)
+    val scratch = Graph.connectedComponents(all.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert(small == scratch)
+    assert(dist == scratch)
+  }
+
   test("availableNowComponents: stream-maintained labels equal from-scratch components") {
     val rnd = new scala.util.Random(11L)
     val all = (1 to 150).map(_ =>
