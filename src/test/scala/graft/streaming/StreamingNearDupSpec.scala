@@ -81,6 +81,54 @@ class StreamingNearDupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("TTL misconfiguration fails at construction, not per-group at runtime") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val bands = bandKeys(docs, "doc_id", "text").as[BandDoc]
+    intercept[IllegalArgumentException] {
+      candidatePairs(bands, timeout = GroupStateTimeout.ProcessingTimeTimeout)
+    } // ttlMs defaults to 0 — setTimeoutDuration(0) would throw per group
+  }
+
+  test("TTL ages dormant bands out: forgotten ids re-enter as new, stale pairs skipped") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[BandDoc]
+    // NOTE processAllAvailable is unusable under ProcessingTimeTimeout:
+    // FlatMapGroupsWithStateExec.shouldRunAnotherBatch is unconditionally
+    // true for it, so the stream busy-loops no-data batches (that is HOW
+    // dormant-group timeouts fire without input) and "all available" is
+    // never quiescent. Poll the sink / state-store metrics instead.
+    def await(what: String)(cond: => Boolean): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!cond) {
+        assert(System.currentTimeMillis() - t0 < 60000, s"timed out: $what")
+        Thread.sleep(50)
+      }
+    }
+    val q = candidatePairs(mem.toDS(),
+        timeout = GroupStateTimeout.ProcessingTimeTimeout, ttlMs = 1L)
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("neardup_ttl").start()
+    try {
+      mem.addData(BandDoc(0, "k1", 1L), BandDoc(0, "k1", 2L))
+      await("first pair")(spark.table("neardup_ttl").count() == 1)
+      assert(spark.table("neardup_ttl").as[CandidatePair].collect().toSet ==
+        Set(CandidatePair(1L, 2L)))
+      // the no-data batches churn until the 1 ms TTL lapses and the
+      // dormant (0,k1) state is removed
+      await("state aged out")(Option(q.lastProgress)
+        .flatMap(_.stateOperators.headOption).exists(_.numRowsTotal == 0))
+      // doc 1 re-enters the aged-out band as NEW: it pairs with fresh doc 3
+      // but NOT with forgotten doc 2 — the documented lambda contract
+      // (duplicates farther apart than the TTL belong to the batch pass)
+      mem.addData(BandDoc(0, "k1", 1L), BandDoc(0, "k1", 3L))
+      await("post-TTL pair")(spark.table("neardup_ttl").count() >= 2)
+      val all = spark.table("neardup_ttl").as[CandidatePair].collect().toSet
+      assert(all == Set(CandidatePair(1L, 2L), CandidatePair(1L, 3L)),
+        s"got $all")
+    } finally q.stop()
+  }
+
   test("availableNow drain equals batch lshCandidates on real documents") {
     val drained = availableNowCandidates(spark, sfDir)
       .collect().map(_.toString).sorted.toSeq
