@@ -281,6 +281,34 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("native as-of layout feeds a same-key window with zero extra exchange/sort") {
+    // AsOfJoinExec declares outputPartitioning = left partitioning and
+    // outputOrdering = (keys, time) precisely so a downstream per-key
+    // consumer skips its own exchange+sort (the scaladoc claim at
+    // plans/AsOfJoinPlan.scala) — pin it: the whole as-of -> window
+    // chain plans with exactly the TWO child exchanges and TWO child
+    // sorts the as-of itself requires, the window adding none.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+        col("value").as("click_value"))
+    val asof = graft.operators.AsOf.joinBackwardNative(views, clicks,
+      Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      rightCols = Seq("click_id", "click_value"), rightTieBreak = "click_id")
+    val windowed = asof.withColumn("rn", org.apache.spark.sql.functions
+      .row_number().over(Window.partitionBy("user_id").orderBy("ts")))
+    val p = windowed.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"native path not planned:\n$p")
+    assert(countOccurrences(p, "Exchange") == 2,
+      s"window re-shuffled the as-of output:\n$p")
+    assert(countOccurrences(p, "Sort [") == 2,
+      s"window re-sorted the as-of output:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot loop)") {
     Seq("q1_agg", "f1_range_filter", "p7_surrogate_key", "a1_hourly_pivot").foreach { q =>
       // AQE hides codegen stages until execution — run, then read the final plan
