@@ -517,6 +517,14 @@ object AnalyticsQueries {
         .select("event_id", "user_id", "click_id", "click_value", "asof_lag_us")
     }),
 
+    // ---- STREAMING twin of x_asof_native: events drained in 3
+    //      arbitrary micro-batches (views and clicks interleaved), the
+    //      as-of mart maintained incrementally per batch — the argmax
+    //      fold is a semilattice, so the maintained mart equals the
+    //      batch as-of for ANY split; pinned to the same oracle
+    "t11_streaming_asof" -> ((s, d) =>
+      graft.streaming.StreamingAsOf.availableNowAsOf(s, d)),
+
     // ---- nearest-either-side as-of (pandas direction='nearest'):
     //      closest click within 6h on either side, exact ties backward —
     //      only expressible in one pass by the native exec (the composed
@@ -991,6 +999,19 @@ object AnalyticsQueries {
     // engine's select-nearest-then-null-if-far, since every non-nearest
     // candidate is strictly farther on the same side.
     "x_asof_join" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.event_id, v.user_id, c.click_id, c.click_value,
+        |  epoch_us(v.ts) - epoch_us(c.ts) AS asof_lag_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id AND c.ts <= v.ts
+        |  AND epoch_us(v.ts) - epoch_us(c.ts) <= 21600000000
+        |QUALIFY row_number() OVER (PARTITION BY v.event_id
+        |  ORDER BY c.ts DESC, c.click_id DESC) = 1""".stripMargin,
+
+    // the stream-maintained mart must land on the same rows as the
+    // batch native exec — one declarative oracle pins all three
+    "t11_streaming_asof" ->
       """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
         |c AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
         |      FROM events WHERE event_type = 'click')

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, SparkEntry, Tables}
+import graft.operators.AsOf
+
+class StreamingAsOfSpec extends SparkSuite {
+
+  test("drained streaming as-of equals the batch native as-of row-for-row") {
+    val drained = SparkEntry.queries("t11_streaming_asof")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("x_asof_native")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(drained == batch && drained.nonEmpty)
+  }
+
+  test("late rights re-open already-matched lefts; argmax merge is split-invariant") {
+    import spark.implicits._
+    // views v1@100, v2@250; clicks c10@50, c20@240, c30@260 — drained as
+    // three hand-ordered "batches" through the sink directly, with the
+    // LATE click c20 arriving after both views were already matched to
+    // c10: the B path must upgrade v2 (240 ≤ 250) but NOT v1 (240 > 100)
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val work = java.nio.file.Files.createTempDirectory("graft_asof_spec").toString
+    val mart = s"$work/mart"; val rstore = s"$work/clicks"
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts"),
+      df.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value").as("click_value")))
+    val sink = StreamingAsOf.asOfSink(mart, rstore, split, "event_id",
+      Seq("user_id"), "ts", "ts", Seq("click_id", "click_value"),
+      "click_id", toleranceUs = Some(1000000L)) _
+    def batchDf(rows: (Long, Long, Long, String, Double)*) =
+      rows.toSeq.map { case (e, u, t, ty, v) => (e, u, ts(t * 1000), ty, v) }
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+    sink(batchDf((10L, 1L, 50L, "click", 1.0), (1L, 1L, 100L, "view", 0.0)), 0L)
+    sink(batchDf((2L, 1L, 250L, "view", 0.0)), 1L)           // matches c10 for now
+    sink(batchDf((20L, 1L, 240L, "click", 2.0),              // late: upgrades v2 only
+                 (30L, 1L, 260L, "click", 3.0)), 2L)         // after both views: matches nothing
+    val got = StreamingAsOf.readMart(spark, mart, "ts",
+        Seq("click_id", "click_value"), Some(1000000L))
+      .select("event_id", "click_id", "click_value", "asof_lag_us")
+      .as[(Long, Option[Long], Option[Double], Option[Long])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, Some(10L), Some(1.0), Some(50000L)),   // v1 keeps c10
+      (2L, Some(20L), Some(2.0), Some(10000L))),  // v2 upgraded c10 -> c20
+      s"got $got")
+    // replay of an applied batch is skipped (marker guard): mart unchanged
+    sink(batchDf((40L, 1L, 255L, "click", 9.0)), 2L)
+    val again = StreamingAsOf.readMart(spark, mart, "ts",
+        Seq("click_id", "click_value"), Some(1000000L))
+      .select("event_id", "click_id").as[(Long, Option[Long])].collect().toSet
+    assert(again == Set((1L, Some(10L)), (2L, Some(20L))))
+  }
+
+  test("tolerance nulling at read: raw best kept, farther-than-tolerance shows NULL") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val work = java.nio.file.Files.createTempDirectory("graft_asof_tol").toString
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "view").select("event_id", "user_id", "ts"),
+      df.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value").as("click_value")))
+    val sink = StreamingAsOf.asOfSink(s"$work/m", s"$work/r", split, "event_id",
+      Seq("user_id"), "ts", "ts", Seq("click_id", "click_value"),
+      "click_id", toleranceUs = Some(100L)) _
+    sink(Seq((10L, 1L, ts(1000L), "click", 1.0), (1L, 1L, ts(5000L), "view", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value"), 0L)
+    val row = StreamingAsOf.readMart(spark, s"$work/m", "ts",
+        Seq("click_id", "click_value"), Some(100L))
+      .select("event_id", "click_id", "asof_lag_us")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(row == Seq((1L, None, None))) // 4 ms lag > 100 µs tolerance
+  }
+}
