@@ -19,11 +19,12 @@ import org.apache.spark.sql.SparkSession
   *    suite start on the stdout line, epoch millis in the sidecar), so
   *    an alphabetically/temporally CONTIGUOUS slow window is visible
   *    from the JSON alone;
-  *  - any query whose fresh min reads >2.5x its previously committed
+  *  - any query whose fresh min reads >1.5x its previously committed
   *    BENCH_LOCAL time (and >0.5 s absolute — sub-half-second queries
-  *    swing 2x on ambient load) is re-measured ONCE more, alone, after
-  *    the whole suite. A clean re-measure (back near the committed
-  *    time, identical code, same JVM) proves the earlier reading was an
+  *    swing 2x on ambient load; same threshold the BenchRegressionSpec
+  *    latch fails on) is re-measured ONCE more, alone, after the whole
+  *    suite. A clean re-measure (back near the committed time,
+  *    identical code, same JVM) proves the earlier reading was an
   *    environment burst; a dirty one indicts the code.
   */
 object Bench {
@@ -162,12 +163,14 @@ object Bench {
         } catch { case _: Throwable => errors += s"split:$name"; None }
       }
     // END-OF-SUITE ISOLATED RE-MEASURE of flagged queries: fresh min
-    // >2.5x the previously committed time AND >0.5 s over it. Runs
-    // nothing when no reference exists; capped at 12 (worst excess
-    // first) so a systemically-slow host can't double the suite.
+    // >1.5x the previously committed time AND >0.5 s over it — the SAME
+    // threshold BenchRegressionSpec latches on, so every latch-relevant
+    // drift carries its own in-artifact arbitration. Runs nothing when
+    // no reference exists; capped at 12 (worst excess first) so a
+    // systemically-slow host can't double the suite.
     val flagged = results.collect {
       case (name, Some(now), _, _) if refTimes.get(name).exists(ref =>
-        now > ref * 2.5 && now - ref > 0.5) =>
+        now > ref * 1.5 && now - ref > 0.5) =>
         (name, now, refTimes(name))
     }.sortBy { case (_, now, ref) => ref - now }.take(12)
     val remeasures = flagged.flatMap { case (name, _, _) =>
