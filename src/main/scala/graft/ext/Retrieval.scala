@@ -148,6 +148,95 @@ object Retrieval {
     score(tf, dl, stats, idCol, k, scale)
   }
 
+  /** STREAMING postings maintenance — IVM for retrieval, completing the
+    * batch/streaming symmetry for the BM25 family: each micro-batch of
+    * new documents is tokenized ON ARRIVAL and its postings + doc-length
+    * rows land as a `batch=<id>` shard (the StreamingIndex posture), so
+    * the index is always current at O(batch) cost and the corpus text is
+    * never re-read. Every piece of the BM25 state is mergeable across
+    * shards by construction — postings and doc lengths are disjoint
+    * per-document rows (a doc arrives in exactly one batch), and the
+    * corpus stats (N, total length) are derived at probe time from the
+    * doclen table the probe joins anyway — so the maintained index is
+    * IDENTICAL to a from-scratch [[writePostings]] build over all
+    * documents, for any micro-batch split.
+    *
+    * Replay idempotence needs no marker: a re-delivered batch overwrites
+    * its own `batch=<id>` shards bit-for-bit (no additive state
+    * anywhere — the reason the stored-stats side table of the batch
+    * builder is deliberately NOT maintained here).
+    */
+  def bm25Sink(indexPath: String, idCol: String, textCol: String)
+              (batch: DataFrame, batchId: Long): Unit = {
+    val id = col(idCol)
+    // checkpoint-once: the token explode feeds both the postings and
+    // the doc-length aggregations
+    val tok = graftShims.checkpointWithStats(
+      batch.select(id, explode(TextOps.tokens(col(textCol))).as("token")))
+    // tok_band nested INSIDE the batch shard, so the probe still prunes
+    // to the query terms' md5-band directories within every shard
+    tok.groupBy(id, col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("tok_band", substring(md5(col("token")), 1, 1))
+      .write.mode("overwrite").partitionBy("tok_band")
+      .parquet(s"$indexPath/postings/batch=$batchId")
+    tok.groupBy(id).agg(count(lit(1)).as("dl"))
+      .write.mode("overwrite").parquet(s"$indexPath/doclen/batch=$batchId")
+    graftShims.unpersistLocalCheckpoint(tok)
+  }
+
+  /** Probe the stream-maintained index: identical results to
+    * [[bm25TopK]] over every document any shard has indexed (parity
+    * pinned in StreamingBm25Spec and the `t12_streaming_bm25` oracle).
+    * Same band pruning as [[bm25TopKStored]] — `tok_band` is a
+    * discovered partition column inside each batch shard. Corpus stats
+    * aggregate from the doclen table (one tiny agg over a table the
+    * scoring tail joins anyway).
+    */
+  def bm25TopKStreamed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, terms: Seq[String], k: Int,
+      scale: Long = 1000L): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val bands = terms.map(tokenBand).distinct
+    val tf = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("tok_band").isin(bands: _*))
+      .filter(col("token").isin(terms: _*))
+      .select(col(idCol), col("token"), col("tf"))
+    val dl = spark.read.parquet(s"$indexPath/doclen")
+      .select(col(idCol), col("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tl"))
+    score(tf, dl, stats, idCol, k, scale)
+  }
+
+  /** The whole chain drained end-to-end (the `t12_streaming_bm25`
+    * driver query): documents file-stream (3 arbitrary splits) →
+    * per-batch postings shards → stream-index probe. Equals the batch
+    * [[bm25TopK]] / stored-index probe for any split (oracle-pinned).
+    */
+  def availableNowBm25(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_bm25").toString
+    val src = s"$work/docs"
+    val idx = s"$work/index"
+    graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      .repartition(3).write.parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    graft.streaming.DrainWidth.clamped(spark) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(bm25Sink(idx, "doc_id", "text") _)
+        .start()
+      q.awaitTermination()
+    }
+    bm25TopKStreamed(spark, idx, "doc_id",
+      Seq("vector", "spark", "window"), k = 20)
+  }
+
   /** Sparse tf-idf cosine near-dup pairs: all document pairs sharing a
     * non-ubiquitous token, scored by the cosine of their tf-idf weight
     * vectors — the WEIGHTED complement to the Jaccard family (catches

@@ -571,6 +571,14 @@ object ExtQueries {
         Seq("vector", "spark", "window"), k = 20)
     }),
 
+    // ---- STREAMING twin of x_bm25_stored: documents drained in 3
+    //      arbitrary micro-batches, postings/doclen landing as
+    //      overwrite-idempotent batch shards (IVM for retrieval — all
+    //      BM25 state is mergeable across shards by construction);
+    //      probe equals the batch build for any split, same oracle
+    "t12_streaming_bm25" -> ((s, d) =>
+      graft.ext.Retrieval.availableNowBm25(s, d)),
+
     // ---- composite quality gate: token band + stopword floor + language
     "x_quality_filter" -> ((s, d) =>
       Corpus.qualityFilter(Tables.documents(s, d), "doc_id", "text",
@@ -1712,6 +1720,7 @@ object ExtQueries {
     // the stored index is a LAYOUT; the answer contract is "identical
     // to the cold query" — same oracle by definition
     "x_bm25_stored" -> Bm25OracleSql,
+    "t12_streaming_bm25" -> Bm25OracleSql,
 
     "x_quality_filter" ->
       s"""WITH c AS (SELECT doc_id,

@@ -96,8 +96,12 @@ class BenchRegressionSpec extends AnyFunSuite {
       val ratio = if (name.matches("t\\d+_.*")) 2.5 else 1.5
       priorQ.get(name).collect {
         case was if now > was * ratio && now - was > 0.5 =>
+          // arbitrated = the isolated rep is back in the prior's band
+          // (2.5x covers its single-cold-rep handicap) AND far below the
+          // in-suite reading — a re-measure as slow as the suite reading
+          // indicts the code, not the environment
           val arbitrated = remeasured.get(name)
-            .exists(re => re <= was * 2.5 && (re - was) <= 2.0)
+            .exists(re => re <= was * 2.5 && re < now / 1.8)
           (name, was, now, arbitrated,
             f"$name: $was%.2f s -> $now%.2f s (${now / was}%.2fx, latch ${ratio}x" +
               remeasured.get(name).fold(")")(re => f"; isolated re-measure $re%.2f s)"))
