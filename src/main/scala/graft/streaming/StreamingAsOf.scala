@@ -61,29 +61,23 @@ object StreamingAsOf {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val mart = new org.apache.hadoop.fs.Path(martPath)
-    val rstore = new org.apache.hadoop.fs.Path(rightStorePath)
     val fs = mart.getFileSystem(conf)
     AtomicSwap.heal(fs, mart)
-    AtomicSwap.heal(fs, rstore)
     val lineage = AtomicSwap.streamLineage(spark)
     if (AtomicSwap.alreadyApplied(fs, mart, batchId, lineage)) return
     val (newL0, newR0) = split(batch)
     val newL = shims.checkpointWithStats(newL0)
     val newR = shims.checkpointWithStats(newR0)
-    // 1. standing rights ∪ this batch's rights (its own replay marker:
-    // a crash between the two commits must not double-append on replay;
-    // the mart fold below reads the POST-append table either way)
-    val allR =
-      if (AtomicSwap.alreadyApplied(fs, rstore, batchId, lineage))
-        spark.read.parquet(rightStorePath)
-      else {
-        val grown =
-          (if (fs.exists(rstore)) spark.read.parquet(rightStorePath).unionByName(newR)
-           else newR.toDF()).localCheckpoint(true)
-        AtomicSwap.commit(grown, rightStorePath, batchId, lineage)
-        shims.unpersistLocalCheckpoint(grown)
-        spark.read.parquet(rightStorePath)
-      }
+    // 1. rights are append-only → land as an overwrite-idempotent
+    // `batch=<id>` shard (the StreamingIndex/bm25Sink posture): a
+    // replayed batch overwrites its own shard bit-for-bit, and the
+    // per-batch right-store cost is O(delta) — a full-history rewrite
+    // here measured as the one index-sized term in the fold
+    // (StreamIncProbe). Long streams compact shards offline like any
+    // landing table.
+    newR.toDF().write.mode("overwrite").parquet(s"$rightStorePath/batch=$batchId")
+    val allR = spark.read.parquet(rightStorePath)
+      .drop("batch").select(newR.columns.map(col): _*)
     // 2. A: new lefts vs (tolerance-pruned) right history, via the
     // native batch exec — __rt_us (raw matched right time) is what the
     // argmax merge compares
@@ -104,11 +98,19 @@ object StreamingAsOf {
       if (!fs.exists(mart)) aRows
       else {
         val standingM = spark.read.parquet(martPath)
-        // 3. B: only mart rows sharing a key with the new rights can
-        // change; they re-as-of against the NEW rights only
-        val hotKeys = newR.select(keys.map(col): _*).distinct()
-        val affected = standingM.join(hotKeys, keys, "left_semi")
-        val untouched = standingM.join(hotKeys, keys, "left_anti")
+        // 3. B: only mart rows that share a key with the new rights AND
+        // sit in the rights' time window can change. The time bound is
+        // exact, not approximate: a left with lt < min(new rt) has no
+        // new right at-or-before it at all, and one with
+        // lt > max(new rt) + tol could at most swap one
+        // beyond-tolerance raw match for another — both read as NULL,
+        // the same argument that makes the A-side prune safe. For a
+        // time-ordered stream this caps B at the tolerance window
+        // regardless of mart size or key spread (measured: an
+        // unpruned B re-as-of'd every historical row of every
+        // delta-active user, O(mart ∩ hot keys) per fold).
+        val (affected, untouched) =
+          splitAffected(standingM, newR, keys, leftTime, rightTime, toleranceUs)
         val leftColNames = standingM.columns
           .filterNot(c => c == "__rt_us" || rightCols.contains(c)).toSeq
         val cand = withRt(AsOf.joinBackwardNative(
@@ -137,9 +139,149 @@ object StreamingAsOf {
     shims.unpersistLocalCheckpoint(newR)
   }
 
+  /** Affected/untouched split shared by both sinks: a standing mart row
+    * can change only if it (a) shares a key with the new rights and
+    * (b) sits in the rights' time window `[min rt, max rt + tol]`. The
+    * time bound is exact: a left before every new right has no new
+    * match at all, and one past the window could at most swap one
+    * beyond-tolerance raw match for another — both read NULL (the
+    * A-side prune argument). NULL left times land in `untouched`.
+    */
+  private def splitAffected(standing: DataFrame, newR: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      toleranceUs: Option[Long]): (DataFrame, DataFrame) = {
+    if (!shims.statsRowCount(newR).forall(_ > 0))
+      return (standing.limit(0), standing)
+    val bounds = newR.agg(
+      min(unix_micros(col(rightTime))), max(unix_micros(col(rightTime)))).head()
+    val (minRt, maxRt) = (bounds.getLong(0), bounds.getLong(1))
+    val lt = unix_micros(col(leftTime))
+    val inWindow = coalesce(
+      lt >= minRt && toleranceUs.map(t => lt <= maxRt + t).getOrElse(lit(true)),
+      lit(false))
+    val hot = newR.select(keys.map(col): _*).distinct().withColumn("__hot", lit(1))
+    val marked = standing.join(hot, keys, "left")
+    (marked.filter(col("__hot").isNotNull && inWindow).drop("__hot"),
+     marked.filter(col("__hot").isNull || !inWindow).drop("__hot"))
+  }
+
+  /** The PARTITION-SCOPED form of [[asOfSink]] — the 100 TB posture
+    * (the `partitionedMergeSink` pattern applied to the as-of mart):
+    * the mart is partitioned by the LEFT EVENT DAY, and a batch reads
+    * and rewrites only the day partitions its delta touches — the new
+    * lefts' days plus the days overlapping the new rights' time window
+    * `[min rt, max rt + tol]` — via dynamic partition overwrite.
+    *
+    * Day partitioning, not key-bucket, deliberately: bucket-scoping by
+    * key only localizes when deltas are KEY-local, and any delta with
+    * more distinct keys than buckets touches every bucket (measured:
+    * a uniform-key delta made the bucketed fold strictly worse than
+    * the full swap). Time-scoping exploits the locality the OPERATOR
+    * guarantees — the tolerance bounds how far back a new right can
+    * visibly reach — so for an in-order stream a fold rewrites the
+    * last day or two regardless of mart size or key spread.
+    *
+    * Commit contract (same as partitionedMergeSink): data first, then
+    * the `_applied_batch` marker. Dynamic overwrite is not atomic
+    * across partitions, so a crash mid-write replays the batch — and
+    * the fold is replay-CONVERGENT: already-inserted new lefts are
+    * excluded from the existing side and recomputed identically from
+    * the (idempotent) right shards, and the argmax merge re-applied
+    * to already-upgraded rows is a no-op (argmax is idempotent).
+    */
+  def asOfSinkPartitioned(martPath: String, rightStorePath: String,
+               split: DataFrame => (DataFrame, DataFrame),
+               leftId: String, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String], rightTieBreak: String,
+               toleranceUs: Option[Long])
+              (batch: DataFrame, batchId: Long): Unit = {
+    require(rightCols.contains(rightTieBreak),
+      s"asOfSinkPartitioned: rightTieBreak '$rightTieBreak' must be one of $rightCols")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val mart = new org.apache.hadoop.fs.Path(martPath)
+    val fs = mart.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lineage = AtomicSwap.streamLineage(spark)
+    if (AtomicSwap.alreadyApplied(fs, mart, batchId, lineage)) return
+    val (newL0, newR0) = split(batch)
+    val newL = shims.checkpointWithStats(newL0)
+    val newR = shims.checkpointWithStats(newR0)
+    newR.toDF().write.mode("overwrite").parquet(s"$rightStorePath/batch=$batchId")
+    val allR = spark.read.parquet(rightStorePath)
+      .drop("batch").select(newR.columns.map(col): _*)
+    val rightsForA = toleranceUs match {
+      case Some(tol) if shims.statsRowCount(newL).exists(_ > 0) =>
+        val minLt = newL.agg(min(unix_micros(col(leftTime)))).head().getLong(0)
+        allR.filter(unix_micros(col(rightTime)) >= minLt - tol)
+      case _ => allR
+    }
+    def withRt(asofed: DataFrame): DataFrame = asofed
+      .withColumn("__rt_us", unix_micros(col(leftTime)) - col("asof_lag_us"))
+      .drop("asof_lag_us")
+    val aRows = withRt(AsOf.joinBackwardNative(
+        newL.toDF(), rightsForA, keys, leftTime, rightTime, rightCols,
+        rightTieBreak, toleranceUs = None))
+      .withColumn("__day", to_date(col(leftTime)))
+    val merged0 =
+      if (!fs.exists(mart)) aRows
+      else {
+        // touched day partitions: the new lefts' days plus every day
+        // overlapping the new rights' visible window — computed from
+        // the deltas alone, never by scanning the mart
+        val rDays: Seq[java.sql.Date] =
+          if (!shims.statsRowCount(newR).forall(_ > 0)) Nil
+          else {
+            val b = newR.agg(min(unix_micros(col(rightTime))),
+              max(unix_micros(col(rightTime)))).head()
+            val dayUs = 86400L * 1000000
+            val hi = b.getLong(1) + toleranceUs.getOrElse(0L)
+            (b.getLong(0) / dayUs to hi / dayUs)
+              .map(d => new java.sql.Date(d * 86400000L))
+          }
+        val touched = newL.select(to_date(col(leftTime)).as("__day")).distinct()
+          .unionByName(rDays.toDF("__day")).distinct()
+        val existing = spark.read.parquet(martPath)
+          .join(broadcast(touched), Seq("__day"), "left_semi")
+        // replay convergence: a new left already applied by a partial
+        // earlier write is recomputed in aRows (identically — the right
+        // shards are idempotent), so exclude it from the existing side
+        val base = existing.join(newL.select(col(leftId)), Seq(leftId), "left_anti")
+        val (affected, untouched) =
+          splitAffected(base, newR, keys, leftTime, rightTime, toleranceUs)
+        val leftColNames = base.columns
+          .filterNot(c => c == "__rt_us" || c == "__day" || rightCols.contains(c)).toSeq
+        val cand = withRt(AsOf.joinBackwardNative(
+            affected.select(leftColNames.map(col): _*), newR.toDF(), keys,
+            leftTime, rightTime, rightCols, rightTieBreak, toleranceUs = None))
+          .select((col(leftId) +: rightCols.map(c => col(c).as(s"__c_$c")))
+            :+ col("__rt_us").as("__c_rt"): _*)
+        val better = col("__c_rt").isNotNull && (col("__rt_us").isNull ||
+          col("__c_rt") > col("__rt_us") ||
+          (col("__c_rt") === col("__rt_us") &&
+            col(s"__c_$rightTieBreak") > col(rightTieBreak)))
+        val mergedAffected = affected.join(cand, Seq(leftId), "left")
+          .select(leftColNames.map(col) ++
+            rightCols.map(c => when(better, col(s"__c_$c")).otherwise(col(c)).as(c)) :+
+            when(better, col("__c_rt")).otherwise(col("__rt_us")).as("__rt_us") :+
+            col("__day"): _*)
+        untouched.unionByName(mergedAffected).unionByName(aRows)
+      }
+    // the merge reads partitions it is about to overwrite — materialize
+    val merged = merged0.localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__day").parquet(martPath)
+    AtomicSwap.writeMarker(fs, mart, batchId, lineage)
+    shims.unpersistLocalCheckpoint(merged)
+    shims.unpersistLocalCheckpoint(newL)
+    shims.unpersistLocalCheckpoint(newR)
+  }
+
   /** Read the maintained mart in `x_asof_native` output shape: tolerance
     * nulling applied to the stored raw best, `asof_lag_us` derived from
-    * the stored match time.
+    * the stored match time. Works for both sink forms (`__day` from the
+    * partition-scoped mart is dropped).
     */
   def readMart(spark: SparkSession, martPath: String, leftTime: String,
                rightCols: Seq[String], toleranceUs: Option[Long]): DataFrame = {
@@ -149,7 +291,8 @@ object StreamingAsOf {
       case Some(t) => col("__rt_us").isNotNull && lag <= t
       case None    => col("__rt_us").isNotNull
     }
-    m.select(m.columns.filterNot(c => c == "__rt_us" || rightCols.contains(c))
+    m.select(m.columns
+      .filterNot(c => c == "__rt_us" || c == "__day" || rightCols.contains(c))
       .map(col).toSeq ++
       rightCols.map(c => when(inTol, col(c)).as(c)) :+
       when(inTol, lag).as("asof_lag_us"): _*)
@@ -158,8 +301,10 @@ object StreamingAsOf {
   /** The whole chain drained end-to-end (the `t11_streaming_asof`
     * driver query): events file-stream (3-way split, views and clicks
     * interleaved arbitrarily across micro-batches) → incremental mart
-    * folds → mart read in oracle shape. Equals the batch
-    * `x_asof_native` rows for any split (oracle-pinned).
+    * folds through the PARTITION-SCOPED sink (the scale form — the
+    * oracle gate pins the posture a 100 TB mart would run) → mart read
+    * in oracle shape. Equals the batch `x_asof_native` rows for any
+    * split (oracle-pinned).
     */
   def availableNowAsOf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -187,7 +332,7 @@ object StreamingAsOf {
         .outputMode("append")
         .option("checkpointLocation", s"$work/checkpoint")
         .trigger(Trigger.AvailableNow())
-        .foreachBatch(asOfSink(mart, rstore, split, "event_id",
+        .foreachBatch(asOfSinkPartitioned(mart, rstore, split, "event_id",
           Seq("user_id"), "ts", "ts", Seq("click_id", "click_value"),
           "click_id", tol) _)
         .start()

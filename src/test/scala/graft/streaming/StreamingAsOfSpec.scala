@@ -57,6 +57,42 @@ class StreamingAsOfSpec extends SparkSuite {
     assert(again == Set((1L, Some(10L)), (2L, Some(20L))))
   }
 
+  test("partitioned sink: same late-right semantics, replay converges") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val work = java.nio.file.Files.createTempDirectory("graft_asof_part").toString
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "view").select("event_id", "user_id", "ts"),
+      df.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value").as("click_value")))
+    val sink = StreamingAsOf.asOfSinkPartitioned(s"$work/m", s"$work/r", split,
+      "event_id", Seq("user_id"), "ts", "ts", Seq("click_id", "click_value"),
+      "click_id", toleranceUs = Some(1000000L)) _
+    def batchDf(rows: (Long, Long, Long, String, Double)*) =
+      rows.toSeq.map { case (e, u, t, ty, v) => (e, u, ts(t * 1000), ty, v) }
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+    // all rows share one __day partition (µs-epoch timestamps), so the
+    // late click's rewrite covers both users' rows in that partition —
+    // user 1 upgrades, user 2 must pass through the merge unchanged
+    sink(batchDf((10L, 1L, 50L, "click", 1.0), (1L, 1L, 100L, "view", 0.0),
+                 (11L, 2L, 60L, "click", 5.0), (2L, 2L, 90L, "view", 0.0)), 0L)
+    sink(batchDf((3L, 1L, 250L, "view", 0.0)), 1L)
+    sink(batchDf((20L, 1L, 240L, "click", 2.0)), 2L)
+    def probe() = StreamingAsOf.readMart(spark, s"$work/m", "ts",
+        Seq("click_id", "click_value"), Some(1000000L))
+      .select("event_id", "click_id").as[(Long, Option[Long])].collect().toSet
+    val want = Set((1L, Some(10L)), (2L, Some(11L)), (3L, Some(20L)))
+    assert(probe() == want, s"got ${probe()}")
+    // replay of the last batch (marker removed = the crash-mid-write
+    // case): the fold re-converges to the same mart
+    val fs = new org.apache.hadoop.fs.Path(s"$work/m")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/m/_applied_batch"), false)
+    sink(batchDf((20L, 1L, 240L, "click", 2.0)), 2L)
+    assert(probe() == want)
+  }
+
   test("tolerance nulling at read: raw best kept, farther-than-tolerance shows NULL") {
     import spark.implicits._
     def ts(us: Long) = new java.sql.Timestamp(us / 1000)
