@@ -233,8 +233,15 @@ object Retrieval {
         .start()
       q.awaitTermination()
     }
-    bm25TopKStreamed(spark, idx, "doc_id",
+    // zero-doc drains leave no readable shards — return the typed empty
+    // top-k instead of a schema-inference failure (EmptyInputSpec)
+    try bm25TopKStreamed(spark, idx, "doc_id",
       Seq("vector", "spark", "window"), k = 20)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, bm25_scaled BIGINT"))
+    }
   }
 
   /** Sparse tf-idf cosine near-dup pairs: all document pairs sharing a

@@ -338,7 +338,17 @@ object StreamingAsOf {
         .start()
       q.awaitTermination()
     }
-    readMart(spark, mart, "ts", Seq("click_id", "click_value"), tol)
+    // an all-empty drain leaves no readable mart (dynamic overwrite of
+    // zero rows writes no partition dirs) — zero-row robustness
+    // (EmptyInputSpec) wants the typed empty result, not a schema-
+    // inference failure
+    try readMart(spark, mart, "ts", Seq("click_id", "click_value"), tol)
       .select("event_id", "user_id", "click_id", "click_value", "asof_lag_us")
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, click_id BIGINT, " +
+            "click_value DOUBLE, asof_lag_us BIGINT"))
+    }
   }
 }
