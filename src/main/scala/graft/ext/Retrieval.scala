@@ -197,11 +197,20 @@ object Retrieval {
       scale: Long = 1000L): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     val bands = terms.map(tokenBand).distinct
-    val tf = spark.read.parquet(s"$indexPath/postings")
+    // schemas DECLARED, same as [[bm25TopKStored]]: an index whose
+    // shards hold zero part files reads as zero candidates instead of
+    // failing schema inference, and genuine schema drift fails loudly
+    // at analysis instead of being paper-overable by a broad catch.
+    // `batch` is the shard partition column, declared LONG (foreachBatch
+    // batchIds are longs; directory values parse either way).
+    val tf = spark.read
+      .schema(s"$idCol BIGINT, token STRING, tf BIGINT, tok_band STRING, batch BIGINT")
+      .parquet(s"$indexPath/postings")
       .filter(col("tok_band").isin(bands: _*))
       .filter(col("token").isin(terms: _*))
       .select(col(idCol), col("token"), col("tf"))
-    val dl = spark.read.parquet(s"$indexPath/doclen")
+    val dl = spark.read.schema(s"$idCol BIGINT, dl BIGINT, batch BIGINT")
+      .parquet(s"$indexPath/doclen")
       .select(col(idCol), col("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tl"))
     score(tf, dl, stats, idCol, k, scale)
@@ -233,15 +242,22 @@ object Retrieval {
         .start()
       q.awaitTermination()
     }
-    // zero-doc drains leave no readable shards — return the typed empty
-    // top-k instead of a schema-inference failure (EmptyInputSpec)
-    try bm25TopKStreamed(spark, idx, "doc_id",
-      Seq("vector", "spark", "window"), k = 20)
-    catch { case _: org.apache.spark.sql.AnalysisException =>
+    // zero-doc drains write no shard dirs at all — tested by EXPLICIT
+    // path existence (EmptyInputSpec wants the typed empty top-k), not
+    // by catching AnalysisException, which would also swallow genuine
+    // analysis errors (schema drift, renamed column) and report them as
+    // an empty — and suspiciously fast — result. Shards that exist but
+    // hold zero part files are covered by the declared read schemas in
+    // [[bm25TopKStreamed]].
+    val postings = new org.apache.hadoop.fs.Path(s"$idx/postings")
+    val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(postings))
+      bm25TopKStreamed(spark, idx, "doc_id",
+        Seq("vector", "spark", "window"), k = 20)
+    else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, bm25_scaled BIGINT"))
-    }
   }
 
   /** Sparse tf-idf cosine near-dup pairs: all document pairs sharing a

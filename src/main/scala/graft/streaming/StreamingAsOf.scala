@@ -81,13 +81,8 @@ object StreamingAsOf {
     // 2. A: new lefts vs (tolerance-pruned) right history, via the
     // native batch exec — __rt_us (raw matched right time) is what the
     // argmax merge compares
-    val rightsForA = toleranceUs match {
-      // row count comes free from the delta's injected stats (no job)
-      case Some(tol) if shims.statsRowCount(newL).exists(_ > 0) =>
-        val minLt = newL.agg(min(unix_micros(col(leftTime)))).head().getLong(0)
-        allR.filter(unix_micros(col(rightTime)) >= minLt - tol)
-      case _ => allR
-    }
+    val rightsForA = pruneRightsForA(allR, newL.toDF(), leftTime, rightTime,
+      toleranceUs)
     def withRt(asofed: DataFrame): DataFrame = asofed
       .withColumn("__rt_us", unix_micros(col(leftTime)) - col("asof_lag_us"))
       .drop("asof_lag_us")
@@ -139,6 +134,26 @@ object StreamingAsOf {
     shims.unpersistLocalCheckpoint(newR)
   }
 
+  /** A-side tolerance prune shared by both sinks: with a tolerance,
+    * only rights at or after `min(new left time) − tol` can produce a
+    * visible match for the delta's lefts. The row count comes free from
+    * the delta's injected stats (no job). NULL-safe: a non-empty delta
+    * whose left times are ALL NULL makes `min` return NULL — that case
+    * falls back to the unpruned history instead of throwing (the
+    * statsRowCount guard only covers the zero-row case; NULL-time lefts
+    * simply match nothing downstream).
+    */
+  private def pruneRightsForA(allR: DataFrame, newL: DataFrame,
+      leftTime: String, rightTime: String,
+      toleranceUs: Option[Long]): DataFrame =
+    toleranceUs match {
+      case Some(tol) if shims.statsRowCount(newL).exists(_ > 0) =>
+        val row = newL.agg(min(unix_micros(col(leftTime)))).head()
+        if (row.isNullAt(0)) allR
+        else allR.filter(unix_micros(col(rightTime)) >= row.getLong(0) - tol)
+      case _ => allR
+    }
+
   /** Affected/untouched split shared by both sinks: a standing mart row
     * can change only if it (a) shares a key with the new rights and
     * (b) sits in the rights' time window `[min rt, max rt + tol]`. The
@@ -154,6 +169,12 @@ object StreamingAsOf {
       return (standing.limit(0), standing)
     val bounds = newR.agg(
       min(unix_micros(col(rightTime))), max(unix_micros(col(rightTime)))).head()
+    // all-NULL right times: a NULL-time right never matches any left
+    // (the native exec drops it and the argmax merge treats a NULL
+    // candidate time as no-candidate), so nothing in the mart can
+    // change — same shape as the zero-row guard above, which this
+    // case slips past (min over non-empty all-NULL input is NULL)
+    if (bounds.isNullAt(0)) return (standing.limit(0), standing)
     val (minRt, maxRt) = (bounds.getLong(0), bounds.getLong(1))
     val lt = unix_micros(col(leftTime))
     val inWindow = coalesce(
@@ -210,12 +231,8 @@ object StreamingAsOf {
     newR.toDF().write.mode("overwrite").parquet(s"$rightStorePath/batch=$batchId")
     val allR = spark.read.parquet(rightStorePath)
       .drop("batch").select(newR.columns.map(col): _*)
-    val rightsForA = toleranceUs match {
-      case Some(tol) if shims.statsRowCount(newL).exists(_ > 0) =>
-        val minLt = newL.agg(min(unix_micros(col(leftTime)))).head().getLong(0)
-        allR.filter(unix_micros(col(rightTime)) >= minLt - tol)
-      case _ => allR
-    }
+    val rightsForA = pruneRightsForA(allR, newL.toDF(), leftTime, rightTime,
+      toleranceUs)
     def withRt(asofed: DataFrame): DataFrame = asofed
       .withColumn("__rt_us", unix_micros(col(leftTime)) - col("asof_lag_us"))
       .drop("asof_lag_us")
@@ -228,16 +245,31 @@ object StreamingAsOf {
       else {
         // touched day partitions: the new lefts' days plus every day
         // overlapping the new rights' visible window — computed from
-        // the deltas alone, never by scanning the mart
-        val rDays: Seq[java.sql.Date] =
+        // the deltas alone, never by scanning the mart.
+        // LocalDate, NOT java.sql.Date, deliberately: Spark converts
+        // java.sql.Date to DateType through the JVM DEFAULT timezone
+        // (DateTimeUtils.fromJavaDate) while the mart's `__day` values
+        // come from to_date(leftTime) under the UTC-pinned SESSION
+        // timezone — on a JVM defaulting to a negative-offset zone every
+        // day here shifted one EARLIER, the `touched` semi-join missed
+        // the partitions actually holding affected rows, and late rights
+        // silently never upgraded standing mart rows (caught only
+        // because test JVMs run in UTC; pinned by the non-UTC-JVM case
+        // in StreamingAsOfSpec). LocalDate.ofEpochDay is timezone-free
+        // on both sides of the conversion. floorDiv for the same reason:
+        // pre-epoch micros must round toward -∞, matching to_date.
+        val rDays: Seq[java.time.LocalDate] =
           if (!shims.statsRowCount(newR).forall(_ > 0)) Nil
           else {
             val b = newR.agg(min(unix_micros(col(rightTime))),
               max(unix_micros(col(rightTime)))).head()
-            val dayUs = 86400L * 1000000
-            val hi = b.getLong(1) + toleranceUs.getOrElse(0L)
-            (b.getLong(0) / dayUs to hi / dayUs)
-              .map(d => new java.sql.Date(d * 86400000L))
+            if (b.isNullAt(0)) Nil // all-NULL right times match nothing
+            else {
+              val dayUs = 86400L * 1000000
+              val hi = b.getLong(1) + toleranceUs.getOrElse(0L)
+              (Math.floorDiv(b.getLong(0), dayUs) to Math.floorDiv(hi, dayUs))
+                .map(java.time.LocalDate.ofEpochDay)
+            }
           }
         val touched = newL.select(to_date(col(leftTime)).as("__day")).distinct()
           .unionByName(rDays.toDF("__day")).distinct()
@@ -340,15 +372,26 @@ object StreamingAsOf {
     }
     // an all-empty drain leaves no readable mart (dynamic overwrite of
     // zero rows writes no partition dirs) — zero-row robustness
-    // (EmptyInputSpec) wants the typed empty result, not a schema-
-    // inference failure
-    try readMart(spark, mart, "ts", Seq("click_id", "click_value"), tol)
-      .select("event_id", "user_id", "click_id", "click_value", "asof_lag_us")
-    catch { case _: org.apache.spark.sql.AnalysisException =>
+    // (EmptyInputSpec) wants the typed empty result. Tested by EXPLICIT
+    // path probing, not by catching AnalysisException: a broad catch
+    // would also swallow genuine analysis errors (schema drift, renamed
+    // column) and report them as a — suspiciously fast — empty result.
+    // "has data" = any `__day=` partition dir: a zero-row drain still
+    // writes the _applied_batch marker (so the dir exists) but no
+    // partition dirs — that mart is empty, not malformed. (A plain
+    // no-underscore filter would ALSO drop the partition dirs — the
+    // partition column itself is underscore-prefixed.)
+    val martP = new org.apache.hadoop.fs.Path(mart)
+    val martFs = martP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = martFs.exists(martP) && martFs.listStatus(martP)
+      .exists(_.getPath.getName.startsWith("__day="))
+    if (hasData)
+      readMart(spark, mart, "ts", Seq("click_id", "click_value"), tol)
+        .select("event_id", "user_id", "click_id", "click_value", "asof_lag_us")
+    else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "event_id BIGINT, user_id BIGINT, click_id BIGINT, " +
             "click_value DOUBLE, asof_lag_us BIGINT"))
-    }
   }
 }

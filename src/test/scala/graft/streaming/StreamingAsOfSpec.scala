@@ -93,6 +93,83 @@ class StreamingAsOfSpec extends SparkSuite {
     assert(probe() == want)
   }
 
+  test("partitioned sink: late-right upgrade is JVM-default-timezone independent") {
+    // r10 ADVICE (high): the touched-days computation used java.sql.Date,
+    // which Spark converts to DateType through the JVM DEFAULT timezone,
+    // while the mart's __day values come from to_date(leftTime) under the
+    // UTC-pinned SESSION timezone. Under a negative-offset default every
+    // rights-window day shifted one EARLIER, the touched semi-join missed
+    // the partitions holding affected rows, and late rights silently never
+    // upgraded standing mart rows. Re-run the late-right scenario with the
+    // default pinned to UTC-8: the timezone-free LocalDate fix must still
+    // upgrade (the old code loses the v2 upgrade here).
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val prevTz = java.util.TimeZone.getDefault
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/Los_Angeles"))
+    try {
+      val work = java.nio.file.Files.createTempDirectory("graft_asof_tz").toString
+      def split(df: org.apache.spark.sql.DataFrame) = (
+        df.filter(col("event_type") === "view").select("event_id", "user_id", "ts"),
+        df.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+            col("value").as("click_value")))
+      val sink = StreamingAsOf.asOfSinkPartitioned(s"$work/m", s"$work/r", split,
+        "event_id", Seq("user_id"), "ts", "ts", Seq("click_id", "click_value"),
+        "click_id", toleranceUs = Some(1000000L)) _
+      def batchDf(rows: (Long, Long, Long, String, Double)*) =
+        rows.toSeq.map { case (e, u, t, ty, v) => (e, u, ts(t * 1000), ty, v) }
+          .toDF("event_id", "user_id", "ts", "event_type", "value")
+      sink(batchDf((10L, 1L, 50L, "click", 1.0), (1L, 1L, 100L, "view", 0.0)), 0L)
+      sink(batchDf((2L, 1L, 250L, "view", 0.0)), 1L)
+      sink(batchDf((20L, 1L, 240L, "click", 2.0)), 2L) // late: upgrades v2
+      val got = StreamingAsOf.readMart(spark, s"$work/m", "ts",
+          Seq("click_id", "click_value"), Some(1000000L))
+        .select("event_id", "click_id").as[(Long, Option[Long])].collect().toSet
+      assert(got == Set((1L, Some(10L)), (2L, Some(20L))), s"got $got")
+    } finally java.util.TimeZone.setDefault(prevTz)
+  }
+
+  test("NULL-safe time bounds: all-NULL-time deltas neither throw nor corrupt the mart") {
+    // r10 ADVICE (low): min/max over a non-empty delta whose times are
+    // ALL NULL returns NULL — the statsRowCount guard only covers the
+    // zero-row case, and getLong(0) then NPE'd. NULL-time rights match
+    // nothing; NULL-time lefts keep a NULL match. Both sinks.
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    for (partitioned <- Seq(false, true)) {
+      val work = java.nio.file.Files.createTempDirectory("graft_asof_null").toString
+      def split(df: org.apache.spark.sql.DataFrame) = (
+        df.filter(col("event_type") === "view").select("event_id", "user_id", "ts"),
+        df.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+            col("value").as("click_value")))
+      val sink =
+        if (partitioned)
+          StreamingAsOf.asOfSinkPartitioned(s"$work/m", s"$work/r", split,
+            "event_id", Seq("user_id"), "ts", "ts",
+            Seq("click_id", "click_value"), "click_id", Some(1000000L)) _
+        else
+          StreamingAsOf.asOfSink(s"$work/m", s"$work/r", split,
+            "event_id", Seq("user_id"), "ts", "ts",
+            Seq("click_id", "click_value"), "click_id", Some(1000000L)) _
+      def batchDf(rows: (Long, Long, Option[Long], String, Double)*) =
+        rows.toSeq.map { case (e, u, t, ty, v) => (e, u, t.map(x => ts(x * 1000)), ty, v) }
+          .toDF("event_id", "user_id", "ts", "event_type", "value")
+      sink(batchDf((10L, 1L, Some(50L), "click", 1.0),
+                   (1L, 1L, Some(100L), "view", 0.0)), 0L)
+      // batch 1: ONLY a NULL-time click (B-side bounds min = NULL)
+      sink(batchDf((20L, 1L, None, "click", 2.0)), 1L)
+      // batch 2: ONLY a NULL-time view (A-side prune min = NULL)
+      sink(batchDf((2L, 1L, None, "view", 0.0)), 2L)
+      val got = StreamingAsOf.readMart(spark, s"$work/m", "ts",
+          Seq("click_id", "click_value"), Some(1000000L))
+        .select("event_id", "click_id").as[(Long, Option[Long])].collect().toSet
+      assert(got == Set((1L, Some(10L)), (2L, None)),
+        s"partitioned=$partitioned got $got")
+    }
+  }
+
   test("tolerance nulling at read: raw best kept, farther-than-tolerance shows NULL") {
     import spark.implicits._
     def ts(us: Long) = new java.sql.Timestamp(us / 1000)
