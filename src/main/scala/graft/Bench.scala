@@ -19,15 +19,33 @@ import org.apache.spark.sql.SparkSession
   *    suite start on the stdout line, epoch millis in the sidecar), so
   *    an alphabetically/temporally CONTIGUOUS slow window is visible
   *    from the JSON alone;
-  *  - any query whose fresh min reads >1.5x its previously committed
-  *    BENCH_LOCAL time (and >0.5 s absolute — sub-half-second queries
-  *    swing 2x on ambient load; same threshold the BenchRegressionSpec
-  *    latch fails on) is re-measured ONCE more, alone, after the whole
-  *    suite. A clean re-measure (back near the committed time,
-  *    identical code, same JVM) proves the earlier reading was an
-  *    environment burst; a dirty one indicts the code.
+  *  - any query whose fresh min reads >[[FlagRatio]]x its previously
+  *    committed BENCH_LOCAL time (and >[[FlagAbsSeconds]] absolute —
+  *    the same thresholds the BenchRegressionSpec latch fails on,
+  *    hoisted into shared constants after the spec's comment drifted
+  *    from the code, r10 ADVICE) is re-measured MIN-OF-3, alone, after
+  *    the whole suite (min-of-1 until r10, whose single dirty
+  *    re-measure of x_common_neighbors_capped couldn't distinguish a
+  *    burst spanning suite end from code drift — the round's only weak
+  *    flag; r10 VERDICT #1). A clean re-measure (back near the
+  *    committed time, identical code, same JVM) proves the earlier
+  *    reading was an environment burst; a dirty one indicts the code.
   */
 object Bench {
+
+  /** Flag/latch ratio: a query is flagged (and BenchRegressionSpec
+    * latches) when its fresh min exceeds the committed time by this
+    * factor. Streaming drains get a wider band in the spec (see there).
+    */
+  val FlagRatio = 1.5
+
+  /** Absolute flag/latch floor in seconds — ratio alone would flag
+    * millisecond queries on scheduler noise. 0.5 s while the isolated
+    * re-measure was a single cold rep; min-of-3 re-measures absorb that
+    * flake risk, so the bar tightened to 0.25 s (r10 VERDICT #4 — the
+    * x_unpivot re-measure escaped arbitration through the 0.5 s gap).
+    */
+  val FlagAbsSeconds = 0.25
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's actual width: every scale probe runs at 32
@@ -163,20 +181,23 @@ object Bench {
         } catch { case _: Throwable => errors += s"split:$name"; None }
       }
     // END-OF-SUITE ISOLATED RE-MEASURE of flagged queries: fresh min
-    // >1.5x the previously committed time AND >0.5 s over it — the SAME
-    // threshold BenchRegressionSpec latches on, so every latch-relevant
-    // drift carries its own in-artifact arbitration. Runs nothing when
-    // no reference exists; capped at 12 (worst excess first) so a
-    // systemically-slow host can't double the suite.
+    // >FlagRatio x the previously committed time AND >FlagAbsSeconds
+    // over it — the SAME constants BenchRegressionSpec latches on, so
+    // every latch-relevant drift carries its own in-artifact
+    // arbitration. Runs nothing when no reference exists; capped at 12
+    // (worst excess first) so a systemically-slow host can't double the
+    // suite.
     val flagged = results.collect {
       case (name, Some(now), _, _) if refTimes.get(name).exists(ref =>
-        now > ref * 1.5 && now - ref > 0.5) =>
+        now > ref * FlagRatio && now - ref > FlagAbsSeconds) =>
         (name, now, refTimes(name))
     }.sortBy { case (_, now, ref) => ref - now }.take(12)
     val remeasures = flagged.flatMap { case (name, _, _) =>
       selected.find(_._1 == name).map { case (_, fn) =>
         val w0 = System.currentTimeMillis()
-        val re = measureOnce(name, fn)
+        // min-of-3, not min-of-1: one isolated sample can't distinguish
+        // a burst that spans suite end from genuine code drift
+        val re = (1 to 3).flatMap(_ => measureOnce(name, fn)).minOption
         name -> (re, w0, System.currentTimeMillis())
       }
     }.toMap

@@ -11,12 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * committed BENCH_r*.json (driver run) vs BENCH_LOCAL.json (the
   * sidecar every local `graft.Bench` run rewrites), same sf only.
   *
-  * A query fails the latch when it grew >1.5× AND by >0.5 s absolute
-  * (sub-half-second queries swing 2× on ambient load alone — measured
-  * rep spreads of 4–9 s on the same code this round). The failure
-  * message carries both times per offender so the regression gets
-  * named in-round; rerun the offender under QueryMetrics for the
-  * shuffle-volume delta.
+  * A query fails the latch when it grew >[[Bench.FlagRatio]]× AND by
+  * >[[Bench.FlagAbsSeconds]] absolute (shared constants — this spec's
+  * prose once drifted from Bench's code, r10 ADVICE; small queries
+  * swing on ambient load alone, measured rep spreads of 4–9 s on the
+  * same code). The failure message carries both times per offender so
+  * the regression gets named in-round; rerun the offender under
+  * QueryMetrics for the shuffle-volume delta.
   *
   * Skips (cancels) when either snapshot is missing or they ran at
   * different scale factors — a stale comparison is worse than none.
@@ -42,7 +43,7 @@ class BenchRegressionSpec extends AnyFunSuite {
   private def sfOf(json: String): Option[String] =
     """"sf":\s*"?([0-9.a-z]+)"?""".r.findFirstMatchIn(json).map(_.group(1))
 
-  test("no query grew >1.5x (and >0.5s) vs the previous driver bench at the same sf") {
+  test("no query grew past the flag thresholds vs the previous driver bench at the same sf") {
     val localPath = Paths.get("BENCH_LOCAL.json")
     assume(Files.exists(localPath), "no BENCH_LOCAL.json — run graft.Bench first")
     val local = Files.readString(localPath)
@@ -70,15 +71,14 @@ class BenchRegressionSpec extends AnyFunSuite {
     assume(localQ.size * 2 >= priorQ.size,
       s"BENCH_LOCAL is a partial run (${localQ.size} of ${priorQ.size} queries)")
 
-    // In-artifact burst arbitration (round 10): Bench re-measures any
-    // query reading >2.5x its committed time ONCE more, alone, after the
-    // whole suite, and records {ref, min, re} in the sidecar's "flagged"
-    // block. A slow in-suite min whose ISOLATED re-measure is back near
-    // the prior time is a proven environment burst / cross-query
-    // contamination window, not a code regression — the latch consumes
-    // that arbitration instead of failing on it. The re-measure is one
-    // cold-ish rep (no min-of-3), so it gets the streaming drains' wider
-    // 2.5x band.
+    // In-artifact burst arbitration (round 10, tightened round 11):
+    // Bench re-measures any query reading >FlagRatio x its committed
+    // time (and >FlagAbsSeconds over it) MIN-OF-3, alone, after the
+    // whole suite, and records {ref, min, re} in the sidecar's
+    // "flagged" block. A slow in-suite min whose ISOLATED re-measure is
+    // back near the prior time is a proven environment burst /
+    // cross-query contamination window, not a code regression — the
+    // latch consumes that arbitration instead of failing on it.
     val remeasured: Map[String, Double] =
       """"([A-Za-z0-9_]+)":\{"ref":[0-9.eE+-]+,"min":[0-9.eE+-]+,"w":\[[0-9,]*\],"re":([0-9.eE+-]+)""".r
         .findAllMatchIn(local)
@@ -93,15 +93,16 @@ class BenchRegressionSpec extends AnyFunSuite {
       // across six same-binary runs vs r8's one 1.90 s sample, with the
       // code path diffed clean — see SCALE.md). 1.5x on them latches
       // weather; 2.5x still catches the r8-class 2.7–3.5x blow-ups.
-      val ratio = if (name.matches("t\\d+_.*")) 2.5 else 1.5
+      val ratio = if (name.matches("t\\d+_.*")) 2.5 else Bench.FlagRatio
       priorQ.get(name).collect {
-        case was if now > was * ratio && now - was > 0.5 =>
-          // arbitrated = the isolated rep is back in the prior's band
-          // (2.5x covers its single-cold-rep handicap) AND far below the
-          // in-suite reading — a re-measure as slow as the suite reading
-          // indicts the code, not the environment
+        case was if now > was * ratio && now - was > Bench.FlagAbsSeconds =>
+          // arbitrated = the isolated min-of-3 is back INSIDE the
+          // query's own latch band AND far below the in-suite reading —
+          // a re-measure as slow as the suite reading indicts the code,
+          // not the environment. (Tighter than r10's 2.5x-for-everyone:
+          // min-of-3 removed the single-cold-rep handicap.)
           val arbitrated = remeasured.get(name)
-            .exists(re => re <= was * 2.5 && re < now / 1.8)
+            .exists(re => re <= was * ratio && re < now / 1.8)
           (name, was, now, arbitrated,
             f"$name: $was%.2f s -> $now%.2f s (${now / was}%.2fx, latch ${ratio}x" +
               remeasured.get(name).fold(")")(re => f"; isolated re-measure $re%.2f s)"))
