@@ -184,6 +184,28 @@ object Retrieval {
     graftShims.unpersistLocalCheckpoint(tok)
   }
 
+  /** Offline maintenance for the stream-maintained index: consolidate
+    * the postings and doclen `batch=` shard tables into one shard each
+    * via [[graft.operators.Compact.compactShards]]. Probe-side pruning
+    * is preserved — `tok_band` stays a partition column inside the
+    * consolidated postings shard — and the probe result is unchanged
+    * (CompactSpec pins hash parity; ShardCompactProbe measures the
+    * probe-latency curve vs shard count that motivates running this).
+    *
+    * SAFETY: consolidate only batches beyond replay — after an
+    * AvailableNow drain terminates, or `upTo` = the owning stream's
+    * committed watermark. [[bm25Sink]]'s replay idempotence is a
+    * re-delivered batch overwriting its own shard; on a consolidated
+    * shard that overwrite would drop the other batches' rows.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetBytes: Long = 128L << 20,
+      upTo: Long = Long.MaxValue): Seq[graft.operators.Compact.Report] = Seq(
+    graft.operators.Compact.compactShards(spark, s"$indexPath/postings",
+      targetBytes, nested = Seq("tok_band"), upTo = upTo),
+    graft.operators.Compact.compactShards(spark, s"$indexPath/doclen",
+      targetBytes, upTo = upTo))
+
   /** Probe the stream-maintained index: identical results to
     * [[bm25TopK]] over every document any shard has indexed (parity
     * pinned in StreamingBm25Spec and the `t12_streaming_bm25` oracle).

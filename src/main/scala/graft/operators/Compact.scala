@@ -73,6 +73,84 @@ object Compact {
     Report(dir, files.length, totalBytes, compacted.length)
   }
 
+  /** Consolidate a streaming sink's `batch=<id>` shard table (the
+    * bm25Sink / StreamingIndex / as-of right-history layout: one
+    * directory per micro-batch, forever) into a SINGLE shard — the
+    * maintenance pass that keeps probe-side listing, footer and
+    * task-count costs flat as micro-batches accumulate. Only shards
+    * with `id <= upTo` are consolidated, into one directory named
+    * `batch=<max consolidated id>`; later shards are untouched, so the
+    * table keeps its layout contract and the sink keeps appending.
+    *
+    * SAFETY CONTRACT — compact behind the replay watermark only: a
+    * shard sink's idempotence comes from a replayed batch overwriting
+    * its own `batch=<id>` directory bit-for-bit, which on a
+    * CONSOLIDATED shard would replace the merged rows with just that
+    * batch's own. Every consolidated id must therefore be beyond
+    * replay: committed in the owning stream's checkpoint (always true
+    * after an AvailableNow drain terminates) or at/below the mart's
+    * `_applied_batch` marker for marker-guarded sinks, whose replays
+    * return before writing the shard.
+    *
+    * `nested` lists partition columns INSIDE each shard (the BM25
+    * postings' `tok_band`); they stay partition columns of the
+    * consolidated shard, so probe-side static pruning keeps working.
+    * Nested consolidation repartitions by those columns (each value
+    * lands whole in one task → ~one file per value); flat consolidation
+    * is the shuffle-free `coalesce` of [[compactDir]].
+    *
+    * Crash posture matches [[compactDir]]: the rewrite lands in
+    * `_compact_tmp` (invisible to reads) and swaps in only after
+    * success; a crash between the old-shard delete and the rename
+    * leaves the data recoverable in `_compact_tmp` but the table
+    * unreadable — run offline, like any compaction on bare parquet.
+    */
+  def compactShards(spark: SparkSession, root: String, targetBytes: Long,
+                    nested: Seq[String] = Nil,
+                    upTo: Long = Long.MaxValue): Report = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, root)
+    val rootP = new Path(root)
+    def filesUnder(dir: Path): Seq[Long] = {
+      val it = f.listFiles(dir, true)
+      val b = Seq.newBuilder[Long]
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) b += s.getLen
+      }
+      b.result()
+    }
+    val shards = f.listStatus(rootP)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("batch=").toLong).toOption
+        .map(_ -> s.getPath))
+      .filter(_._1 <= upTo).sortBy(_._1).toSeq
+    val files = shards.flatMap { case (_, p) => filesUnder(p) }
+    val totalBytes = files.sum
+    if (shards.size <= 1)
+      return Report(root, files.size, totalBytes, files.size)
+    val keepId = shards.last._1
+    val nOut = planFileCount(totalBytes, targetBytes)
+    val tmp = new Path(rootP, "_compact_tmp")
+    f.delete(tmp, true)
+    // basePath keeps nested partition discovery consistent across the
+    // selected shard paths; the discovered batch column is dropped from
+    // the data — it is re-encoded in the consolidated shard's directory
+    // name, exactly as the sinks encode it
+    val df = spark.read.option("basePath", root)
+      .parquet(shards.map(_._2.toString): _*).drop("batch")
+    val writer =
+      if (nested.isEmpty) df.coalesce(nOut).write
+      else df.repartition(nOut, nested.map(col): _*).write.partitionBy(nested: _*)
+    writer.mode("overwrite").parquet(tmp.toString)
+    val after = filesUnder(tmp).size
+    shards.foreach { case (_, p) => f.delete(p, true) }
+    f.rename(tmp, new Path(rootP, s"batch=$keepId"))
+    Report(root, files.size, totalBytes, after)
+  }
+
   /** Compact every leaf partition of a hive-partitioned root (any
     * nesting depth — recurses until a directory holds data files).
     */

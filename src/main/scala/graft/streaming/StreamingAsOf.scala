@@ -73,8 +73,11 @@ object StreamingAsOf {
     // replayed batch overwrites its own shard bit-for-bit, and the
     // per-batch right-store cost is O(delta) — a full-history rewrite
     // here measured as the one index-sized term in the fold
-    // (StreamIncProbe). Long streams compact shards offline like any
-    // landing table.
+    // (StreamIncProbe). Long streams consolidate shards offline with
+    // Compact.compactShards — behind the mart's _applied_batch
+    // watermark, whose replay guard returns above BEFORE this shard
+    // write (the property that makes consolidating applied batches
+    // safe); CompactSpec pins a post-compaction fold.
     newR.toDF().write.mode("overwrite").parquet(s"$rightStorePath/batch=$batchId")
     val allR = spark.read.parquet(rightStorePath)
       .drop("batch").select(newR.columns.map(col): _*)

@@ -42,6 +42,88 @@ class CompactSpec extends SparkSuite {
     assert(parquetFiles(dir).toSet == before) // untouched, not rewritten
   }
 
+  test("compactShards consolidates bm25 batch shards: probe identical, pruning preserved") {
+    import graft.ext.Retrieval
+    val idx = Files.createTempDirectory("compact_shards_bm25").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // three micro-batches through the real sink (foreachBatch body runs
+    // fine outside a stream — lineage is blank, no marker involved)
+    (0 until 3).foreach { b =>
+      Retrieval.bm25Sink(idx, "doc_id", "text")(
+        docs.filter(col("doc_id") % 3 === b), b.toLong)
+    }
+    def batchDirs(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(batchDirs(s"$idx/postings").length == 3)
+    val terms = Seq("vector", "spark", "window")
+    val before = Retrieval.bm25TopKStreamed(spark, idx, "doc_id", terms, k = 20)
+      .collect().map(_.toString).toSeq
+
+    val reports = Retrieval.compactIndex(spark, idx)
+    assert(reports.forall(r => r.filesBefore > r.filesAfter))
+    // one shard left, named by the highest consolidated id
+    assert(batchDirs(s"$idx/postings").toSeq == Seq("batch=2"))
+    assert(batchDirs(s"$idx/doclen").toSeq == Seq("batch=2"))
+    // tok_band stays a partition column INSIDE the consolidated shard —
+    // the probe's static pruning contract
+    assert(new java.io.File(s"$idx/postings/batch=2").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("tok_band=")))
+    val after = Retrieval.bm25TopKStreamed(spark, idx, "doc_id", terms, k = 20)
+      .collect().map(_.toString).toSeq
+    assert(after == before && after.nonEmpty)
+  }
+
+  test("compactShards upTo: only watermark-covered shards consolidate; sink keeps folding") {
+    import graft.streaming.StreamingAsOf
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val work = Files.createTempDirectory("compact_shards_asof").toString
+    val mart = s"$work/m"; val rstore = s"$work/r"
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "view").select("event_id", "user_id", "ts"),
+      df.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value").as("click_value")))
+    val sink = StreamingAsOf.asOfSink(mart, rstore, split, "event_id",
+      Seq("user_id"), "ts", "ts", Seq("click_id", "click_value"),
+      "click_id", toleranceUs = Some(1000000L)) _
+    def batchDf(rows: (Long, Long, Long, String, Double)*) =
+      rows.toSeq.map { case (e, u, t, ty, v) => (e, u, ts(t * 1000), ty, v) }
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+    sink(batchDf((10L, 1L, 50L, "click", 1.0)), 0L)
+    sink(batchDf((11L, 1L, 60L, "click", 1.5)), 1L)
+    sink(batchDf((12L, 1L, 70L, "click", 1.8)), 2L)
+    def dirs() = new java.io.File(rstore).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).sorted.toSeq
+    assert(dirs() == Seq("batch=0", "batch=1", "batch=2"))
+
+    // the mart marker is the replay watermark — ids <= it are safe
+    // (replays of them return before the shard write)
+    val fs = new org.apache.hadoop.fs.Path(mart)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hwm = graft.streaming.AtomicSwap
+      .lastAppliedBatchId(fs, new org.apache.hadoop.fs.Path(mart)).get
+    assert(hwm == 2L)
+    Compact.compactShards(spark, rstore, targetBytes = 1L << 30, upTo = 1L)
+    assert(dirs() == Seq("batch=1", "batch=2")) // 0+1 merged, 2 untouched
+
+    // post-compaction fold still reads the full right history: a new
+    // view must match the batch-0 click that now lives in the merged
+    // shard...
+    sink(batchDf((1L, 1L, 55L, "view", 0.0)), 3L)
+    // ...and a full consolidation (no upTo) keeps later folds working
+    // (batch 3 wrote its own — empty — right shard: every batch lands
+    // one, clicks or not, so the merged shard takes the id 3)
+    Compact.compactShards(spark, rstore, targetBytes = 1L << 30)
+    assert(dirs() == Seq("batch=3"))
+    sink(batchDf((2L, 1L, 75L, "view", 0.0)), 4L)
+    val got = StreamingAsOf.readMart(spark, mart, "ts",
+        Seq("click_id", "click_value"), Some(1000000L))
+      .select("event_id", "click_id").as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((1L, Some(10L)), (2L, Some(12L))), s"got $got")
+  }
+
   test("compactPartitioned compacts each hive leaf independently") {
     val root = Files.createTempDirectory("compact_part").toString
     val ev = Tables.events(spark, sfDir)
