@@ -283,8 +283,11 @@ object Graph {
     graft.streaming.AtomicSwap.heal(fs, target)
     val lineage = graft.streaming.AtomicSwap.streamLineage(spark)
     if (graft.streaming.AtomicSwap.alreadyApplied(fs, target, batchId, lineage)) return
+    // declared schema: the standing read runs every batch, and
+    // footer-based inference is a per-batch job the fold doesn't need
     val standing =
-      if (fs.exists(target)) spark.read.parquet(outPath)
+      if (fs.exists(target))
+        spark.read.schema("n BIGINT, component BIGINT").parquet(outPath)
       else spark.range(0).select(col("id").as("n"), col("id").as("component"))
     val merged0 = componentsIncremental(standing, batch)
     // the merge reads the path it is about to replace — materialize
@@ -308,7 +311,7 @@ object Graph {
   def availableNowComponents(spark: SparkSession, edges: DataFrame,
                              filesPerBatch: Int = 1): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_cc").toString
+    val work = graft.streaming.DrainWork.tempDir("graft_stream_cc")
     val src = s"$work/edges"
     val mart = s"$work/labels"
     // 3 files → cold solve + 2 incremental folds at filesPerBatch=1:

@@ -246,7 +246,7 @@ object Retrieval {
   def availableNowBm25(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_bm25").toString
+    val work = graft.streaming.DrainWork.tempDir("graft_stream_bm25")
     val src = s"$work/docs"
     val idx = s"$work/index"
     graft.Tables.documents(spark, sfDir).select("doc_id", "text")

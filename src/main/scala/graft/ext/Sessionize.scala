@@ -128,7 +128,7 @@ object Sessionize {
   def availableNowSessions(spark: SparkSession, sfDir: String,
                            gapMinutes: Int): DataFrame = {
     import spark.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+    val work = graft.streaming.DrainWork.tempDir("graft_stream_sess")
     val out = s"$work/sessions"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = Tables.normalizeTs(spark.readStream

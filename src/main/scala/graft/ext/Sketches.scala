@@ -101,7 +101,7 @@ object Sketches {
   def availableNowSketchMart(spark: SparkSession, sfDir: String,
                              maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_sketch").toString
+    val work = graft.streaming.DrainWork.tempDir("graft_stream_sketch")
     val mart = s"$work/cells"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream

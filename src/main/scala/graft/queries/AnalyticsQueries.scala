@@ -751,7 +751,7 @@ object AnalyticsQueries {
         col("event_type"), date_trunc("hour", col("ts")).as("hr"),
         floor(col("value") * 100).cast("long").as("v"),
         graft.ext.Corpus.splitBucket("event_id").as("bucket"))
-      val path = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+      val path = graft.streaming.DrainWork.tempDir("graft_ivm")
       IncrementalAgg.partials(facts.filter(col("bucket") < 204), keys, "v")
         .write.mode("overwrite").parquet(path)
       IncrementalAgg.mergeDeltaSmall(s.read.parquet(path),

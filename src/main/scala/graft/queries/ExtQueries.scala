@@ -209,7 +209,7 @@ object ExtQueries {
     //      pruning itself is pinned in IvfStoredSpec)
     "x_ann_ivf_stored" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      val path = graft.streaming.DrainWork.tempDir("graft_ivf_idx")
       Similarity.writeIvfIndex(emb, "vec_id", "embedding",
         nClusters = 4, iterations = 2, path = path)
       Similarity.ivfTopKStored(s, path, emb.filter(col("vec_id") < 10),
@@ -242,7 +242,7 @@ object ExtQueries {
     //      stored_splits bench sidecar)
     "x_ann_pq_stored" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val path = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+      val path = graft.streaming.DrainWork.tempDir("graft_pq_idx")
       Similarity.writePqIndex(emb, "vec_id", "embedding",
         m = 4, subDim = 16, ks = 4, iterations = 2, path = path)
       Similarity.pqTopKStored(s, path, emb.filter(col("vec_id") < 10),
@@ -304,7 +304,7 @@ object ExtQueries {
     //      and scans only compressed codes (same result => same oracle)
     "x_ann_ivfpq_stored" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+      val path = graft.streaming.DrainWork.tempDir("graft_ivfpq_idx")
       Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
         nCoarse = 4, coarseIters = 2, m = 4, subDim = 16, ks = 4,
         pqIters = 2, path = path)

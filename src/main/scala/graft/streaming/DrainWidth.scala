@@ -20,8 +20,21 @@ object DrainWidth {
   def clamped[A](spark: SparkSession, width: Int = DefaultDrainWidth)(
       body: => A): A = {
     val conf = "spark.sql.shuffle.partitions"
+    val aqe = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(conf)
+    val prevAqe = spark.conf.get(aqe)
     spark.conf.set(conf, width.toString)
-    try body finally spark.conf.set(conf, prev)
+    // AQE off inside the drain: every fold's frames are tiny and carry
+    // injected stats (checkpointWithStats) or file stats, so runtime
+    // replanning buys nothing — but each AQE query stage materializes
+    // as its own job, and at ~24 jobs per fold the driver-side stage
+    // machinery WAS the measured drain floor (DrainFloorProbe: job time
+    // ≪ wall time). Width is already pinned by the clamp; join sides
+    // still broadcast from static stats.
+    spark.conf.set(aqe, "false")
+    try body finally {
+      spark.conf.set(conf, prev)
+      spark.conf.set(aqe, prevAqe)
+    }
   }
 }

@@ -66,8 +66,8 @@ object StreamingAsOf {
     val lineage = AtomicSwap.streamLineage(spark)
     if (AtomicSwap.alreadyApplied(fs, mart, batchId, lineage)) return
     val (newL0, newR0) = split(batch)
-    val newL = shims.checkpointWithStats(newL0)
-    val newR = shims.checkpointWithStats(newR0)
+    val (newL, lBounds) = checkpointWithTimeBounds(newL0, leftTime)
+    val (newR, rBounds) = checkpointWithTimeBounds(newR0, rightTime)
     // 1. rights are append-only → land as an overwrite-idempotent
     // `batch=<id>` shard (the StreamingIndex/bm25Sink posture): a
     // replayed batch overwrites its own shard bit-for-bit, and the
@@ -78,24 +78,31 @@ object StreamingAsOf {
     // watermark, whose replay guard returns above BEFORE this shard
     // write (the property that makes consolidating applied batches
     // safe); CompactSpec pins a post-compaction fold.
-    newR.toDF().write.mode("overwrite").parquet(s"$rightStorePath/batch=$batchId")
-    val allR = spark.read.parquet(rightStorePath)
+    newR.write.mode("overwrite").parquet(s"$rightStorePath/batch=$batchId")
+    val rstoreSchema = org.apache.spark.sql.types.StructType(
+      newR.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "batch", org.apache.spark.sql.types.LongType))
+    val allR = spark.read.schema(rstoreSchema).parquet(rightStorePath)
       .drop("batch").select(newR.columns.map(col): _*)
     // 2. A: new lefts vs (tolerance-pruned) right history, via the
     // native batch exec — __rt_us (raw matched right time) is what the
     // argmax merge compares
-    val rightsForA = pruneRightsForA(allR, newL.toDF(), leftTime, rightTime,
+    val rightsForA = pruneRightsForA(allR, lBounds.map(_._1), rightTime,
       toleranceUs)
     def withRt(asofed: DataFrame): DataFrame = asofed
       .withColumn("__rt_us", unix_micros(col(leftTime)) - col("asof_lag_us"))
       .drop("asof_lag_us")
     val aRows = withRt(AsOf.joinBackwardNative(
-      newL.toDF(), rightsForA, keys, leftTime, rightTime, rightCols,
+      newL, rightsForA, keys, leftTime, rightTime, rightCols,
       rightTieBreak, toleranceUs = None))
     val merged0 =
       if (!fs.exists(mart)) aRows
       else {
-        val standingM = spark.read.parquet(martPath)
+        val standingM = spark.read.schema(
+          org.apache.spark.sql.types.StructType(newL.schema.fields ++
+            rightCols.map(c => newR.schema(c)) :+
+            org.apache.spark.sql.types.StructField("__rt_us",
+              org.apache.spark.sql.types.LongType))).parquet(martPath)
         // 3. B: only mart rows that share a key with the new rights AND
         // sit in the rights' time window can change. The time bound is
         // exact, not approximate: a left with lt < min(new rt) has no
@@ -107,8 +114,8 @@ object StreamingAsOf {
         // regardless of mart size or key spread (measured: an
         // unpruned B re-as-of'd every historical row of every
         // delta-active user, O(mart ∩ hot keys) per fold).
-        val (affected, untouched) =
-          splitAffected(standingM, newR, keys, leftTime, rightTime, toleranceUs)
+        val (affected, untouched) = splitAffected(standingM, newR, keys,
+          leftTime, rBounds, toleranceUs)
         val leftColNames = standingM.columns
           .filterNot(c => c == "__rt_us" || rightCols.contains(c)).toSeq
         val cand = withRt(AsOf.joinBackwardNative(
@@ -137,23 +144,49 @@ object StreamingAsOf {
     shims.unpersistLocalCheckpoint(newR)
   }
 
+  /** Checkpoint a delta while OBSERVING its event-time bounds in the
+    * SAME job (`Dataset.observe` / CollectMetrics): the fold needs
+    * min/max time for the A-prune, the touched-days computation and the
+    * affected-window split, and until r11 paid one extra agg job per
+    * side per batch for numbers the checkpoint scan already saw
+    * (DrainFloorProbe: the drain floor is job count, not bytes).
+    * Returns the stats-checkpointed delta plus `Some((min, max))` epoch
+    * micros — None when the delta is empty OR its times are all NULL
+    * (min over non-empty all-NULL input is NULL): a NULL-time right
+    * never matches any left (the native exec drops it, the argmax merge
+    * treats a NULL candidate time as no-candidate) and a NULL-time left
+    * matches nothing, so both callers treat None as
+    * nothing-can-be-bounded. In planOnly mode (identity checkpoints, no
+    * job runs → no metrics accumulate) falls back to a plain agg job.
+    */
+  private def checkpointWithTimeBounds(df: DataFrame, timeCol: String)
+      : (DataFrame, Option[(Long, Long)]) = {
+    val tUs = unix_micros(col(timeCol))
+    if (shims.planOnly) {
+      val ck = shims.checkpointWithStats(df)
+      val b = df.agg(min(tUs), max(tUs)).head()
+      return (ck, if (b.isNullAt(0)) None else Some((b.getLong(0), b.getLong(1))))
+    }
+    val (ck, metrics) = shims.checkpointWithStatsObserved(
+      df.observe("tb", min(tUs).as("lo"), max(tUs).as("hi")))
+    (ck, metrics.get("tb") match {
+      case Some(r) if !r.isNullAt(0) => Some((r.getLong(0), r.getLong(1)))
+      case _ => None
+    })
+  }
+
   /** A-side tolerance prune shared by both sinks: with a tolerance,
     * only rights at or after `min(new left time) − tol` can produce a
-    * visible match for the delta's lefts. The row count comes free from
-    * the delta's injected stats (no job). NULL-safe: a non-empty delta
-    * whose left times are ALL NULL makes `min` return NULL — that case
-    * falls back to the unpruned history instead of throwing (the
-    * statsRowCount guard only covers the zero-row case; NULL-time lefts
-    * simply match nothing downstream).
+    * visible match for the delta's lefts. `minLt` is the observed
+    * min left time (None = empty or all-NULL-time delta → nothing to
+    * bound by; the unpruned history is correct and the downstream join
+    * output is empty/NULL-matched anyway).
     */
-  private def pruneRightsForA(allR: DataFrame, newL: DataFrame,
-      leftTime: String, rightTime: String,
-      toleranceUs: Option[Long]): DataFrame =
-    toleranceUs match {
-      case Some(tol) if shims.statsRowCount(newL).exists(_ > 0) =>
-        val row = newL.agg(min(unix_micros(col(leftTime)))).head()
-        if (row.isNullAt(0)) allR
-        else allR.filter(unix_micros(col(rightTime)) >= row.getLong(0) - tol)
+  private def pruneRightsForA(allR: DataFrame, minLt: Option[Long],
+      rightTime: String, toleranceUs: Option[Long]): DataFrame =
+    (toleranceUs, minLt) match {
+      case (Some(tol), Some(lo)) =>
+        allR.filter(unix_micros(col(rightTime)) >= lo - tol)
       case _ => allR
     }
 
@@ -164,21 +197,15 @@ object StreamingAsOf {
     * match at all, and one past the window could at most swap one
     * beyond-tolerance raw match for another — both read NULL (the
     * A-side prune argument). NULL left times land in `untouched`.
+    * `bounds` is [[rightBounds]] of the new rights (None = empty or
+    * all-NULL-time delta → nothing can change).
     */
   private def splitAffected(standing: DataFrame, newR: DataFrame,
-      keys: Seq[String], leftTime: String, rightTime: String,
+      keys: Seq[String], leftTime: String,
+      bounds: Option[(Long, Long)],
       toleranceUs: Option[Long]): (DataFrame, DataFrame) = {
-    if (!shims.statsRowCount(newR).forall(_ > 0))
-      return (standing.limit(0), standing)
-    val bounds = newR.agg(
-      min(unix_micros(col(rightTime))), max(unix_micros(col(rightTime)))).head()
-    // all-NULL right times: a NULL-time right never matches any left
-    // (the native exec drops it and the argmax merge treats a NULL
-    // candidate time as no-candidate), so nothing in the mart can
-    // change — same shape as the zero-row guard above, which this
-    // case slips past (min over non-empty all-NULL input is NULL)
-    if (bounds.isNullAt(0)) return (standing.limit(0), standing)
-    val (minRt, maxRt) = (bounds.getLong(0), bounds.getLong(1))
+    if (bounds.isEmpty) return (standing.limit(0), standing)
+    val (minRt, maxRt) = bounds.get
     val lt = unix_micros(col(leftTime))
     val inWindow = coalesce(
       lt >= minRt && toleranceUs.map(t => lt <= maxRt + t).getOrElse(lit(true)),
@@ -229,18 +256,24 @@ object StreamingAsOf {
     val lineage = AtomicSwap.streamLineage(spark)
     if (AtomicSwap.alreadyApplied(fs, mart, batchId, lineage)) return
     val (newL0, newR0) = split(batch)
-    val newL = shims.checkpointWithStats(newL0)
-    val newR = shims.checkpointWithStats(newR0)
-    newR.toDF().write.mode("overwrite").parquet(s"$rightStorePath/batch=$batchId")
-    val allR = spark.read.parquet(rightStorePath)
+    val (newL, lBounds) = checkpointWithTimeBounds(newL0, leftTime)
+    val (newR, rBounds) = checkpointWithTimeBounds(newR0, rightTime)
+    newR.write.mode("overwrite").parquet(s"$rightStorePath/batch=$batchId")
+    // declared schema (the delta's own, plus the shard partition id):
+    // the standing reads run EVERY batch, and footer-based inference is
+    // a per-batch job the fold doesn't need
+    val rstoreSchema = org.apache.spark.sql.types.StructType(
+      newR.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "batch", org.apache.spark.sql.types.LongType))
+    val allR = spark.read.schema(rstoreSchema).parquet(rightStorePath)
       .drop("batch").select(newR.columns.map(col): _*)
-    val rightsForA = pruneRightsForA(allR, newL.toDF(), leftTime, rightTime,
+    val rightsForA = pruneRightsForA(allR, lBounds.map(_._1), rightTime,
       toleranceUs)
     def withRt(asofed: DataFrame): DataFrame = asofed
       .withColumn("__rt_us", unix_micros(col(leftTime)) - col("asof_lag_us"))
       .drop("asof_lag_us")
     val aRows = withRt(AsOf.joinBackwardNative(
-        newL.toDF(), rightsForA, keys, leftTime, rightTime, rightCols,
+        newL, rightsForA, keys, leftTime, rightTime, rightCols,
         rightTieBreak, toleranceUs = None))
       .withColumn("__day", to_date(col(leftTime)))
     val merged0 =
@@ -261,29 +294,31 @@ object StreamingAsOf {
         // in StreamingAsOfSpec). LocalDate.ofEpochDay is timezone-free
         // on both sides of the conversion. floorDiv for the same reason:
         // pre-epoch micros must round toward -∞, matching to_date.
-        val rDays: Seq[java.time.LocalDate] =
-          if (!shims.statsRowCount(newR).forall(_ > 0)) Nil
-          else {
-            val b = newR.agg(min(unix_micros(col(rightTime))),
-              max(unix_micros(col(rightTime)))).head()
-            if (b.isNullAt(0)) Nil // all-NULL right times match nothing
-            else {
-              val dayUs = 86400L * 1000000
-              val hi = b.getLong(1) + toleranceUs.getOrElse(0L)
-              (Math.floorDiv(b.getLong(0), dayUs) to Math.floorDiv(hi, dayUs))
-                .map(java.time.LocalDate.ofEpochDay)
-            }
-          }
+        val rDays: Seq[java.time.LocalDate] = rBounds match {
+          case None => Nil // empty or all-NULL-time rights match nothing
+          case Some((lo, hi0)) =>
+            val dayUs = 86400L * 1000000
+            val hi = hi0 + toleranceUs.getOrElse(0L)
+            (Math.floorDiv(lo, dayUs) to Math.floorDiv(hi, dayUs))
+              .map(java.time.LocalDate.ofEpochDay)
+        }
         val touched = newL.select(to_date(col(leftTime)).as("__day")).distinct()
           .unionByName(rDays.toDF("__day")).distinct()
-        val existing = spark.read.parquet(martPath)
+        val martSchema = org.apache.spark.sql.types.StructType(
+          newL.schema.fields ++
+            rightCols.map(c => newR.schema(c)) ++ Seq(
+            org.apache.spark.sql.types.StructField("__rt_us",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("__day",
+              org.apache.spark.sql.types.DateType)))
+        val existing = spark.read.schema(martSchema).parquet(martPath)
           .join(broadcast(touched), Seq("__day"), "left_semi")
         // replay convergence: a new left already applied by a partial
         // earlier write is recomputed in aRows (identically — the right
         // shards are idempotent), so exclude it from the existing side
         val base = existing.join(newL.select(col(leftId)), Seq(leftId), "left_anti")
         val (affected, untouched) =
-          splitAffected(base, newR, keys, leftTime, rightTime, toleranceUs)
+          splitAffected(base, newR, keys, leftTime, rBounds, toleranceUs)
         val leftColNames = base.columns
           .filterNot(c => c == "__rt_us" || c == "__day" || rightCols.contains(c)).toSeq
         val cand = withRt(AsOf.joinBackwardNative(
@@ -302,8 +337,15 @@ object StreamingAsOf {
             col("__day"): _*)
         untouched.unionByName(mergedAffected).unionByName(aRows)
       }
-    // the merge reads partitions it is about to overwrite — materialize
-    val merged = merged0.localCheckpoint(true)
+    // the merge reads partitions it is about to overwrite — materialize.
+    // CLUSTER BY DAY first: an unclustered dynamic overwrite fans out to
+    // one file per (task × day) — measured 115 files for a 30-day toy
+    // mart, and the per-file open/commit machinery dominated the fold
+    // (DrainFloorProbe). Hashing days across tasks writes one file per
+    // touched day; a production backfill whose single hot day outgrows
+    // one task would add a salt column here, but the fold's steady state
+    // touches the tolerance window's 1–2 days.
+    val merged = merged0.repartition(col("__day")).localCheckpoint(true)
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__day").parquet(martPath)
@@ -343,7 +385,7 @@ object StreamingAsOf {
     */
   def availableNowAsOf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_asof").toString
+    val work = DrainWork.tempDir("graft_stream_asof")
     val src = s"$work/events"
     val mart = s"$work/mart"
     val rstore = s"$work/clicks"

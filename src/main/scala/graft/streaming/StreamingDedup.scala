@@ -39,7 +39,7 @@ object StreamingDedup {
     */
   def availableNowDedupKeys(spark: SparkSession, sfDir: String,
                             keys: Seq[String] = Seq("user_id", "event_type")): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    val work = DrainWork.tempDir("graft_stream_dedup")
     val out = s"$work/keys"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s"$sfDir/{events.parquet}"

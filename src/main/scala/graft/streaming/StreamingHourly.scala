@@ -80,7 +80,7 @@ object StreamingHourly {
   def availableNowHourlyMart(spark: SparkSession, sfDir: String,
                              maxFilesPerTrigger: Option[Int] = None,
                              partitionedSink: Boolean = true): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_mart").toString
+    val work = DrainWork.tempDir("graft_stream_mart")
     val mart = s"$work/mart"
     // same nanos-ts handling as Tables.events, stream-side: schema from a
     // cheap batch footer read, int64 nanos → micros timestamp projection

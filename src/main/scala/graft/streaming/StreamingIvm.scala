@@ -80,7 +80,7 @@ object StreamingIvm {
     */
   def availableNowIvmMart(spark: SparkSession, sfDir: String,
                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_ivm").toString
+    val work = DrainWork.tempDir("graft_stream_ivm")
     val mart = s"$work/mart"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream

@@ -66,7 +66,7 @@ object StreamingJoin {
   def availableNowAttribution(spark: org.apache.spark.sql.SparkSession,
                               sfDir: String,
                               lookbackSec: Long = 3600): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+    val work = DrainWork.tempDir("graft_stream_join")
     val out = s"$work/matches"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema

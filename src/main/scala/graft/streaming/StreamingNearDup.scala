@@ -133,7 +133,7 @@ object StreamingNearDup {
     */
   def availableNowCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_neardup").toString
+    val work = DrainWork.tempDir("graft_stream_neardup")
     val out = s"$work/pairs"
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val docs = spark.readStream.schema(schema)

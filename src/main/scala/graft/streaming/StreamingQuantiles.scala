@@ -29,7 +29,7 @@ object StreamingQuantiles {
     */
   def availableNowQuantiles(spark: SparkSession, sfDir: String,
                             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_quant").toString
+    val work = DrainWork.tempDir("graft_stream_quant")
     val mart = s"$work/mart"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s"$sfDir/{events.parquet}"

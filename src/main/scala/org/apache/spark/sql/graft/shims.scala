@@ -96,6 +96,31 @@ object shims {
   def checkpointWithStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     checkpointVariant(df, keepStats = true, keepLayout = false)
 
+  /** [[checkpointWithStats]] that ALSO returns the plan's observed
+    * metrics (`Dataset.observe` / CollectMetrics rows, keyed by observe
+    * name) accumulated during the checkpoint's own materialization job —
+    * scalar facts about a delta (min/max event time, counts) for free
+    * with the scan the checkpoint already pays for.
+    *
+    * The stock `Observation` helper CANNOT be combined with these
+    * checkpoints: it resolves through a QueryExecutionListener, and the
+    * materialization here is an RDD-level job on the plan's own query
+    * execution (see [[checkpointWithStats]]'s rationale), which never
+    * fires dataset-action listeners — `Observation.get` deadlocks
+    * (found the hard way in the r11 streaming as-of fold). Reading
+    * `queryExecution.observedMetrics` after the job is the
+    * listener-free equivalent. In [[planOnly]] mode: identity frame and
+    * an EMPTY map (no job ran) — callers must fall back to an explicit
+    * agg if they still need the numbers.
+    */
+  def checkpointWithStatsObserved(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.Row]) =
+    if (planOnly) (df, Map.empty)
+    else {
+      val out = checkpointVariantImpl(df, keepStats = true, keepLayout = false)
+      (out, df.queryExecution.observedMetrics)
+    }
+
   /** [[checkpointWithStats]] that does NOT degrade to identity in
     * [[planOnly]] mode. For checkpoints inside inherently-eager loops
     * (the components fixed point): the loop runs jobs regardless, and a
