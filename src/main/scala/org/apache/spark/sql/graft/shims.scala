@@ -96,6 +96,13 @@ object shims {
   def checkpointWithStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     checkpointVariant(df, keepStats = true, keepLayout = false)
 
+  /** Block until all queued SparkListener events are delivered —
+    * listener-based assertions (GraphSpec's fast-path boundary pin)
+    * need it, and `listenerBus` is private[spark].
+    */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** [[checkpointWithStats]] that ALSO returns the plan's observed
     * metrics (`Dataset.observe` / CollectMetrics rows, keyed by observe
     * name) accumulated during the checkpoint's own materialization job —

@@ -131,6 +131,64 @@ class GraphSpec extends SparkSuite {
     assert(dist == scratch)
   }
 
+  test("componentsIncremental fast-path boundary: paths agree astride the threshold; no driver collect above it") {
+    // r10 VERDICT #6: the driver union-find engages iff the MEASURED
+    // delta size fits the session broadcast threshold (Graph.scala's
+    // smallDelta guard). Straddle that exact boundary: measure the
+    // delta's checkpointed size, run once with the threshold AT the
+    // size (fast path) and once just BELOW it (distributed), and pin
+    // (a) both results equal from-scratch and (b) the driver-side
+    // collect fires only on the at-threshold side — detected by stage
+    // call stacks naming componentsIncrementalSmall (SQL jobs carry no
+    // callSite properties; StageInfo.details does), with the fast-path
+    // run as the positive control proving the detector sees it.
+    val rnd = new scala.util.Random(41L)
+    val all = (1 to 160).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val (e1, e2) = all.partition(_ => rnd.nextBoolean())
+    val labels = Graph.connectedComponents(e1.toDF("u", "v"))
+      .localCheckpoint(true)
+    // measured size through the same machinery the guard reads
+    val probe = org.apache.spark.sql.graft.shims.checkpointWithStats(
+      e2.toDF("u", "v"))
+    val sz = org.apache.spark.sql.graft.shims.statsSizeInBytes(probe).get
+    org.apache.spark.sql.graft.shims.unpersistLocalCheckpoint(probe)
+    assert(sz > 1)
+
+    val smallPathJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (j.stageInfos.exists(_.details.contains("componentsIncrementalSmall")))
+          smallPathJobs.incrementAndGet()
+    }
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val scratch = Graph.connectedComponents(all.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    def runAt(threshold: Long): (Map[Long, Long], Int) = {
+      spark.sparkContext.addSparkListener(listener)
+      smallPathJobs.set(0)
+      try {
+        spark.conf.set(key, threshold.toString)
+        val r = Graph.componentsIncremental(labels, e2.toDF("u", "v"))
+          .as[(Long, Long)].collect().toMap
+        org.apache.spark.sql.graft.shims.waitListenerBusEmpty(spark.sparkContext)
+        (r, smallPathJobs.get())
+      } finally {
+        spark.conf.set(key, saved)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    }
+    val (atThreshold, jobsAt) = runAt(sz)      // sz <= threshold → fast path
+    val (below, jobsBelow) = runAt(sz - 1)     // sz >  threshold → distributed
+    assert(atThreshold == scratch)
+    assert(below == scratch)
+    assert(jobsAt > 0, "positive control: fast path should collect via componentsIncrementalSmall")
+    assert(jobsBelow == 0, "no driver collect may fire above the broadcast threshold")
+  }
+
   test("availableNowComponents: stream-maintained labels equal from-scratch components") {
     val rnd = new scala.util.Random(11L)
     val all = (1 to 150).map(_ =>
