@@ -96,13 +96,17 @@ class BenchRegressionSpec extends AnyFunSuite {
       val ratio = if (name.matches("t\\d+_.*")) 2.5 else Bench.FlagRatio
       priorQ.get(name).collect {
         case was if now > was * ratio && now - was > Bench.FlagAbsSeconds =>
-          // arbitrated = the isolated min-of-3 is back INSIDE the
-          // query's own latch band AND far below the in-suite reading —
-          // a re-measure as slow as the suite reading indicts the code,
-          // not the environment. (Tighter than r10's 2.5x-for-everyone:
-          // min-of-3 removed the single-cold-rep handicap.)
+          // arbitrated = the isolated min-of-3 re-measure, TREATED AS
+          // THE FRESH MEASUREMENT, passes this same latch criterion —
+          // the burst-contaminated in-suite min is replaced by the
+          // post-suite idle one. (r10's extra `re < now/1.8` clause was
+          // unsatisfiable for marginal 1.5–1.6x flags, where now/1.8
+          // sits BELOW the committed time itself; and the min-of-3
+          // re-measure no longer needs the single-cold-rep slack. A
+          // re-measure as slow as the in-suite reading still fails
+          // here — it trips the criterion on its own.)
           val arbitrated = remeasured.get(name)
-            .exists(re => re <= was * ratio && re < now / 1.8)
+            .exists(re => !(re > was * ratio && re - was > Bench.FlagAbsSeconds))
           (name, was, now, arbitrated,
             f"$name: $was%.2f s -> $now%.2f s (${now / was}%.2fx, latch ${ratio}x" +
               remeasured.get(name).fold(")")(re => f"; isolated re-measure $re%.2f s)"))
