@@ -82,7 +82,11 @@ object ShardCompactProbe {
         .write.mode("overwrite").parquet(s"$rstore/batch=$b"))
     }
     def fold(): Long = {
-      val allR = spark.read.parquet(rstore).drop("batch")
+      val allR = operators.ShardStore.read(spark, rstore,
+          org.apache.spark.sql.types.StructType(clicks.schema.fields :+
+            org.apache.spark.sql.types.StructField("batch",
+              org.apache.spark.sql.types.LongType)))
+        .drop("batch")
         .select("click_id", "user_id", "ts", "click_value")
       operators.AsOf.joinBackwardNative(views1pct, allR, Seq("user_id"),
         "ts", "ts", Seq("click_id", "click_value"), "click_id").count()

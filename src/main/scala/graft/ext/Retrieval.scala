@@ -224,15 +224,18 @@ object Retrieval {
     // failing schema inference, and genuine schema drift fails loudly
     // at analysis instead of being paper-overable by a broad catch.
     // `batch` is the shard partition column, declared LONG (foreachBatch
-    // batchIds are longs; directory values parse either way).
-    val tf = spark.read
-      .schema(s"$idCol BIGINT, token STRING, tf BIGINT, tok_band STRING, batch BIGINT")
-      .parquet(s"$indexPath/postings")
+    // batchIds are longs; directory values parse either way). The reads
+    // go through ShardStore so a compacted index (manifest + live dir)
+    // probes identically — including mid-crash states of the compactor.
+    val tf = graft.operators.ShardStore.read(spark, s"$indexPath/postings",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          s"$idCol BIGINT, token STRING, tf BIGINT, tok_band STRING, batch BIGINT"))
       .filter(col("tok_band").isin(bands: _*))
       .filter(col("token").isin(terms: _*))
       .select(col(idCol), col("token"), col("tf"))
-    val dl = spark.read.schema(s"$idCol BIGINT, dl BIGINT, batch BIGINT")
-      .parquet(s"$indexPath/doclen")
+    val dl = graft.operators.ShardStore.read(spark, s"$indexPath/doclen",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          s"$idCol BIGINT, dl BIGINT, batch BIGINT"))
       .select(col(idCol), col("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tl"))
     score(tf, dl, stats, idCol, k, scale)

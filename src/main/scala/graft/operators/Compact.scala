@@ -73,44 +73,65 @@ object Compact {
     Report(dir, files.length, totalBytes, compacted.length)
   }
 
+  /** Test-only crash injection for [[compactShards]]: thrown at a named
+    * failpoint so CompactSpec can pin every crash window of the
+    * manifest protocol.
+    */
+  private[graft] final class CompactCrash(at: String)
+    extends RuntimeException(s"injected compaction crash at '$at'")
+
   /** Consolidate a streaming sink's `batch=<id>` shard table (the
-    * bm25Sink / StreamingIndex / as-of right-history layout: one
-    * directory per micro-batch, forever) into a SINGLE shard — the
-    * maintenance pass that keeps probe-side listing, footer and
-    * task-count costs flat as micro-batches accumulate. Only shards
-    * with `id <= upTo` are consolidated, into one directory named
-    * `batch=<max consolidated id>`; later shards are untouched, so the
-    * table keeps its layout contract and the sink keeps appending.
+    * bm25Sink / StreamingIndex / as-of right-history / streaming-ANN
+    * lists layout: one directory per micro-batch, forever) into a
+    * SINGLE live directory — the maintenance pass that keeps probe-side
+    * listing, footer and task-count costs flat as micro-batches
+    * accumulate. Only shards with `id <= upTo` consolidate; later
+    * shards are untouched, so the table keeps its layout contract and
+    * the sink keeps appending.
     *
     * SAFETY CONTRACT — compact behind the replay watermark only: a
     * shard sink's idempotence comes from a replayed batch overwriting
-    * its own `batch=<id>` directory bit-for-bit, which on a
-    * CONSOLIDATED shard would replace the merged rows with just that
-    * batch's own. Every consolidated id must therefore be beyond
-    * replay: committed in the owning stream's checkpoint (always true
-    * after an AvailableNow drain terminates) or at/below the mart's
-    * `_applied_batch` marker for marker-guarded sinks, whose replays
-    * return before writing the shard.
+    * its own `batch=<id>` directory bit-for-bit, which for a
+    * consolidated id would resurface as a duplicate shard the manifest
+    * cut no longer excludes. Every consolidated id must therefore be
+    * beyond replay: committed in the owning stream's checkpoint (always
+    * true after an AvailableNow drain terminates) or at/below the
+    * mart's `_applied_batch` marker for marker-guarded sinks, whose
+    * replays return before writing the shard.
     *
     * `nested` lists partition columns INSIDE each shard (the BM25
-    * postings' `tok_band`); they stay partition columns of the
-    * consolidated shard, so probe-side static pruning keeps working.
-    * Nested consolidation repartitions by those columns (each value
-    * lands whole in one task → ~one file per value); flat consolidation
-    * is the shuffle-free `coalesce` of [[compactDir]].
+    * postings' `tok_band`, the ANN lists' `cluster_id`); they stay
+    * partition columns of the live directory, so probe-side pruning
+    * keeps working. Nested consolidation repartitions by those columns
+    * (each value lands whole in one task → ~one file per value); flat
+    * consolidation is the shuffle-free `coalesce` of [[compactDir]].
     *
-    * Crash posture matches [[compactDir]]: the rewrite lands in
-    * `_compact_tmp` (invisible to reads) and swaps in only after
-    * success; a crash between the old-shard delete and the rename
-    * leaves the data recoverable in `_compact_tmp` but the table
-    * unreadable — run offline, like any compaction on bare parquet.
+    * CRASH-ATOMIC via the [[ShardStore]] manifest protocol (r11 VERDICT
+    * #3): rewrite → `_compact_tmp`; one checked rename →
+    * `_compact_live_g<gen>`; atomic manifest publish (the commit
+    * point); then garbage collection. A crash at any step leaves every
+    * [[ShardStore.read]]er returning the full row set with no
+    * duplicates, and the next compactShards call completes the cleanup.
+    * All-empty shard sets (the as-of right store after click-free
+    * batches) publish an empty live dir instead of crashing schema
+    * inference (r11 ADVICE).
     */
   def compactShards(spark: SparkSession, root: String, targetBytes: Long,
                     nested: Seq[String] = Nil,
-                    upTo: Long = Long.MaxValue): Report = {
+                    upTo: Long = Long.MaxValue): Report =
+    compactShardsImpl(spark, root, targetBytes, nested, upTo, failAt = "")
+
+  private[graft] def compactShardsImpl(spark: SparkSession, root: String,
+      targetBytes: Long, nested: Seq[String], upTo: Long,
+      failAt: String): Report = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, root)
     val rootP = new Path(root)
+    def crashpoint(at: String): Unit =
+      if (failAt == at) throw new CompactCrash(at)
+    if (!f.exists(rootP)) return Report(root, 0, 0L, 0)
+    // complete/garbage-collect any crashed predecessor before planning
+    ShardStore.heal(f, rootP)
     def filesUnder(dir: Path): Seq[Long] = {
       val it = f.listFiles(dir, true)
       val b = Seq.newBuilder[Long]
@@ -121,34 +142,68 @@ object Compact {
       }
       b.result()
     }
-    val shards = f.listStatus(rootP)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .flatMap(s => scala.util.Try(
-        s.getPath.getName.stripPrefix("batch=").toLong).toOption
-        .map(_ -> s.getPath))
-      .filter(_._1 <= upTo).sortBy(_._1).toSeq
-    val files = shards.flatMap { case (_, p) => filesUnder(p) }
-    val totalBytes = files.sum
-    if (shards.size <= 1)
-      return Report(root, files.size, totalBytes, files.size)
-    val keepId = shards.last._1
+    val prior = ShardStore.currentManifest(f, rootP)
+    val cut = prior.map(_.batchValue).getOrElse(Long.MinValue)
+    val shards = ShardStore.batchShards(f, rootP)
+      .filter { case (id, _) => id > cut && id <= upTo }
+    val livePath = prior.map(m => new Path(rootP, m.dir))
+    val liveFiles = livePath.map(filesUnder).getOrElse(Nil)
+    val srcFiles = shards.flatMap { case (_, p) => filesUnder(p) }
+    val before = liveFiles.size + srcFiles.size
+    val totalBytes = (liveFiles ++ srcFiles).sum
+    // nothing newly coverable — or a bare single shard with no standing
+    // live dir, which is already one directory (the pre-manifest no-op)
+    if (shards.isEmpty || (prior.isEmpty && shards.size <= 1))
+      return Report(root, before, totalBytes, before)
+    val gen = ShardStore.nextGen(f, rootP)
+    val keepId = math.max(cut, shards.last._1)
+    if (srcFiles.isEmpty) {
+      // the selected shards hold zero data files (every as-of batch
+      // writes a right shard, clicks or not): nothing to rewrite, so
+      // supersede them by manifest alone — re-pointing at the standing
+      // live dir, or an empty one when no compaction ever ran
+      val dirName = prior.map(_.dir).getOrElse {
+        val d = ShardStore.liveDirName(gen)
+        f.mkdirs(new Path(rootP, d))
+        d
+      }
+      ShardStore.publish(f, rootP, ShardStore.Manifest(gen, dirName, keepId))
+      ShardStore.heal(f, rootP)
+      return Report(root, before, totalBytes, liveFiles.size)
+    }
     val nOut = planFileCount(totalBytes, targetBytes)
     val tmp = new Path(rootP, "_compact_tmp")
     f.delete(tmp, true)
     // basePath keeps nested partition discovery consistent across the
     // selected shard paths; the discovered batch column is dropped from
-    // the data — it is re-encoded in the consolidated shard's directory
-    // name, exactly as the sinks encode it
-    val df = spark.read.option("basePath", root)
+    // the data — the manifest's batchValue re-exposes it at read time
+    val srcDf = spark.read.option("basePath", root)
       .parquet(shards.map(_._2.toString): _*).drop("batch")
+    val df = livePath match {
+      case Some(p) if liveFiles.nonEmpty =>
+        srcDf.unionByName(
+          spark.read.option("basePath", p.toString).parquet(p.toString))
+      case _ => srcDf
+    }
     val writer =
       if (nested.isEmpty) df.coalesce(nOut).write
       else df.repartition(nOut, nested.map(col): _*).write.partitionBy(nested: _*)
     writer.mode("overwrite").parquet(tmp.toString)
+    crashpoint("staged")
     val after = filesUnder(tmp).size
-    shards.foreach { case (_, p) => f.delete(p, true) }
-    f.rename(tmp, new Path(rootP, s"batch=$keepId"))
-    Report(root, files.size, totalBytes, after)
+    val liveDir = new Path(rootP, ShardStore.liveDirName(gen))
+    // Hadoop reports rename failure as `false`, not an exception — an
+    // unchecked rename here returned a success Report over a table with
+    // zero consolidated shards (r11 ADVICE, medium)
+    if (!f.rename(tmp, liveDir))
+      throw new java.io.IOException(
+        s"compactShards: rename $tmp -> $liveDir failed")
+    crashpoint("swapped")
+    ShardStore.publish(f, rootP,
+      ShardStore.Manifest(gen, liveDir.getName, keepId))
+    crashpoint("published")
+    ShardStore.heal(f, rootP)
+    Report(root, before, totalBytes, after)
   }
 
   /** Compact every leaf partition of a hive-partitioned root (any

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+/** The `batch=<id>` shard-table layout shared by the streaming sinks
+  * (bm25Sink, StreamingIndex, the as-of right store, the streaming ANN
+  * lists) plus the MANIFEST protocol that makes consolidating those
+  * shards crash-atomic.
+  *
+  * Until r11, [[Compact.compactShards]] swapped the consolidated
+  * rewrite in with delete-old-shards-then-rename — a crash between the
+  * two steps left the table unreadable until manual recovery, and a
+  * failed rename (Hadoop reports it as `false`, not an exception) left
+  * ZERO shards while the pass reported success (r11 VERDICT #3 +
+  * ADVICE). The root problem is structural: replacing N directories
+  * with 1 cannot be atomic on a filesystem, so the commit point must be
+  * a single METADATA write — the same move every table format makes.
+  *
+  * Protocol (all names underscore-prefixed → invisible to raw parquet
+  * readers):
+  *
+  *  1. the consolidated rewrite lands in `_compact_tmp`;
+  *  2. `_compact_tmp` is renamed to `_compact_live_g<gen>` (one rename,
+  *     checked);
+  *  3. the COMMIT POINT: `_compact_manifest_g<gen>` is published by
+  *     atomic rename of a sidecar tmp file. The manifest records the
+  *     live directory and `batchValue` — the highest consolidated batch
+  *     id. A batch shard is superseded iff `id <= batchValue`: sinks
+  *     only ever append ids beyond the replay watermark (>= any id a
+  *     compaction may cover), so the single number is the whole set;
+  *  4. cleanup ([[heal]]): superseded `batch=` dirs, unreferenced live
+  *     dirs and older manifests are deleted — pure garbage collection,
+  *     reordered freely.
+  *
+  * A crash ANYWHERE leaves readers consistent: before step 3 the new
+  * live dir is unreferenced garbage and every original shard is intact
+  * (full rows, no duplicates); after step 3 the manifest excludes the
+  * superseded shards whether or not cleanup ran (full rows, no
+  * duplicates). CompactSpec pins all three crash windows.
+  *
+  * [[read]] is the reader half every shard-table probe goes through:
+  * non-superseded `batch=` dirs unioned with the manifest's live dir.
+  * Schemas are DECLARED by the caller (`batch BIGINT` included) — empty
+  * shard dirs read as zero rows instead of failing inference, and the
+  * live dir's rows re-expose `batch = batchValue` so downstream
+  * batch-column logic (e.g. StreamingIndex's replay self-exclusion)
+  * keeps working: consolidated ids are behind the watermark, so no live
+  * row can belong to a replayable batch.
+  *
+  * Concurrency posture unchanged from r11: compaction runs OFFLINE
+  * relative to probes (a reader that listed a superseded dir before
+  * cleanup deleted it can still hit a missing file mid-scan); crash
+  * SAFETY is what the manifest adds.
+  */
+object ShardStore {
+
+  /** The committed compaction state: rows of batches `<= batchValue`
+    * live (only) in `dir`; `batch=` dirs with larger ids are current.
+    */
+  final case class Manifest(gen: Long, dir: String, batchValue: Long)
+
+  private val ManifestRe = "^_compact_manifest_g(\\d+)$".r
+  private val LiveRe = "^_compact_live_g(\\d+)$".r
+
+  def liveDirName(gen: Long): String = s"_compact_live_g$gen"
+  private def manifestName(gen: Long): String = s"_compact_manifest_g$gen"
+
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All `batch=<id>` shard dirs under `root`, id-sorted. */
+  def batchShards(f: FileSystem, root: Path): Seq[(Long, Path)] =
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("batch=").toLong).toOption
+        .map(_ -> s.getPath))
+      .sortBy(_._1)
+
+  /** The highest-generation committed manifest. A manifest that exists
+    * but cannot be parsed is CORRUPTION and throws — treating it as
+    * absent would resurface superseded shards as duplicate rows.
+    */
+  def currentManifest(f: FileSystem, root: Path): Option[Manifest] = {
+    if (!f.exists(root)) return None
+    val gens = f.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
+      case ManifestRe(g) => Some(g.toLong)
+      case _             => None
+    })
+    gens.maxOption.map { g =>
+      val in = f.open(new Path(root, manifestName(g)))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val kv = text.linesIterator.filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1).trim }
+        .toMap
+      try Manifest(g, kv("dir"), kv("batchValue").toLong)
+      catch { case e: Exception => throw new java.io.IOException(
+        s"ShardStore: corrupt manifest ${manifestName(g)} under $root: '$text'", e) }
+    }
+  }
+
+  /** Next unused generation number: one past anything any artifact name
+    * (manifest, staged tmp manifest, live dir) has ever claimed.
+    */
+  def nextGen(f: FileSystem, root: Path): Long = {
+    if (!f.exists(root)) return 1L
+    val seen = f.listStatus(root).toSeq.flatMap { s =>
+      s.getPath.getName.stripSuffix(".tmp") match {
+        case ManifestRe(g) => Some(g.toLong)
+        case LiveRe(g)     => Some(g.toLong)
+        case _             => None
+      }
+    }
+    seen.maxOption.getOrElse(0L) + 1L
+  }
+
+  /** Publish a manifest — the compaction COMMIT POINT: content staged
+    * to a `.tmp` sidecar, then a single checked rename.
+    */
+  def publish(f: FileSystem, root: Path, m: Manifest): Unit = {
+    val tmp = new Path(root, manifestName(m.gen) + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(
+      s"gen=${m.gen}\ndir=${m.dir}\nbatchValue=${m.batchValue}\n".getBytes("UTF-8"))
+    finally out.close()
+    val fin = new Path(root, manifestName(m.gen))
+    if (!f.rename(tmp, fin))
+      throw new java.io.IOException(
+        s"ShardStore: manifest publish rename $tmp -> $fin failed")
+  }
+
+  /** Garbage-collect everything the current manifest supersedes plus
+    * any artifact a crashed pass left behind: the staging dir, tmp
+    * manifests, live dirs the manifest doesn't reference, superseded
+    * `batch=` dirs, and older manifests. Safe to run any time the
+    * owning sink is quiesced; [[Compact.compactShards]] runs it on
+    * entry (completing any crashed predecessor) and after publishing.
+    */
+  def heal(f: FileSystem, root: Path): Unit = {
+    if (!f.exists(root)) return
+    f.delete(new Path(root, "_compact_tmp"), true)
+    val m = currentManifest(f, root)
+    f.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      val stale = n.stripSuffix(".tmp") match {
+        case _ if !n.startsWith("_compact") => false
+        case ManifestRe(g) =>
+          n.endsWith(".tmp") || m.exists(_.gen > g.toLong)
+        case LiveRe(_) => !m.exists(_.dir == n)
+        case _ => n == "_compact_tmp"
+      }
+      if (stale) f.delete(s.getPath, true)
+    }
+    m.foreach { man =>
+      batchShards(f, root).foreach { case (id, p) =>
+        if (id <= man.batchValue) f.delete(p, true)
+      }
+    }
+  }
+
+  /** Read a shard table: the union of non-superseded `batch=` dirs and
+    * the manifest's live dir. `schema` must DECLARE every column
+    * including nested partition columns and `batch BIGINT` (the repo's
+    * shard readers already do — declared schemas are what make empty
+    * shards readable and schema drift loud). Missing root → typed empty.
+    */
+  def read(spark: SparkSession, root: String, schema: StructType): DataFrame = {
+    val rootP = new Path(root)
+    val f = fs(spark, root)
+    val m = currentManifest(f, rootP)
+    val cut = m.map(_.batchValue).getOrElse(Long.MinValue)
+    val shardPaths = batchShards(f, rootP)
+      .collect { case (id, p) if id > cut => p.toString }
+    val dataSchema = StructType(schema.fields.filterNot(_.name == "batch"))
+    val parts = Seq.newBuilder[DataFrame]
+    if (shardPaths.nonEmpty)
+      parts += spark.read.option("basePath", root).schema(schema)
+        .parquet(shardPaths: _*)
+    m.foreach { man =>
+      val live = new Path(rootP, man.dir)
+      // a crash between live-dir rename and manifest publish leaves the
+      // dir unreferenced (handled above); referenced-but-absent would
+      // mean external deletion — let the read fail loudly in that case
+      parts += spark.read.option("basePath", live.toString).schema(dataSchema)
+        .parquet(live.toString)
+        .withColumn("batch", lit(man.batchValue).cast(schema("batch").dataType))
+    }
+    val ps = parts.result()
+    if (ps.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else ps.map(_.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+      .reduce(_ unionByName _)
+  }
+}

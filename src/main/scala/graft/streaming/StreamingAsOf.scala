@@ -82,7 +82,7 @@ object StreamingAsOf {
     val rstoreSchema = org.apache.spark.sql.types.StructType(
       newR.schema.fields :+ org.apache.spark.sql.types.StructField(
         "batch", org.apache.spark.sql.types.LongType))
-    val allR = spark.read.schema(rstoreSchema).parquet(rightStorePath)
+    val allR = graft.operators.ShardStore.read(spark, rightStorePath, rstoreSchema)
       .drop("batch").select(newR.columns.map(col): _*)
     // 2. A: new lefts vs (tolerance-pruned) right history, via the
     // native batch exec — __rt_us (raw matched right time) is what the
@@ -142,6 +142,23 @@ object StreamingAsOf {
     shims.unpersistLocalCheckpoint(merged)
     shims.unpersistLocalCheckpoint(newL)
     shims.unpersistLocalCheckpoint(newR)
+  }
+
+  /** Fail fast when the SESSION timezone is not UTC-equivalent: the
+    * partition-scoped sink's touched-day arithmetic
+    * (`Math.floorDiv(us, dayUs)` vs `to_date(leftTime)`) is only valid
+    * when `to_date` evaluates under UTC. Accepts any fixed zero-offset
+    * spelling ("UTC", "GMT", "Z", "+00:00", "Etc/UTC").
+    */
+  private def requireUtcSession(spark: SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val rules = java.time.ZoneId.of(tz,
+      java.time.ZoneId.SHORT_IDS).getRules
+    require(rules.isFixedOffset &&
+      rules.getOffset(java.time.Instant.EPOCH) == java.time.ZoneOffset.UTC,
+      s"asOfSinkPartitioned requires spark.sql.session.timeZone=UTC " +
+        s"(got '$tz'): day-partition pruning equates epoch-day floors " +
+        s"with to_date() values, which shift under a non-UTC session zone")
   }
 
   /** Checkpoint a delta while OBSERVING its event-time bounds in the
@@ -250,6 +267,13 @@ object StreamingAsOf {
     require(rightCols.contains(rightTieBreak),
       s"asOfSinkPartitioned: rightTieBreak '$rightTieBreak' must be one of $rightCols")
     val spark = batch.sparkSession
+    // the touched-day prune below equates Math.floorDiv epoch-day
+    // flooring with the mart's to_date(leftTime) partition values —
+    // true only under a UTC SESSION timezone (GraftSession pins it, but
+    // a user session setting a non-UTC zone would silently skip
+    // affected partitions, the same failure shape as the r10 JVM-zone
+    // bug). Enforce the invariant instead of assuming it.
+    requireUtcSession(spark)
     import spark.implicits._
     val mart = new org.apache.hadoop.fs.Path(martPath)
     val fs = mart.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -265,7 +289,7 @@ object StreamingAsOf {
     val rstoreSchema = org.apache.spark.sql.types.StructType(
       newR.schema.fields :+ org.apache.spark.sql.types.StructField(
         "batch", org.apache.spark.sql.types.LongType))
-    val allR = spark.read.schema(rstoreSchema).parquet(rightStorePath)
+    val allR = graft.operators.ShardStore.read(spark, rightStorePath, rstoreSchema)
       .drop("batch").select(newR.columns.map(col): _*)
     val rightsForA = pruneRightsForA(allR, lBounds.map(_._1), rightTime,
       toleranceUs)

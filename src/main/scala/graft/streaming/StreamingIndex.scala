@@ -43,15 +43,19 @@ object StreamingIndex {
 
     val intra = DedupOps.lshCandidates(batch, idCol, textCol, k, rowsPerBand, n)
       .select(col("doc_b").as("doc_new"), col("doc_a").as("doc_matched"))
-    val priorShards = // this batch's own (replayed) shard must not self-match
-      if (fs.exists(new Path(indexPath)))
-        fs.listStatus(new Path(indexPath)).map(_.getPath.toString)
-          .filter(p => p.contains("batch=") && !p.endsWith(s"batch=$batchId"))
-      else Array.empty[String]
     val dups =
-      if (priorShards.isEmpty) intra
+      if (!fs.exists(new Path(indexPath))) intra
       else {
-        val index = spark.read.parquet(priorShards: _*)
+        // ShardStore read → the standing index stays probe-able across
+        // compactShards consolidation; this batch's own (replayed)
+        // shard must not self-match, and consolidated rows can't belong
+        // to it (compaction covers only watermark-committed ids, and a
+        // replayable id is never committed)
+        val idxSchema = org.apache.spark.sql.types.StructType(
+          newSigs.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "batch", org.apache.spark.sql.types.LongType))
+        val index = graft.operators.ShardStore.read(spark, indexPath, idxSchema)
+          .filter(col("batch") =!= batchId)
           .select(col(idCol) +: (0 until k).map(i => col(s"mh$i")): _*)
         DedupOps.lshCandidatesIncremental(index, batch, idCol, textCol, k, rowsPerBand, n)
           .select(col("doc_new"), col("doc_corpus").as("doc_matched"))

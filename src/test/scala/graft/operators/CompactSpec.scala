@@ -61,12 +61,15 @@ class CompactSpec extends SparkSuite {
 
     val reports = Retrieval.compactIndex(spark, idx)
     assert(reports.forall(r => r.filesBefore > r.filesAfter))
-    // one shard left, named by the highest consolidated id
-    assert(batchDirs(s"$idx/postings").toSeq == Seq("batch=2"))
-    assert(batchDirs(s"$idx/doclen").toSeq == Seq("batch=2"))
-    // tok_band stays a partition column INSIDE the consolidated shard —
-    // the probe's static pruning contract
-    assert(new java.io.File(s"$idx/postings/batch=2").listFiles()
+    // all batch dirs superseded into the manifest's live dir
+    assert(batchDirs(s"$idx/postings").isEmpty)
+    assert(batchDirs(s"$idx/doclen").isEmpty)
+    def liveDir(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_compact_live_g"))
+    assert(liveDir(s"$idx/postings").length == 1)
+    // tok_band stays a partition column INSIDE the live dir — the
+    // probe's static pruning contract
+    assert(liveDir(s"$idx/postings").head.listFiles()
       .exists(f => f.isDirectory && f.getName.startsWith("tok_band=")))
     val after = Retrieval.bm25TopKStreamed(spark, idx, "doc_id", terms, k = 20)
       .collect().map(_.toString).toSeq
@@ -106,22 +109,90 @@ class CompactSpec extends SparkSuite {
       .lastAppliedBatchId(fs, new org.apache.hadoop.fs.Path(mart)).get
     assert(hwm == 2L)
     Compact.compactShards(spark, rstore, targetBytes = 1L << 30, upTo = 1L)
-    assert(dirs() == Seq("batch=1", "batch=2")) // 0+1 merged, 2 untouched
+    assert(dirs() == Seq("batch=2")) // 0+1 merged into the live dir, 2 untouched
 
     // post-compaction fold still reads the full right history: a new
-    // view must match the batch-0 click that now lives in the merged
-    // shard...
+    // view must match the batch-0 click that now lives in the live
+    // dir...
     sink(batchDf((1L, 1L, 55L, "view", 0.0)), 3L)
     // ...and a full consolidation (no upTo) keeps later folds working
     // (batch 3 wrote its own — empty — right shard: every batch lands
-    // one, clicks or not, so the merged shard takes the id 3)
+    // one, clicks or not; the new manifest covers through id 3)
     Compact.compactShards(spark, rstore, targetBytes = 1L << 30)
-    assert(dirs() == Seq("batch=3"))
+    assert(dirs().isEmpty)
     sink(batchDf((2L, 1L, 75L, "view", 0.0)), 4L)
     val got = StreamingAsOf.readMart(spark, mart, "ts",
         Seq("click_id", "click_value"), Some(1000000L))
       .select("event_id", "click_id").as[(Long, Option[Long])].collect().toSet
     assert(got == Set((1L, Some(10L)), (2L, Some(12L))), s"got $got")
+  }
+
+  test("compactShards crash windows: reader sees the full row set at every failpoint") {
+    import spark.implicits._
+    // a fresh store per failpoint: 3 shards of (id, v), nested band col
+    def build(tag: String): String = {
+      val root = Files.createTempDirectory(s"compact_crash_$tag").toString
+      (0 until 3).foreach { b =>
+        (0 until 40).map(i => (b * 100L + i, i.toLong, (i % 4).toString))
+          .toDF("id", "v", "band")
+          .write.mode("overwrite").partitionBy("band").parquet(s"$root/batch=$b")
+      }
+      root
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v BIGINT, band STRING, batch BIGINT")
+    def readAll(root: String): Seq[String] =
+      ShardStore.read(spark, root, schema).drop("batch")
+        .collect().map(_.toString).sorted.toSeq
+
+    Seq("staged", "swapped", "published").foreach { fp =>
+      val root = build(fp)
+      val want = readAll(root)
+      assert(want.length == 120)
+      val crash = intercept[Compact.CompactCrash] {
+        Compact.compactShardsImpl(spark, root, targetBytes = 1L << 30,
+          nested = Seq("band"), upTo = Long.MaxValue, failAt = fp)
+      }
+      assert(crash.getMessage.contains(fp))
+      // the crashed state reads complete and duplicate-free
+      assert(readAll(root) == want, s"mid-crash read wrong after '$fp'")
+      // the next (normal) pass completes the job from any crash point
+      val rep = Compact.compactShards(spark, root, targetBytes = 1L << 30,
+        nested = Seq("band"))
+      assert(readAll(root) == want, s"post-recovery read wrong after '$fp'")
+      val dirs = new java.io.File(root).listFiles().map(_.getName).toSet
+      assert(!dirs.exists(_.startsWith("batch=")), s"shards survived: $dirs")
+      assert(!dirs.contains("_compact_tmp"))
+      // exactly one live dir + one manifest remain
+      assert(dirs.count(_.startsWith("_compact_live_g")) == 1, s"$fp: $dirs")
+      assert(dirs.count(d => d.startsWith("_compact_manifest_g")
+        && !d.endsWith(".tmp")) == 1, s"$fp: $dirs")
+      assert(rep.filesAfter > 0)
+    }
+  }
+
+  test("compactShards over data-file-free shards publishes an empty live dir") {
+    val root = Files.createTempDirectory("compact_empty").toString
+    // the as-of right-store shape after click-free batches: shard dirs
+    // exist (the sink writes one per batch) but hold no data files
+    (0 until 3).foreach(b =>
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, s"batch=$b")))
+    val rep = Compact.compactShards(spark, root, targetBytes = 1L << 30)
+    assert(rep.filesBefore == 0 && rep.filesAfter == 0)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, batch BIGINT")
+    assert(ShardStore.read(spark, root, schema).count() == 0)
+    assert(new java.io.File(root).listFiles()
+      .forall(f => !f.getName.startsWith("batch=")))
+    // and the store keeps accepting + consolidating later shards
+    import spark.implicits._
+    Seq((1L, 3L)).toDF("id", "x").drop("x").select(col("id"))
+      .write.mode("overwrite").parquet(s"$root/batch=7")
+    assert(ShardStore.read(spark, root, schema).count() == 1)
+    Compact.compactShards(spark, root, targetBytes = 1L << 30)
+    assert(ShardStore.read(spark, root, schema)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
   test("compactPartitioned compacts each hive leaf independently") {
