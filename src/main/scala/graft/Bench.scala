@@ -75,6 +75,12 @@ object Bench {
     // flagging re-measures a superset of anything the latch can fail
     // on. References at a different sf than this run are skipped; a
     // missing/unparseable file just disables its half (first run).
+    // parse failures must not be SILENT: a reference that half-parses to
+    // empty disables flagging with no signal — the fail-open posture that
+    // previously let drifts ship unarbitrated (r11 ADVICE). A file that
+    // exists at the SAME sf but yields no query times gets a stderr
+    // warning AND a ref-parse marker in the JSON errors array.
+    val refWarnings = scala.collection.mutable.LinkedHashSet[String]()
     val refTimes: Map[String, Double] = try {
       val sfWanted = sfDir.split('/').last.stripPrefix("sf")
       def parseRef(p: java.nio.file.Path): Map[String, Double] = {
@@ -82,19 +88,26 @@ object Bench {
         val s = java.nio.file.Files.readString(p)
         val sfOk = """"sf":\s*"?(?:sf)?([0-9.]+)""".r.findFirstMatchIn(s)
           .exists(_.group(1) == sfWanted)
-        if (!sfOk) return Map.empty
+        if (!sfOk) return Map.empty // different sf: legitimately unusable
         // driver snapshots use json.dump spacing and embed an ESCAPED
         // copy inside their "tail" string — the (?<!\\) guard skips it
-        """(?<!\\)"queries":\s*\{""".r.findFirstMatchIn(s).map { m =>
+        val parsed = """(?<!\\)"queries":\s*\{""".r.findFirstMatchIn(s).map { m =>
           val start = m.end
           val end = s.indexOf("}", start)
           if (end < 0) "" else s.substring(start, end)
         } match {
-          case None => Map.empty
+          case None => Map.empty[String, Double]
           case Some(body) =>
             """"([A-Za-z0-9_]+)":\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
+        if (parsed.isEmpty) {
+          val w = s"ref-parse-empty:${p.getFileName}"
+          refWarnings += w
+          System.err.println(s"WARN Bench: reference $p exists at sf=$sfWanted " +
+            "but parsed to zero query times — its flagging half is disabled")
+        }
+        parsed
       }
       val local = parseRef(java.nio.file.Paths.get("BENCH_LOCAL.json"))
       val driver = (1 to 99).map(n => java.nio.file.Paths.get(f"BENCH_r$n%02d.json"))
@@ -104,7 +117,13 @@ object Bench {
         k -> math.min(local.getOrElse(k, Double.MaxValue),
           driver.getOrElse(k, Double.MaxValue))
       }.toMap
-    } catch { case _: Throwable => Map.empty }
+    } catch {
+      case e: Throwable =>
+        refWarnings += s"ref-parse-error:${e.getClass.getSimpleName}"
+        System.err.println(s"WARN Bench: reference parsing failed ($e) — " +
+          "flagging disabled this run")
+        Map.empty
+    }
 
     // warmup: touch every table once (schema + full scan) + JIT the agg path
     // (events is warmed via Tables.events below — a plain read would hit
@@ -123,6 +142,7 @@ object Bench {
     // surface them in the JSON, and drop failed reps entirely: a failing
     // rep's (fast) latency would otherwise shrink times.min and the total
     val errors = scala.collection.mutable.LinkedHashSet[String]()
+    errors ++= refWarnings // surfaced in the JSON, not just stderr
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 isolates queries for profiling runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)

@@ -245,9 +245,14 @@ object Retrieval {
     * driver query): documents file-stream (3 arbitrary splits) →
     * per-batch postings shards → stream-index probe. Equals the batch
     * [[bm25TopK]] / stored-index probe for any split (oracle-pinned).
+    * With `compact=true` the drain tail consolidates the postings and
+    * doclen shards before probing — safe because AvailableNow commits
+    * every batch before terminating, so all shard ids are beyond
+    * replay; result-identical (StreamingBm25Spec pins parity).
     */
   def availableNowBm25(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): DataFrame = {
+      sfDir: String,
+      compact: Boolean = graft.streaming.DrainCompact.enabled): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val work = graft.streaming.DrainWork.tempDir("graft_stream_bm25")
     val src = s"$work/docs"
@@ -276,9 +281,11 @@ object Retrieval {
     // [[bm25TopKStreamed]].
     val postings = new org.apache.hadoop.fs.Path(s"$idx/postings")
     val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(postings))
+    if (fs.exists(postings)) {
+      if (compact) compactIndex(spark, idx)
       bm25TopKStreamed(spark, idx, "doc_id",
         Seq("vector", "spark", "window"), k = 20)
+    }
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(

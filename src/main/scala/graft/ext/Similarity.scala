@@ -263,6 +263,138 @@ object Similarity {
     ivfSearch(lists, cents, queries, idCol, vecCol, nProbe, k)
   }
 
+  // ------------------------------------------- streaming IVF maintenance
+
+  /** Train + persist the standing CENTROID MODEL only — the streaming
+    * index's prerequisite (the build half of [[writeIvfIndex]] without
+    * the inverted lists, which [[ivfSink]] maintains incrementally).
+    * The model is the slow-moving part of an ANN index: production
+    * retrains it rarely (a new model is a new index), while vectors
+    * stream in continuously against the standing cells.
+    */
+  def writeIvfModel(corpus: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, iterations: Int, path: String): Unit =
+    ivfCentroids(corpus, idCol, vecCol, nClusters, iterations)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+
+  /** STREAMING inverted-list maintenance — IVM for ANN, closing the one
+    * asymmetry left in the streaming-index family (BM25 had a full
+    * incremental sink, the IVF index was batch-built only): each
+    * micro-batch of new vectors is assigned to the STANDING centroids
+    * on arrival and lands as a `batch=<id>` shard of the lists table,
+    * `cluster_id`-partitioned INSIDE the shard so probe-side cell
+    * pruning keeps working. Inverted lists are mergeable across shards
+    * by construction — a vector is assigned in exactly one batch and
+    * assignment depends only on (vector, centroids) — so the maintained
+    * index is IDENTICAL to a from-scratch [[writeIvfIndex]] lists build
+    * over all vectors, for any micro-batch split (the t13 oracle).
+    *
+    * Replay idempotence needs no marker: a re-delivered batch
+    * overwrites its own shard bit-for-bit (no additive state — the
+    * bm25Sink posture). Per-batch cost is O(delta × nClusters) with the
+    * (tiny) centroid table broadcast from measured parquet stats.
+    */
+  def ivfSink(indexPath: String, idCol: String, vecCol: String)
+             (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    ivfAssign(batch, cents, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        norm2Scaled(col(vecCol)).as("c_n2"), col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$indexPath/lists/batch=$batchId")
+  }
+
+  /** Probe the stream-maintained index: identical results to
+    * [[ivfTopKStored]] over every vector any shard has indexed (parity
+    * pinned in StreamingAnnSpec and the `t13_streaming_ann` oracle).
+    * The lists read goes through [[graft.operators.ShardStore]] —
+    * shard-union + any consolidated live dir, declared schema (ids are
+    * BIGINT, the repo-wide contract) so empty shards read as zero
+    * candidates — and the probe's cluster_id equi-join prunes unprobed
+    * cells exactly as the batch stored path does.
+    */
+  def ivfTopKStreamed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      nProbe: Int = 2, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cents = spark.read.parquet(s"$path/centroids")
+    val schema = StructType(Seq(
+      StructField("neighbor_id", queries.schema(idCol).dataType),
+      StructField("c_vec", queries.schema(vecCol).dataType),
+      StructField("c_n2", LongType),
+      StructField("cluster_id", IntegerType),
+      StructField("batch", LongType)))
+    val lists = graft.operators.ShardStore
+      .read(spark, s"$path/lists", schema).drop("batch")
+    ivfSearch(lists, cents, queries, idCol, vecCol, nProbe, k)
+  }
+
+  /** Offline/drain-tail maintenance for the stream-maintained lists:
+    * consolidate the `batch=` shards via the crash-atomic
+    * [[graft.operators.Compact.compactShards]]; `cluster_id` stays a
+    * partition column of the live dir so cell pruning is preserved and
+    * the probe result is unchanged (StreamingAnnSpec pins parity).
+    * Same safety contract as the BM25 index: consolidate only batches
+    * beyond replay (after an AvailableNow drain terminates, or
+    * `upTo` = the owning stream's committed watermark).
+    */
+  def compactIvfLists(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetBytes: Long = 128L << 20,
+      upTo: Long = Long.MaxValue): graft.operators.Compact.Report =
+    graft.operators.Compact.compactShards(spark, s"$indexPath/lists",
+      targetBytes, nested = Seq("cluster_id"), upTo = upTo)
+
+  /** The whole chain drained end-to-end (the `t13_streaming_ann` driver
+    * query): standing centroid model trained once from the corpus →
+    * embeddings file-stream (3 arbitrary splits) → per-batch inverted-
+    * list shards → stream-index probe. Equals [[ivfTopKStored]] with
+    * the same build parameters for any split (oracle-pinned — the
+    * `x_ann_ivf` oracle, since assignment is a pure per-vector function
+    * of the standing model). With `compact=true` the drain tail
+    * consolidates the lists shards behind the drained checkpoint
+    * (every batch is committed once AvailableNow terminates) before
+    * probing — the opt-in maintenance posture, result-identical.
+    */
+  def availableNowIvf(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      compact: Boolean = graft.streaming.DrainCompact.enabled): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = graft.streaming.DrainWork.tempDir("graft_stream_ann")
+    val src = s"$work/vecs"
+    val idx = s"$work/index"
+    val emb = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    writeIvfModel(emb, "vec_id", "embedding",
+      nClusters = 4, iterations = 2, path = idx)
+    emb.repartition(3).write.parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    graft.streaming.DrainWidth.clamped(spark) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(ivfSink(idx, "vec_id", "embedding") _)
+        .start()
+      q.awaitTermination()
+    }
+    // zero-vector drains write no lists dirs at all — explicit path
+    // probing, not exception catching (the availableNowBm25 rationale)
+    val lists = new org.apache.hadoop.fs.Path(s"$idx/lists")
+    val fs = lists.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(lists))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id BIGINT, neighbor_id BIGINT, cluster_id BIGINT, cos_sim DOUBLE"))
+    if (compact) compactIvfLists(spark, idx)
+    ivfTopKStreamed(spark, idx, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", nProbe = 2, k = 3)
+      .withColumn("cluster_id", col("cluster_id").cast("bigint"))
+  }
+
   // ------------------------------------------------ product quantization
 
   /** Explode each vector into `m` contiguous `subDim`-wide subvectors:

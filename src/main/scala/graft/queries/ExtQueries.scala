@@ -579,6 +579,15 @@ object ExtQueries {
     "t12_streaming_bm25" -> ((s, d) =>
       graft.ext.Retrieval.availableNowBm25(s, d)),
 
+    // ---- STREAMING twin of x_ann_ivf_stored (IVM for ANN — the last
+    //      streaming-index asymmetry): standing centroid model trained
+    //      once, embeddings drained in 3 arbitrary micro-batches into
+    //      cluster_id-partitioned batch= inverted-list shards, probe
+    //      over the shard union. Assignment is a pure per-vector
+    //      function of the standing model, so the maintained index
+    //      equals the batch build for any split — same oracle
+    "t13_streaming_ann" -> ((s, d) => Similarity.availableNowIvf(s, d)),
+
     // ---- composite quality gate: token band + stopword floor + language
     "x_quality_filter" -> ((s, d) =>
       Corpus.qualityFilter(Tables.documents(s, d), "doc_id", "text",
@@ -1721,6 +1730,10 @@ object ExtQueries {
     // to the cold query" — same oracle by definition
     "x_bm25_stored" -> Bm25OracleSql,
     "t12_streaming_bm25" -> Bm25OracleSql,
+    // the maintained IVF index ≡ the from-scratch build for any split
+    // (assignment is a pure function of the standing centroids) — the
+    // streaming probe shares the learned-IVF oracle
+    "t13_streaming_ann" -> annIvfOracleSql,
 
     "x_quality_filter" ->
       s"""WITH c AS (SELECT doc_id,

@@ -2,7 +2,7 @@ package graft.streaming
 
 /** Scratch-directory provider for the bounded drains and the ephemeral
   * stored-index builds: prefers a RAM-backed filesystem (/dev/shm) over
-  * `java.io.tmpdir` when present and writable.
+  * `java.io.tmpdir` when present, writable, and comfortably roomy.
   *
   * Rationale (r10 VERDICT #3): at toy scale a drain's measured time is
   * dominated by commit machinery on local disk — AtomicSwap staging
@@ -13,18 +13,41 @@ package graft.streaming
   * deployment (marts land in the warehouse store, checkpoints in the
   * streaming store); pinning the scratch to tmpfs shows the operators'
   * actual cost. Falls back to the default temp dir when /dev/shm is
-  * absent (containers/mac). The INPUT tables are never moved — only
-  * per-query scratch lands here.
+  * absent (containers/mac).
+  *
+  * Guard rails (r11 ADVICE): tmpfs is typically capped at half of RAM
+  * and shared with everything else on the host, so a larger-sf run
+  * could fill it mid-bench — /dev/shm is used only while it reports
+  * ≥ [[MinFreeBytes]] usable space (checked per allocation, so a run
+  * that fills it degrades to disk instead of failing), and
+  * `GRAFT_DRAIN_SCRATCH=tmp` opts out entirely (e.g. to compare
+  * numbers against disk-scratch references: the scratch-medium switch
+  * landed in r11, the round the committed references were re-measured).
+  * The INPUT tables are never moved — only per-query scratch lands here.
   */
 object DrainWork {
-  private lazy val base: Option[java.nio.file.Path] = {
+
+  /** Floor of usable /dev/shm space below which scratch falls back to
+    * the default temp dir: 2 GiB, ~4× the largest per-drain scratch
+    * footprint observed at sf1 (SCALE.md r11) — headroom, not a fit.
+    */
+  val MinFreeBytes: Long = 2L << 30
+
+  private val optOut: Boolean =
+    sys.env.get("GRAFT_DRAIN_SCRATCH").contains("tmp")
+
+  private def shmUsable: Option[java.nio.file.Path] = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm)) Some(shm)
-    else None
+    try {
+      if (!optOut && java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm) &&
+          java.nio.file.Files.getFileStore(shm).getUsableSpace >= MinFreeBytes)
+        Some(shm)
+      else None
+    } catch { case _: java.io.IOException => None }
   }
 
-  def tempDir(prefix: String): String = base match {
+  def tempDir(prefix: String): String = shmUsable match {
     case Some(b) => java.nio.file.Files.createTempDirectory(b, prefix).toString
     case None    => java.nio.file.Files.createTempDirectory(prefix).toString
   }

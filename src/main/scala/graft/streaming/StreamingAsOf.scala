@@ -407,7 +407,8 @@ object StreamingAsOf {
     * in oracle shape. Equals the batch `x_asof_native` rows for any
     * split (oracle-pinned).
     */
-  def availableNowAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+  def availableNowAsOf(spark: SparkSession, sfDir: String,
+      compact: Boolean = DrainCompact.enabled): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val work = DrainWork.tempDir("graft_stream_asof")
     val src = s"$work/events"
@@ -452,6 +453,15 @@ object StreamingAsOf {
     // partition column itself is underscore-prefixed.)
     val martP = new org.apache.hadoop.fs.Path(mart)
     val martFs = martP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // opt-in drain-tail maintenance: consolidate the right-history
+    // shards scoped to the mart's _applied_batch marker — the exact
+    // replay watermark the compaction safety contract names (a replay
+    // of any id <= it returns before the shard write)
+    if (compact)
+      AtomicSwap.lastAppliedBatchId(martFs, martP).foreach { hwm =>
+        graft.operators.Compact.compactShards(spark, rstore,
+          targetBytes = 128L << 20, upTo = hwm)
+      }
     val hasData = martFs.exists(martP) && martFs.listStatus(martP)
       .exists(_.getPath.getName.startsWith("__day="))
     if (hasData)

@@ -15,6 +15,36 @@ class StreamingAsOfSpec extends SparkSuite {
     assert(drained == batch && drained.nonEmpty)
   }
 
+  test("drain-tail compaction (marker-scoped): result identical to the plain drain") {
+    val compacted = StreamingAsOf.availableNowAsOf(spark, sfDir, compact = true)
+      .collect().map(_.toString).sorted.toSeq
+    val plain = StreamingAsOf.availableNowAsOf(spark, sfDir, compact = false)
+      .collect().map(_.toString).sorted.toSeq
+    assert(compacted == plain && compacted.nonEmpty)
+  }
+
+  test("partitioned sink requires a UTC session timezone") {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      import spark.implicits._
+      val work = java.nio.file.Files.createTempDirectory("graft_asof_tz").toString
+      val batch = Seq((1L, 1L, new java.sql.Timestamp(0L), "view", 0.0))
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+      val e = intercept[IllegalArgumentException] {
+        StreamingAsOf.asOfSinkPartitioned(s"$work/m", s"$work/r",
+          df => (df.filter(col("event_type") === "view")
+                   .select("event_id", "user_id", "ts"),
+                 df.filter(col("event_type") === "click")
+                   .select(col("event_id").as("click_id"), col("user_id"),
+                     col("ts"), col("value").as("click_value"))),
+          "event_id", Seq("user_id"), "ts", "ts",
+          Seq("click_id", "click_value"), "click_id", None)(batch, 0L)
+      }
+      assert(e.getMessage.contains("timeZone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", tz)
+  }
+
   test("late rights re-open already-matched lefts; argmax merge is split-invariant") {
     import spark.implicits._
     // views v1@100, v2@250; clicks c10@50, c20@240, c30@260 — drained as

@@ -38,6 +38,14 @@ class StreamingBm25Spec extends SparkSuite {
     assert(probe() == want)
   }
 
+  test("drain-tail compaction: result identical, postings consolidated") {
+    val compacted = Retrieval.availableNowBm25(spark, sfDir, compact = true)
+      .collect().map(_.toString).toSeq
+    val plain = Retrieval.availableNowBm25(spark, sfDir, compact = false)
+      .collect().map(_.toString).toSeq
+    assert(compacted == plain && compacted.nonEmpty)
+  }
+
   test("probe scan is pruned to the query terms' band partitions") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").limit(50)
     val idx = java.nio.file.Files.createTempDirectory("graft_bm25_prune").toString
