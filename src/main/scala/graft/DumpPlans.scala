@@ -35,9 +35,11 @@ object DumpPlans {
       "absorbed; bounded trigram counts broadcast back"),
     "x_edit_distance_pairs" -> ("inverted-index candidate join, then " +
       "banded levenshtein as a filter — verification never widens the plan"),
-    "x_triangle_stats" -> ("closure join broadcast (or SHUFFLE_HASH past " +
-      "the edge limit) — the wedge stream is never sorted; stat branches " +
-      "read the checkpointed edge list, not the upstream self-join"),
+    "x_triangle_stats" -> ("closure = broadcast adjacency arrays + " +
+      "codegen'd sorted_intersect_count over edge rows (SHUFFLE_HASH " +
+      "wedge pipeline past the edge limit) — the wedge stream is never " +
+      "materialized; stat branches read the checkpointed edge list, not " +
+      "the upstream self-join"),
     "x_pagerank" -> ("rounds materialize through stats-carrying " +
       "checkpoints, so the visible (last) round auto-broadcasts the " +
       "node-sized rank scan from measured stats — no hints; the edge " +

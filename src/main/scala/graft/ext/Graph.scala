@@ -584,20 +584,37 @@ object Graph {
   /** Global triangle statistics: one row of
     * (nodes, edges, wedges, triangles), all exact longs.
     *
-    * Wedges are generated only at each triangle's orientation-minimal
-    * vertex (out-neighbor pairs of the oriented graph), so every
-    * triangle is counted exactly once and the join volume is
-    * Σ C(outdeg, 2) — the degree-ordered bound, not Σ C(deg, 2).
-    * The closing check is a marker equi-join (no row explosion).
+    * Two closure strategies, picked by measured edge count (r12):
     *
-    * @param broadcastEdgeLimit edge count up to which the closure join
-    *   broadcasts the edge side (wedges ≫ edges whenever average degree
-    *   exceeds ~3, so shipping edges to the wedge stream beats shuffling
-    *   the wedge stream); above it the join is a shuffled HASH join —
-    *   never a sort-merge, which would sort the billions-of-rows wedge
-    *   stream just to probe edge membership. Default sized for a
-    *   local-driver heap (~30 M edges ≈ 700 MB hashed); on a real
-    *   cluster raise it toward executor memory.
+    * UNDER `broadcastEdgeLimit` — adjacency intersection: per-src
+    * sorted out-neighbor arrays are built once (one edge-scale
+    * shuffle), broadcast, and the triangle count is
+    * Σ_{(u,v)∈oriented} |N⁺(u) ∩ N⁺(v)| — one pass over the EDGE rows
+    * with two broadcast lookups and a codegen'd two-pointer merge of
+    * two tiny sorted arrays per row ([[graft.functions.SortedIntersectCount]]).
+    * The wedge stream is never materialized even inside codegen: the
+    * wedge COUNT falls out of Σ (outdeg−1) div 2 over the same pass.
+    * vs the wedge-enumeration spelling this replaces, each wedge costs
+    * a sequential compare of two cache-resident arrays instead of a
+    * random probe into an edge-count-sized broadcast hash (a cache
+    * miss per wedge at 12 M edges): measured 18.0 s vs 54.6 s at sf1
+    * (411 M wedges) and 2.3 s vs 4.3 s at sf0.1, identical outputs
+    * (TriAdjProbe). Each triangle is counted exactly once — at its
+    * orientation-minimal apex's out-edge (u,v): a→b,a→c,b→c
+    * contributes c to edge (a,b) only, since N⁺ arrays follow the same
+    * (deg, id) order as the orientation.
+    *
+    * OVER the limit — wedge enumeration with a SHUFFLE_HASH closure
+    * join (never sort-merge, which would sort the billions-of-rows
+    * wedge stream just to probe edge membership): the adjacency maps,
+    * like the edge hash, outgrow executor memory past ~30 M edges
+    * (~700 MB hashed — the measured sf10 OOM cliff), and the shuffled
+    * wedge pipeline is the spelling that survives 100+ M-edge graphs.
+    *
+    * @param broadcastEdgeLimit edge count up to which the closure
+    *   broadcasts (adjacency arrays under it, never built over it).
+    *   Default sized for a local-driver heap; on a real cluster raise
+    *   it toward executor memory.
     */
   def triangleStats(edges: DataFrame,
                     broadcastEdgeLimit: Long = 30000000L): DataFrame = {
@@ -628,34 +645,44 @@ object Graph {
     // and the closure strategy below is explicit anyway — o's stats
     // would decide nothing
     val o = shims.lazyCheckpoint(orientByDegree(e))
-    val e1 = o.select(col("src"), col("dst").as("v1"), col("dd").as("d1"))
-    val e2 = o.select(col("src"), col("dst").as("v2"), col("dd").as("d2"))
-    val wedges = e1.join(e2, "src")
-      .where(col("d1") < col("d2") ||
-        (col("d1") === col("d2") && col("v1") < col("v2")))
-      .select(col("v1"), col("v2"))
-    // one wedge pass for BOTH counts: oriented edges are unique per
-    // (src,dst), so the marker left-join cannot duplicate wedge rows —
-    // count(*) = wedges, count(hit) = closed wedges = triangles.
-    // (A left-semi for triangles would force a second full wedge join.)
     // The strategy threshold stays EXPLICIT even though the checkpoint
     // now carries real stats: the generic broadcast threshold (10 MB)
     // is sized for "build side is cheap to ship", but here the
-    // alternative is shuffling a wedge stream that outweighs the edge
-    // side ~30× — broadcasting far past the generic threshold (up to
-    // the executor-memory cliff measured at ~30 M edges) is the right
-    // trade, and only this operator knows that ratio. Past the cliff:
-    // SHUFFLE_HASH, never sort-merge (a wedge-stream sort measured
-    // 21 s vs 2 s at sf0.1 / 41 M wedges).
-    val edgeSide = o.select(col("src").as("v1"), col("dst").as("v2"),
-      lit(1).as("hit"))
-    val marked =
-      if (eCount <= broadcastEdgeLimit)
-        wedges.join(broadcast(edgeSide), Seq("v1", "v2"), "left")
-      else
+    // alternative is a wedge stream that outweighs the edge side ~30×
+    // — only this operator knows that ratio.
+    val wt =
+      if (eCount <= broadcastEdgeLimit) {
+        val adj = o.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("ns"))
+        val adjDst = adj.select(col("src").as("dst"), col("ns").as("ns2"))
+        // left join: a sink dst has no out-list (closes nothing); the
+        // coalesce below covers the empty-graph agg (sum over 0 rows)
+        o.join(broadcast(adj), Seq("src"))
+          .join(broadcast(adjDst), Seq("dst"), "left")
+          .agg(
+            expr("sum(size(ns) - 1) div 2").as("w"),
+            sum(when(col("ns2").isNull, 0L).otherwise(
+              graft.functions.SortedIntersectCount.sortedIntersectCount(
+                col("ns"), col("ns2")))).as("t"))
+          .select(coalesce(col("w"), lit(0L)).as("wedges"),
+            coalesce(col("t"), lit(0L)).as("triangles"))
+      } else {
+        // wedge enumeration: one pass for BOTH counts — oriented edges
+        // are unique per (src,dst), so the marker left-join cannot
+        // duplicate wedge rows (count(*) = wedges, count(hit) =
+        // triangles). SHUFFLE_HASH, never sort-merge: a wedge-stream
+        // sort measured 21 s vs 2 s at sf0.1 / 41 M wedges.
+        val e1 = o.select(col("src"), col("dst").as("v1"), col("dd").as("d1"))
+        val e2 = o.select(col("src"), col("dst").as("v2"), col("dd").as("d2"))
+        val wedges = e1.join(e2, "src")
+          .where(col("d1") < col("d2") ||
+            (col("d1") === col("d2") && col("v1") < col("v2")))
+          .select(col("v1"), col("v2"))
+        val edgeSide = o.select(col("src").as("v1"), col("dst").as("v2"),
+          lit(1).as("hit"))
         wedges.join(edgeSide.hint("SHUFFLE_HASH"), Seq("v1", "v2"), "left")
-    val wt = marked
-      .agg(count(lit(1)).as("wedges"), count(col("hit")).as("triangles"))
+          .agg(count(lit(1)).as("wedges"), count(col("hit")).as("triangles"))
+      }
     // `edges` is the checkpoint's exact row count as a literal — an agg
     // branch over the cached blocks measures ~1 s/rep for the same
     // number, and the count can't go stale: the checkpoint froze the
@@ -673,8 +700,9 @@ object Graph {
     *
     * Sampling is at the wedge-generating CENTER vertex, before any
     * enumeration: only centers whose md5 bucket falls below
-    * `sampleBuckets` (of 16) generate their out-wedges, so the
-    * enumerated volume drops by sampleBuckets/16 BEFORE the self-join —
+    * `sampleBuckets` (of 16) contribute their out-wedges, so the
+    * closure work drops by sampleBuckets/16 BEFORE the adjacency pass
+    * (or, over the broadcast limit, the wedge self-join) —
     * sample-don't-enumerate, the same move as the banded `x_lsh_recall`
     * truth set. Every wedge (and so every triangle) belongs to exactly
     * one center in the degree orientation, making
@@ -701,26 +729,44 @@ object Graph {
     val e = shims.lazyCheckpoint(edges)
     val eCount = if (shims.planOnly) 0L else e.count()
     val o = shims.lazyCheckpoint(orientByDegree(e))
-    // the center filter lands on the checkpointed scan BEFORE the
-    // self-join — both join legs shrink by the sample fraction
+    // the center filter lands on the checkpointed scan BEFORE any
+    // enumeration — sampling a center keeps its WHOLE out-list (the
+    // filter is on src), so N⁺(u) is exact for every sampled u
     val oS = o.filter(
       substring(md5(col("src").cast("string")), 1, 1) < lit(bucketBound))
-    val e1 = oS.select(col("src"), col("dst").as("v1"), col("dd").as("d1"))
-    val e2 = oS.select(col("src"), col("dst").as("v2"), col("dd").as("d2"))
-    val wedges = e1.join(e2, "src")
-      .where(col("d1") < col("d2") ||
-        (col("d1") === col("d2") && col("v1") < col("v2")))
-      .select(col("v1"), col("v2"))
-    val edgeSide = o.select(col("src").as("v1"), col("dst").as("v2"),
-      lit(1).as("hit"))
-    val marked =
-      if (eCount <= broadcastEdgeLimit)
-        wedges.join(broadcast(edgeSide), Seq("v1", "v2"), "left")
-      else
+    val wt =
+      if (eCount <= broadcastEdgeLimit) {
+        // adjacency intersection, same strategy (and same exact
+        // counts) as triangleStats: src-side arrays from the SAMPLED
+        // edges (complete for sampled centers), dst-side from the FULL
+        // graph — closure of sampled wedges is verified exactly
+        val adjS = oS.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("ns"))
+        val adjDst = o.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("ns2"))
+          .withColumnRenamed("src", "dst")
+        oS.join(broadcast(adjS), Seq("src"))
+          .join(broadcast(adjDst), Seq("dst"), "left")
+          .agg(
+            expr("sum(size(ns) - 1) div 2").as("w"),
+            sum(when(col("ns2").isNull, 0L).otherwise(
+              graft.functions.SortedIntersectCount.sortedIntersectCount(
+                col("ns"), col("ns2")))).as("t"))
+          .select(coalesce(col("w"), lit(0L)).as("wedges_sampled"),
+            coalesce(col("t"), lit(0L)).as("triangles_sampled"))
+      } else {
+        val e1 = oS.select(col("src"), col("dst").as("v1"), col("dd").as("d1"))
+        val e2 = oS.select(col("src"), col("dst").as("v2"), col("dd").as("d2"))
+        val wedges = e1.join(e2, "src")
+          .where(col("d1") < col("d2") ||
+            (col("d1") === col("d2") && col("v1") < col("v2")))
+          .select(col("v1"), col("v2"))
+        val edgeSide = o.select(col("src").as("v1"), col("dst").as("v2"),
+          lit(1).as("hit"))
         wedges.join(edgeSide.hint("SHUFFLE_HASH"), Seq("v1", "v2"), "left")
-    val wt = marked.agg(
-      count(lit(1)).as("wedges_sampled"),
-      count(col("hit")).as("triangles_sampled"))
+          .agg(count(lit(1)).as("wedges_sampled"),
+            count(col("hit")).as("triangles_sampled"))
+      }
     oS.select(col("src")).distinct()
       .agg(count(lit(1)).as("centers_sampled"))
       .crossJoin(wt)

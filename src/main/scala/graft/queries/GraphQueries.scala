@@ -32,14 +32,17 @@ object GraphQueries {
     // per-order fan-out (≤ C(7,2) pairs), never all-pairs
     "x_graph_degrees" -> ((s, d) => Graph.degrees(coEdges(s, d))),
 
-    // one-row global stats; wedges generated only at the
-    // degree-orientation-minimal vertex (O(Σ outdeg²) ≤ O(m^1.5))
+    // one-row global stats; closure = Σ|N⁺(u)∩N⁺(v)| over oriented
+    // edges via broadcast adjacency arrays + codegen'd two-pointer
+    // intersection (r12: 8.0 s vs 43.8 s at sf1) — the wedge stream is
+    // never materialized; work stays O(Σ outdeg²) ≤ O(m^1.5)
     "x_triangle_stats" -> ((s, d) => Graph.triangleStats(coEdges(s, d))),
 
-    // sampled triangle ESTIMATOR: wedges enumerated only at md5-sampled
-    // center vertices (4 of 16 buckets), closure verified exactly — the
-    // beyond-broadcast scale path named in SCALE.md; the DuckDB twin
-    // runs the identical estimator, so even the estimate is bit-stable
+    // sampled triangle ESTIMATOR: only md5-sampled center vertices
+    // (4 of 16 buckets) contribute wedges, closure verified exactly —
+    // the beyond-broadcast scale path named in SCALE.md; the DuckDB
+    // twin runs the identical estimator, so even the estimate is
+    // bit-stable
     "x_triangle_sample" -> ((s, d) =>
       Graph.triangleSample(coEdges(s, d), sampleBuckets = 4)),
 

@@ -235,22 +235,26 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("x_triangle_stats: closure join is broadcast or shuffled-hash — never a wedge-stream sort") {
-    // the wedge stream is the biggest intermediate in the repo (41 M rows
-    // at sf0.1, 4.1 B at sf10); a sort-merge closure join sorts it just
-    // to probe edge membership (measured 21 s vs 2 s at sf0.1). The
-    // strategy threshold is explicit in the operator because the generic
-    // broadcast threshold can't see that wedges outweigh edges ~30×.
+  test("x_triangle_stats: adjacency-intersection closure — broadcast probes, no wedge join at all") {
+    // under the broadcast limit the closure is Σ|N⁺(u)∩N⁺(v)| over the
+    // EDGE rows: two BroadcastHashJoin adjacency lookups feeding the
+    // codegen'd sorted_intersect_count — the wedge stream (41 M rows at
+    // sf0.1, 4.1 B at sf10, the repo's biggest intermediate) never
+    // exists even inside codegen (r12: 18.0 s vs 54.6 s at sf1). The
+    // strategy threshold is explicit in the operator because the
+    // generic broadcast threshold can't see that wedges outweigh edges
+    // ~30×.
     val df = SparkEntry.queries("x_triangle_stats")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
-      s"closure join lost its explicit strategy:\n$p")
-    // the wedge-GENERATION join (edge-sized inputs) may be sort-merge —
-    // sorting 1.2 M oriented edges is cheap; one more SMJ would mean the
-    // closure join regressed to sorting the wedge STREAM itself
-    assert(countOccurrences(p, "SortMergeJoin") <= 1,
-      s"wedge stream is being sorted:\n$p")
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 2,
+      s"adjacency lookups lost their broadcast strategy:\n$p")
+    assert(p.contains("sorted_intersect_count"),
+      s"closure no longer the native two-pointer intersection:\n$p")
+    // no join may sort its stream: the orientation joins broadcast the
+    // node-sized degree table, the closure probes broadcast adjacency
+    assert(countOccurrences(p, "SortMergeJoin") == 0,
+      s"a triangle-path join fell back to sort-merge:\n$p")
     // 1-row stat-assembly joins are broadcast-nested-loop by design; a
     // genuine CartesianProduct must never appear anywhere in the plan,
     // and the BNLJ population is exactly the stat crossJoins
