@@ -83,9 +83,7 @@ object ShardCompactProbe {
     }
     def fold(): Long = {
       val allR = operators.ShardStore.read(spark, rstore,
-          org.apache.spark.sql.types.StructType(clicks.schema.fields :+
-            org.apache.spark.sql.types.StructField("batch",
-              org.apache.spark.sql.types.LongType)))
+          operators.ShardStore.withBatch(clicks.schema))
         .drop("batch")
         .select("click_id", "user_id", "ts", "click_value")
       operators.AsOf.joinBackwardNative(views1pct, allR, Seq("user_id"),

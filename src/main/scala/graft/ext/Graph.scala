@@ -599,10 +599,13 @@ object Graph {
     * random probe into an edge-count-sized broadcast hash (a cache
     * miss per wedge at 12 M edges): measured 18.0 s vs 54.6 s at sf1
     * (411 M wedges) and 2.3 s vs 4.3 s at sf0.1, identical outputs
-    * (TriAdjProbe). Each triangle is counted exactly once — at its
-    * orientation-minimal apex's out-edge (u,v): a→b,a→c,b→c
-    * contributes c to edge (a,b) only, since N⁺ arrays follow the same
-    * (deg, id) order as the orientation.
+    * (TriAdjProbe). Each triangle is counted exactly once BECAUSE THE
+    * ORIENTATION IS A TOTAL ORDER: for triangle a≺b≺c (oriented edges
+    * a→b, a→c, b→c), only edge (a,b) finds c in both out-lists —
+    * edge (a,c) would need b∈N⁺(c), i.e. an edge c→b, which the
+    * orientation forbids, and likewise (b,c) would need a∈N⁺(b). The
+    * arrays' sort order (plain node id) is irrelevant to uniqueness;
+    * it exists solely so the two-pointer merge works.
     *
     * OVER the limit — wedge enumeration with a SHUFFLE_HASH closure
     * join (never sort-merge, which would sort the billions-of-rows
@@ -652,8 +655,13 @@ object Graph {
     // — only this operator knows that ratio.
     val wt =
       if (eCount <= broadcastEdgeLimit) {
-        val adj = o.groupBy(col("src"))
-          .agg(sort_array(collect_list(col("dst"))).as("ns"))
+        // lazy-checkpointed because TWO broadcasts consume it (src- and
+        // dst-keyed): their canonical plans differ by the rename
+        // Project, so ReuseExchange can't dedupe them — without the
+        // checkpoint the edge-scale groupBy + per-src array sort runs
+        // twice per query (r12 review finding)
+        val adj = shims.lazyCheckpoint(o.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("ns")))
         val adjDst = adj.select(col("src").as("dst"), col("ns").as("ns2"))
         // left join: a sink dst has no out-list (closes nothing); the
         // coalesce below covers the empty-graph agg (sum over 0 rows)

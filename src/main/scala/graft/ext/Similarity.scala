@@ -319,12 +319,11 @@ object Similarity {
                       nProbe: Int = 2, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.types._
     val cents = spark.read.parquet(s"$path/centroids")
-    val schema = StructType(Seq(
+    val schema = graft.operators.ShardStore.withBatch(StructType(Seq(
       StructField("neighbor_id", queries.schema(idCol).dataType),
       StructField("c_vec", queries.schema(vecCol).dataType),
       StructField("c_n2", LongType),
-      StructField("cluster_id", IntegerType),
-      StructField("batch", LongType)))
+      StructField("cluster_id", IntegerType))))
     val lists = graft.operators.ShardStore
       .read(spark, s"$path/lists", schema).drop("batch")
     ivfSearch(lists, cents, queries, idCol, vecCol, nProbe, k)
@@ -600,6 +599,32 @@ object Similarity {
       .select(col(idCol), col("cluster_id").as("coarse_id"),
         zip_with(col(vecCol), col("cvec"), (a, b) => a - b).as("rvec"))
 
+  /** Residual-PQ encode of a residual frame against trained sub-
+    * codebooks: (neighbor_id, sub, code, coarse_id) — the single code
+    * spelling shared by the batch model build and the streaming sink.
+    * The cell id is CARRIED through the argmin aggregation (constant
+    * per id → first()) instead of re-joining codes against the
+    * corpus-sized residual table — drops a big-big SortMergeJoin from
+    * the build.
+    */
+  private def encodeResiduals(resid: DataFrame, books: DataFrame,
+                              idCol: String, m: Int, subDim: Int): DataFrame = {
+    val c = books.select(col("sub").as("c_sub"), col("cluster_id"),
+      col("cvec"), norm2Scaled(col("cvec")).as("c_n2s"))
+    resid.select(col(idCol), col("coarse_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("rvec"), s * subDim + 1, subDim)): _*))
+          .as(Seq("sub", "svec")))
+      .join(broadcast(c), col("sub") === col("c_sub"))
+      .withColumn("dist_s",
+        col("c_n2s") - lit(2L) * dotScaled(col("svec"), col("cvec")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("dist_s"), col("cluster_id"))).as("m"),
+        first(col("coarse_id")).as("coarse_id"))
+      .select(col(idCol).as("neighbor_id"), col("sub"),
+        col("m.cluster_id").as("code"), col("coarse_id"))
+  }
+
   private def ivfPqModel(corpus: DataFrame, idCol: String, vecCol: String,
                          nCoarse: Int, coarseIters: Int, m: Int, subDim: Int,
                          ks: Int, pqIters: Int)
@@ -612,24 +637,7 @@ object Similarity {
       residuals(corpus, coarse, idCol, vecCol))
     val books = shims.checkpointWithStats(
       pqCodebooks(resid, idCol, "rvec", m, subDim, ks, pqIters))
-    // encode with the cell id CARRIED through the argmin aggregation
-    // (constant per id → first()) instead of re-joining codes against
-    // the corpus-sized residual table — drops a big-big SortMergeJoin
-    // from the build
-    val c = books.select(col("sub").as("c_sub"), col("cluster_id"),
-      col("cvec"), norm2Scaled(col("cvec")).as("c_n2s"))
-    val codes = resid.select(col(idCol), col("coarse_id"),
-        posexplode(array((0 until m).map(s =>
-          slice(col("rvec"), s * subDim + 1, subDim)): _*))
-          .as(Seq("sub", "svec")))
-      .join(broadcast(c), col("sub") === col("c_sub"))
-      .withColumn("dist_s",
-        col("c_n2s") - lit(2L) * dotScaled(col("svec"), col("cvec")))
-      .groupBy(col(idCol), col("sub"))
-      .agg(min(struct(col("dist_s"), col("cluster_id"))).as("m"),
-        first(col("coarse_id")).as("coarse_id"))
-      .select(col(idCol).as("neighbor_id"), col("sub"),
-        col("m.cluster_id").as("code"), col("coarse_id"))
+    val codes = encodeResiduals(resid, books, idCol, m, subDim)
     (coarse, books, codes, resid)
   }
 
@@ -755,6 +763,136 @@ object Similarity {
     ivfPqSearch(codes, spark.read.parquet(s"$path/coarse"),
       spark.read.parquet(s"$path/codebooks"),
       queries, idCol, vecCol, m, subDim, nProbe, k)
+  }
+
+  // ------------------------------------ streaming IVF-PQ maintenance (t14)
+
+  /** Train + persist the standing IVF-PQ MODEL only (coarse centroids +
+    * residual sub-codebooks) — the streaming sink's prerequisite, the
+    * [[writeIvfModel]] move applied to the IVFADC layout: models retrain
+    * rarely, vectors stream in continuously against the standing model.
+    * Training needs the corpus residuals (for the sub-codebook Lloyd
+    * rounds) but persists none of them.
+    */
+  def writeIvfPqModel(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCoarse: Int, coarseIters: Int, m: Int, subDim: Int,
+                      ks: Int, pqIters: Int, path: String): Unit = {
+    val coarse = shims.checkpointWithStats(
+      ivfCentroids(corpus, idCol, vecCol, nCoarse, coarseIters))
+    val resid = shims.checkpointWithStats(
+      residuals(corpus, coarse, idCol, vecCol))
+    val books = shims.checkpointWithStats(
+      pqCodebooks(resid, idCol, "rvec", m, subDim, ks, pqIters))
+    coarse.write.mode("overwrite").parquet(s"$path/coarse")
+    books.write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq(coarse, resid, books).foreach(shims.unpersistLocalCheckpoint)
+  }
+
+  /** STREAMING code-table maintenance for the IVF-PQ index — the
+    * [[ivfSink]] pattern at the compressed layout: each micro-batch of
+    * new vectors is residual-encoded against the STANDING model
+    * (coarse assignment → residual → per-subspace code argmin) and
+    * lands as a `batch=<id>` shard of the codes table,
+    * `coarse_id`-partitioned INSIDE the shard so probe-side cell
+    * pruning keeps working. A vector's codes depend only on
+    * (vector, standing model), so the maintained code table is
+    * IDENTICAL to a from-scratch [[writeIvfPqIndex]] build with the
+    * same model parameters, for any micro-batch split (the t14 oracle).
+    * Replay idempotence needs no marker: a re-delivered batch
+    * overwrites its own shard bit-for-bit (no additive state).
+    */
+  def ivfPqSink(indexPath: String, idCol: String, vecCol: String,
+                m: Int, subDim: Int)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val coarse = spark.read.parquet(s"$indexPath/coarse")
+    val books = spark.read.parquet(s"$indexPath/codebooks")
+    encodeResiduals(residuals(batch, coarse, idCol, vecCol), books,
+        idCol, m, subDim)
+      .write.mode("overwrite").partitionBy("coarse_id")
+      .parquet(s"$indexPath/codes/batch=$batchId")
+  }
+
+  /** Probe the stream-maintained IVF-PQ index: identical results to
+    * [[ivfPqTopKStored]] over every vector any shard has encoded. The
+    * codes read goes through [[graft.operators.ShardStore]] (shard
+    * union + any consolidated live dir, declared schema) and the ADC
+    * equi-join prunes unprobed cells exactly as the batch path does.
+    */
+  def ivfPqTopKStreamed(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queries: DataFrame, idCol: String,
+                        vecCol: String, m: Int = 4, subDim: Int = 16,
+                        nProbe: Int = 2, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = graft.operators.ShardStore.withBatch(StructType(Seq(
+      StructField("neighbor_id", queries.schema(idCol).dataType),
+      StructField("sub", IntegerType),
+      StructField("code", IntegerType),
+      StructField("coarse_id", IntegerType))))
+    val codes = graft.operators.ShardStore
+      .read(spark, s"$path/codes", schema).drop("batch")
+    ivfPqSearch(codes, spark.read.parquet(s"$path/coarse"),
+      spark.read.parquet(s"$path/codebooks"),
+      queries, idCol, vecCol, m, subDim, nProbe, k)
+  }
+
+  /** Drain-tail/offline consolidation for the stream-maintained codes:
+    * same contract as [[compactIvfLists]] — `coarse_id` stays a
+    * partition column of the live dir, so cell pruning and the probe
+    * result are unchanged. Consolidate only behind the replay
+    * watermark.
+    */
+  def compactIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetBytes: Long = 128L << 20,
+      upTo: Long = Long.MaxValue): graft.operators.Compact.Report =
+    graft.operators.Compact.compactShards(spark, s"$indexPath/codes",
+      targetBytes, nested = Seq("coarse_id"), upTo = upTo)
+
+  /** The whole IVF-PQ chain drained end-to-end (the
+    * `t14_streaming_ivfpq` driver query): standing model trained once →
+    * embeddings file-stream (3 arbitrary splits) → per-batch residual-
+    * code shards → stream-index ADC probe. Equals [[ivfPqTopKStored]]
+    * with the same build parameters for any split (oracle-pinned — the
+    * `x_ann_ivfpq` oracle). With `compact=true` the drain tail
+    * consolidates the code shards behind the drained checkpoint before
+    * probing — opt-in maintenance, result-identical.
+    */
+  def availableNowIvfPq(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      compact: Boolean = graft.streaming.DrainCompact.enabled): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = graft.streaming.DrainWork.tempDir("graft_stream_ivfpq")
+    val src = s"$work/vecs"
+    val idx = s"$work/index"
+    val emb = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    writeIvfPqModel(emb, "vec_id", "embedding", nCoarse = 4,
+      coarseIters = 2, m = 4, subDim = 16, ks = 4, pqIters = 2, path = idx)
+    emb.repartition(3).write.parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    graft.streaming.DrainWidth.clamped(spark) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(ivfPqSink(idx, "vec_id", "embedding", m = 4,
+          subDim = 16) _)
+        .start()
+      q.awaitTermination()
+    }
+    // zero-vector drains write no codes dirs at all — explicit path
+    // probing, not exception catching (the availableNowIvf rationale)
+    val codes = new org.apache.hadoop.fs.Path(s"$idx/codes")
+    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(codes))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id BIGINT, neighbor_id BIGINT, coarse_id BIGINT, adist_s BIGINT"))
+    if (compact) compactIvfPqCodes(spark, idx)
+    ivfPqTopKStreamed(spark, idx, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", m = 4, subDim = 16, nProbe = 2, k = 3)
   }
 
   // -------------------------------------------- embedding-cosine near-dup

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.shims
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expression: |A ∩ B| of two SORTED long arrays as a
   * two-pointer merge — no allocation, no per-row hash set, sequential
@@ -29,6 +30,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
+
+  /** Both eval paths read elements with getLong, which over an
+    * ARRAY<INT> UnsafeArrayData would stride 8 bytes across a 4-byte
+    * buffer and return GARBAGE counts rather than fail — so reject
+    * non-ARRAY<BIGINT> inputs at ANALYSIS time (BinaryExpression's
+    * default checkInputDataTypes accepts anything).
+    */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -62,6 +62,15 @@ object ShardStore {
     */
   final case class Manifest(gen: Long, dir: String, batchValue: Long)
 
+  /** The declared schema [[read]] requires, built from a shard's DATA
+    * schema: the layout contract (`batch BIGINT` partition column) in
+    * one place instead of hand-appended at every call site.
+    */
+  def withBatch(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        "batch", org.apache.spark.sql.types.LongType))
+
   private val ManifestRe = "^_compact_manifest_g(\\d+)$".r
   private val LiveRe = "^_compact_live_g(\\d+)$".r
 

@@ -588,6 +588,16 @@ object ExtQueries {
     //      equals the batch build for any split — same oracle
     "t13_streaming_ann" -> ((s, d) => Similarity.availableNowIvf(s, d)),
 
+    // ---- STREAMING twin of x_ann_ivfpq_stored: the same IVM move at
+    //      the COMPRESSED layout — standing coarse+codebook model
+    //      trained once, embeddings drained in 3 arbitrary micro-
+    //      batches into coarse_id-partitioned batch= code shards, ADC
+    //      probe over the shard union. A vector's codes are a pure
+    //      function of (vector, standing model), so the maintained
+    //      code table equals the batch build for any split — same
+    //      oracle as x_ann_ivfpq
+    "t14_streaming_ivfpq" -> ((s, d) => Similarity.availableNowIvfPq(s, d)),
+
     // ---- composite quality gate: token band + stopword floor + language
     "x_quality_filter" -> ((s, d) =>
       Corpus.qualityFilter(Tables.documents(s, d), "doc_id", "text",
@@ -1734,6 +1744,7 @@ object ExtQueries {
     // (assignment is a pure function of the standing centroids) — the
     // streaming probe shares the learned-IVF oracle
     "t13_streaming_ann" -> annIvfOracleSql,
+    "t14_streaming_ivfpq" -> annIvfPqOracleSql,
 
     "x_quality_filter" ->
       s"""WITH c AS (SELECT doc_id,

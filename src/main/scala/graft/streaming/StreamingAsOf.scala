@@ -79,9 +79,7 @@ object StreamingAsOf {
     // write (the property that makes consolidating applied batches
     // safe); CompactSpec pins a post-compaction fold.
     newR.write.mode("overwrite").parquet(s"$rightStorePath/batch=$batchId")
-    val rstoreSchema = org.apache.spark.sql.types.StructType(
-      newR.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "batch", org.apache.spark.sql.types.LongType))
+    val rstoreSchema = graft.operators.ShardStore.withBatch(newR.schema)
     val allR = graft.operators.ShardStore.read(spark, rightStorePath, rstoreSchema)
       .drop("batch").select(newR.columns.map(col): _*)
     // 2. A: new lefts vs (tolerance-pruned) right history, via the
@@ -286,9 +284,7 @@ object StreamingAsOf {
     // declared schema (the delta's own, plus the shard partition id):
     // the standing reads run EVERY batch, and footer-based inference is
     // a per-batch job the fold doesn't need
-    val rstoreSchema = org.apache.spark.sql.types.StructType(
-      newR.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "batch", org.apache.spark.sql.types.LongType))
+    val rstoreSchema = graft.operators.ShardStore.withBatch(newR.schema)
     val allR = graft.operators.ShardStore.read(spark, rightStorePath, rstoreSchema)
       .drop("batch").select(newR.columns.map(col): _*)
     val rightsForA = pruneRightsForA(allR, lBounds.map(_._1), rightTime,

@@ -51,9 +51,7 @@ object StreamingIndex {
         // shard must not self-match, and consolidated rows can't belong
         // to it (compaction covers only watermark-committed ids, and a
         // replayable id is never committed)
-        val idxSchema = org.apache.spark.sql.types.StructType(
-          newSigs.schema.fields :+ org.apache.spark.sql.types.StructField(
-            "batch", org.apache.spark.sql.types.LongType))
+        val idxSchema = graft.operators.ShardStore.withBatch(newSigs.schema)
         val index = graft.operators.ShardStore.read(spark, indexPath, idxSchema)
           .filter(col("batch") =!= batchId)
           .select(col(idCol) +: (0 until k).map(i => col(s"mh$i")): _*)

@@ -40,6 +40,38 @@ class GraphSpec extends SparkSuite {
     assert(r.getAs[Long]("edges") == 6L)
   }
 
+  test("both closure strategies agree exactly (adjacency intersect vs shuffled wedge join)") {
+    // broadcastEdgeLimit = 0 forces the beyond-broadcast SHUFFLE_HASH
+    // wedge pipeline; the default takes the adjacency-intersection
+    // path. The full 4-tuple (nodes, edges, wedges, triangles) — and
+    // the sampled estimator's — must be bit-identical on a graph with
+    // triangles, open wedges, a pendant chain, and an isolated edge.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 4L), (6L, 7L)).toDF("u", "v")
+    val adj = Graph.triangleStats(g).collect().head
+    val wedge = Graph.triangleStats(g, broadcastEdgeLimit = 0L).collect().head
+    assert(adj.toSeq == wedge.toSeq,
+      s"strategies disagree: adjacency=$adj wedge=$wedge")
+    val adjS = Graph.triangleSample(g, sampleBuckets = 16).collect().head
+    val wedgeS = Graph.triangleSample(g, sampleBuckets = 16,
+      broadcastEdgeLimit = 0L).collect().head
+    assert(adjS.toSeq == wedgeS.toSeq,
+      s"sampled strategies disagree: adjacency=$adjS wedge=$wedgeS")
+    // sampleBuckets = 16 keeps every center: the sampled counts must
+    // equal the exact ones
+    assert(adjS.getAs[Long]("wedges_sampled") == adj.getAs[Long]("wedges"))
+    assert(adjS.getAs[Long]("triangles_sampled") == adj.getAs[Long]("triangles"))
+  }
+
+  test("adjacency closure: empty and single-edge graphs return zeros, not nulls") {
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    val r0 = Graph.triangleStats(empty).collect().head
+    assert(r0.toSeq == Seq(0L, 0L, 0L, 0L), s"empty graph: $r0")
+    val one = Seq((1L, 2L)).toDF("u", "v")
+    val r1 = Graph.triangleStats(one).collect().head
+    assert((r1.getAs[Long]("wedges"), r1.getAs[Long]("triangles")) == ((0L, 0L)))
+  }
+
   test("pageRank: rank mass conserved up to floor loss, regular graph stays uniform") {
     // C4 cycle is 2-regular: uniform ranks are a fixed point
     val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")

@@ -48,6 +48,17 @@ class SortedIntersectCountSpec extends SparkSuite {
     }
   }
 
+  test("non-ARRAY<BIGINT> inputs are rejected at analysis time, not misread at runtime") {
+    // getLong over an ARRAY<INT> UnsafeArrayData would stride past the
+    // buffer and return garbage counts — the type check must make this
+    // an analysis error
+    val ints = spark.sql("SELECT array(1, 2, 3) AS a, array(2, 3) AS b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(sortedIntersectCount(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("ARRAY<BIGINT>"), e.getMessage)
+  }
+
   test("null array propagates null; null elements are skipped") {
     val df = Seq(
       (1L, Option(Seq(1L, 2L)), Option.empty[Seq[Long]]),
