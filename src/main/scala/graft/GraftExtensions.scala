@@ -15,6 +15,10 @@ import graft.functions.{BottomKSample, CharNgrams, DotProductScaled, HistQuantil
   *    product (codegen'd loop; [[graft.functions.DotProductScaled]])
   *  - `word_shingles(text, n[, distinct])` — native word n-gram
   *    shingling ([[graft.functions.WordShingles]])
+  *  - `sorted_intersect_count(a, b)` — |A ∩ B| of two sorted BIGINT
+  *    arrays as a codegen'd two-pointer merge
+  *    ([[graft.functions.SortedIntersectCount]]; the triangle-closure
+  *    primitive)
   *  - `minhash_sig(shingle, k)` — mergeable MinHash sketch aggregate
   *    ([[graft.functions.MinHashAgg]])
   *  - `misra_gries(item, capacity)` — bounded-state heavy-hitters
@@ -83,6 +87,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "char_ngrams(text, n)")
         CharNgrams(args(0), intLit(args(1), "n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      info(classOf[graft.functions.SortedIntersectCount], "sorted_intersect_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_count(sortedA, sortedB)")
+        graft.functions.SortedIntersectCount(args(0), args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),

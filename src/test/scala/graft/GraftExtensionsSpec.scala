@@ -41,6 +41,20 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("sorted_intersect_count is callable from SQL and type-checks its inputs") {
+    withExtSession { s =>
+      val r = s.sql(
+        "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(2L, 3L, 5L, 9L)) AS c")
+        .collect().head.getLong(0)
+      assert(r == 2L)
+      // non-BIGINT arrays are an analysis error, not garbage counts
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT sorted_intersect_count(array(1, 3), array(3))").collect()
+      }
+      assert(e.getMessage.contains("ARRAY<BIGINT>"), e.getMessage)
+    }
+  }
+
   test("word_shingles is callable from SQL with and without distinct") {
     withExtSession { s =>
       val r = s.sql("SELECT word_shingles('a b c d', 3) AS sh")
