@@ -42,9 +42,12 @@ object GraphScaleProbe {
       .select(col("v1"), col("v2"))
     time("wedges")(println(s"[graphprobe]   wedges = ${wedges.count()}"))
     time("wedges+closure") {
-      // strategy mirrors Graph.triangleStats (broadcast under the limit,
-      // shuffled hash above — never an SMJ, which measures 21 s vs 2 s
-      // at sf0.1; the probe exists to catch that)
+      // strategy mirrors Graph.triangleStats' BEYOND-limit wedge
+      // pipeline (broadcast here under the limit, shuffled hash above —
+      // never an SMJ, which measures 21 s vs 2 s at sf0.1; the probe
+      // exists to catch that). Under the limit the operator itself now
+      // takes the adjacency-intersection path (r12) — this phase times
+      // the wedge spelling on purpose, as the fallback's cost model.
       val edgeSide = o.select(col("src").as("v1"), col("dst").as("v2"),
         lit(1).as("hit"))
       val marked =
