@@ -163,6 +163,44 @@ class PropertiesSpec extends SparkSuite {
       est <= truth && truth < est + 50
     })
 
+  check("triangleStats matches brute-force enumeration on random graphs (both strategies)",
+    Prop.forAll(Gen.resize(25, Gen.listOf(
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L))))) { raw =>
+      // normalize to simple undirected edges u < v, no self-loops
+      val edges = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      edges.isEmpty || {
+        val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+        val nodes = adj.keys.toSeq.sorted
+        val triTruth = (for {
+          i <- nodes; j <- nodes if j > i && adj(i)(j)
+          k <- nodes if k > j && adj(i)(k) && adj(j)(k)
+        } yield 1).size.toLong
+        val wedgeTruth = nodes.map { n =>
+          val d = adj(n).size.toLong; d * (d - 1) / 2
+        }.sum // Σ C(deg,2) over ALL vertices ≥ oriented wedges; exact
+        // oriented-wedge truth: Σ C(outdeg,2) under the (deg,id) order
+        val deg = adj.map { case (n, s) => n -> s.size.toLong }
+        def less(a: Long, b: Long) =
+          deg(a) < deg(b) || (deg(a) == deg(b) && a < b)
+        val orientedWedges = nodes.map { n =>
+          val out = adj(n).count(m => less(n, m)).toLong
+          out * (out - 1) / 2
+        }.sum
+        val df = edges.toDF("u", "v")
+        Seq(Long.MaxValue, 0L).forall { limit =>
+          val r = graft.ext.Graph.triangleStats(df, broadcastEdgeLimit = limit)
+            .collect().head
+          r.getAs[Long]("nodes") == nodes.size.toLong &&
+            r.getAs[Long]("edges") == edges.size.toLong &&
+            r.getAs[Long]("wedges") == orientedWedges &&
+            orientedWedges <= wedgeTruth &&
+            r.getAs[Long]("triangles") == triTruth
+        }
+      }
+    })
+
   check("cosineNearDupLsh is a subset of the exact all-pairs result",
     Prop.forAll(Gen.resize(12, Gen.nonEmptyListOf(
       Gen.listOfN(8, Gen.choose(-0.5, 0.5))))) { vecs =>
