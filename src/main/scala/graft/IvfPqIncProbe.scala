@@ -19,7 +19,7 @@ object IvfPqIncProbe {
     val spark = GraftSession.local(cores, cores)
     spark.sparkContext.setLogLevel("WARN")
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val n = emb.count()
+    emb.count() // warm the table read before any timed phase
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
@@ -35,12 +35,13 @@ object IvfPqIncProbe {
     // standing corpus encoded as batch 0; the delta arrives as batch 1
     val delta = emb.filter(col("vec_id") % 100 < deltaPct)
     val standing = emb.filter(col("vec_id") % 100 >= deltaPct)
-    time(s"sink: standing ${n * (100 - deltaPct) / 100} vecs") {
+    val (standingN, deltaN) = (standing.count(), delta.count())
+    time(s"sink: standing $standingN vecs") {
       ext.Similarity.ivfPqSink(idx, "vec_id", "embedding", m = 4,
         subDim = 16)(standing.toDF(), 0L)
     }
     (1 to 3).foreach { r =>
-      time(s"sink: $deltaPct%% delta (rep $r)") {
+      time(s"sink: $deltaN-vec delta (rep $r)") {
         ext.Similarity.ivfPqSink(idx, "vec_id", "embedding", m = 4,
           subDim = 16)(delta.toDF(), r.toLong)
       }

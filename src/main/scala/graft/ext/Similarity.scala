@@ -355,16 +355,19 @@ object Similarity {
     * (every batch is committed once AvailableNow terminates) before
     * probing — the opt-in maintenance posture, result-identical.
     */
-  def availableNowIvf(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String,
-      compact: Boolean = graft.streaming.DrainCompact.enabled): DataFrame = {
+  /** Shared drain harness for the streaming-ANN chains (t13/t14): 3-way
+    * embedding file-stream → AvailableNow drain through `sink` — ONE
+    * spelling of the drain mechanics (source write, readStream options,
+    * clamped width, checkpointing) so an edge-case fix cannot apply to
+    * one index layout and not the other. Returns the embedding frame
+    * for the caller's probe.
+    */
+  private def drainEmbeddings(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, work: String,
+      sink: (DataFrame, Long) => Unit): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val work = graft.streaming.DrainWork.tempDir("graft_stream_ann")
     val src = s"$work/vecs"
-    val idx = s"$work/index"
     val emb = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    writeIvfModel(emb, "vec_id", "embedding",
-      nClusters = 4, iterations = 2, path = idx)
     emb.repartition(3).write.parquet(src)
     val stream = spark.readStream
       .schema(spark.read.parquet(src).schema)
@@ -375,10 +378,23 @@ object Similarity {
         .outputMode("append")
         .option("checkpointLocation", s"$work/checkpoint")
         .trigger(Trigger.AvailableNow())
-        .foreachBatch(ivfSink(idx, "vec_id", "embedding") _)
+        .foreachBatch(sink)
         .start()
       q.awaitTermination()
     }
+    emb
+  }
+
+  def availableNowIvf(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      compact: Boolean = graft.streaming.DrainCompact.enabled): DataFrame = {
+    val work = graft.streaming.DrainWork.tempDir("graft_stream_ann")
+    val idx = s"$work/index"
+    writeIvfModel(graft.Tables.embeddings(spark, sfDir)
+        .select("vec_id", "embedding"), "vec_id", "embedding",
+      nClusters = 4, iterations = 2, path = idx)
+    val emb = drainEmbeddings(spark, sfDir, work,
+      ivfSink(idx, "vec_id", "embedding") _)
     // zero-vector drains write no lists dirs at all — explicit path
     // probing, not exception catching (the availableNowBm25 rationale)
     val lists = new org.apache.hadoop.fs.Path(s"$idx/lists")
@@ -777,12 +793,11 @@ object Similarity {
   def writeIvfPqModel(corpus: DataFrame, idCol: String, vecCol: String,
                       nCoarse: Int, coarseIters: Int, m: Int, subDim: Int,
                       ks: Int, pqIters: Int, path: String): Unit = {
-    val coarse = shims.checkpointWithStats(
-      ivfCentroids(corpus, idCol, vecCol, nCoarse, coarseIters))
-    val resid = shims.checkpointWithStats(
-      residuals(corpus, coarse, idCol, vecCol))
-    val books = shims.checkpointWithStats(
-      pqCodebooks(resid, idCol, "rvec", m, subDim, ks, pqIters))
+    // the one training pipeline (t14 parity depends on this path and
+    // writeIvfPqIndex training bit-identical models); codes is lazy, so
+    // discarding it costs nothing
+    val (coarse, books, _, resid) = ivfPqModel(corpus, idCol, vecCol,
+      nCoarse, coarseIters, m, subDim, ks, pqIters)
     coarse.write.mode("overwrite").parquet(s"$path/coarse")
     books.write.mode("overwrite").parquet(s"$path/codebooks")
     Seq(coarse, resid, books).foreach(shims.unpersistLocalCheckpoint)
@@ -859,28 +874,13 @@ object Similarity {
   def availableNowIvfPq(spark: org.apache.spark.sql.SparkSession,
       sfDir: String,
       compact: Boolean = graft.streaming.DrainCompact.enabled): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val work = graft.streaming.DrainWork.tempDir("graft_stream_ivfpq")
-    val src = s"$work/vecs"
     val idx = s"$work/index"
-    val emb = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    writeIvfPqModel(emb, "vec_id", "embedding", nCoarse = 4,
+    writeIvfPqModel(graft.Tables.embeddings(spark, sfDir)
+        .select("vec_id", "embedding"), "vec_id", "embedding", nCoarse = 4,
       coarseIters = 2, m = 4, subDim = 16, ks = 4, pqIters = 2, path = idx)
-    emb.repartition(3).write.parquet(src)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(src)
-    graft.streaming.DrainWidth.clamped(spark) {
-      val q = stream.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$work/checkpoint")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch(ivfPqSink(idx, "vec_id", "embedding", m = 4,
-          subDim = 16) _)
-        .start()
-      q.awaitTermination()
-    }
+    val emb = drainEmbeddings(spark, sfDir, work,
+      ivfPqSink(idx, "vec_id", "embedding", m = 4, subDim = 16) _)
     // zero-vector drains write no codes dirs at all — explicit path
     // probing, not exception catching (the availableNowIvf rationale)
     val codes = new org.apache.hadoop.fs.Path(s"$idx/codes")
