@@ -248,8 +248,7 @@ object AnalyticsQueries {
       graft.ext.Sketches.availableNowSketchMart(s, d)),
 
     "x_hll_stored" -> ((s, d) => {
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_hll_daily").toString
+      val path = graft.streaming.DrainWork.stableDir("graft_hll_daily")
       graft.ext.Sketches.writeHllDaily(
         Tables.events(s, d), "event_type", "user_id", "ts", path)
       graft.ext.Sketches.hllRollup(s, path, "event_type", "approx_users")
@@ -672,8 +671,7 @@ object AnalyticsQueries {
     //      sum is floor-scaled to exact integer cents so the hash is
     //      summation-order-free.
     "x_bucketed_join" -> ((s, d) => {
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_bucketed").toString
+      val tmp = graft.streaming.DrainWork.stableDir("graft_bucketed")
       graft.operators.Bucketed.writeBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
         "b_orders", s"$tmp/orders", "o_custkey", numBuckets = 16)

@@ -182,8 +182,7 @@ object ExtQueries {
     //      stored-index amortization extended to the weighted near-dup
     //      family. Bit-identical pairs, same oracle.
     "x_tfidf_cosine_stored" -> ((s, d) => {
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_tfidf_index").toString
+      val tmp = graft.streaming.DrainWork.stableDir("graft_tfidf_index")
       graft.ext.Retrieval.writeTfidfIndex(Tables.documents(s, d),
         "doc_id", "text", TfidfCosDfCap, "graft_tfidf_w", tmp, buckets = 16)
       graft.ext.Retrieval.tfidfCosinePairsStored(s, "graft_tfidf_w", tmp,
@@ -563,8 +562,7 @@ object ExtQueries {
     //      (token explode paid at build), probe reads only the query
     //      terms' md5-band partitions — identical results by contract
     "x_bm25_stored" -> ((s, d) => {
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_postings").toString
+      val path = graft.streaming.DrainWork.stableDir("graft_postings")
       graft.ext.Retrieval.writePostings(
         Tables.documents(s, d), "doc_id", "text", path)
       graft.ext.Retrieval.bm25TopKStored(s, path, "doc_id",
@@ -752,8 +750,7 @@ object ExtQueries {
     //      oracle is the same band-join SQL.
     "x_lsh_stored" -> ((s, d) => {
       val withB = Corpus.assignSplit(Tables.documents(s, d), "doc_id")
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_band_index").toString
+      val tmp = graft.streaming.DrainWork.stableDir("graft_band_index")
       DedupOps.writeBandIndex(withB.filter(col("bucket") < 204),
         "doc_id", "text", "graft_bands", s"$tmp/bands", buckets = 16)
       DedupOps.lshCandidatesStored(s, "graft_bands",

@@ -60,8 +60,7 @@ object GraphQueries {
       // rounds) read the same materialized edge blocks instead of each
       // re-running the co-occurrence self-join (the x_bfs_hops fix)
       val edges = org.apache.spark.sql.graft.shims.checkpointWithStats(coEdges(s, d))
-      val store = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_pagerank_store").toString
+      val store = graft.streaming.DrainWork.stableDir("graft_pagerank_store")
       Graph.writeRanks(Graph.pageRankScaled(edges, iters = 3), store)
       Graph.pageRankResume(edges, Graph.readRanks(s, store), iters = 2)
     }),
@@ -71,8 +70,7 @@ object GraphQueries {
     // with zero edge-side exchanges (GraphSpec plan pin) — bit-identical
     // to the in-memory loop, so the oracle is the same unrolled rounds
     "x_pagerank_bucketed" -> ((s, d) => {
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_walk_table").toString
+      val tmp = graft.streaming.DrainWork.stableDir("graft_walk_table")
       Graph.writeWalkTable(coEdges(s, d), "graft_walk", s"$tmp/walk", buckets = 32)
       Graph.pageRankOnWalkTable(s, "graft_walk", buckets = 32, iters = 3)
     }),
@@ -80,8 +78,7 @@ object GraphQueries {
     // the weighted stored-walk twin: same layout amortization on the
     // backbone's weighted walk (src, dst, w, den=strength)
     "x_pagerank_weighted_bucketed" -> ((s, d) => {
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_wwalk_table").toString
+      val tmp = graft.streaming.DrainWork.stableDir("graft_wwalk_table")
       Graph.writeWalkTableWeighted(weightedBackbone(s, d), "graft_wwalk",
         s"$tmp/walk", buckets = 32)
       Graph.pageRankWeightedOnWalkTable(s, "graft_wwalk", buckets = 32, iters = 3)

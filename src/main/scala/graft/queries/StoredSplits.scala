@@ -34,8 +34,12 @@ object StoredSplits {
     Graph.coOccurrenceEdgesWeighted(Tables.lineitem(s, d),
       "l_orderkey", "l_partkey").filter(col("w") >= 2)
 
+  // same stable scratch the registry entries use (r12: the stored
+  // indexes moved to the guarded DrainWork medium — RAM-backed when
+  // roomy, GRAFT_DRAIN_SCRATCH=tmp opts back to disk), so
+  // probe-after-build reads exactly what the registry query writes
   private def tmp(leaf: String): String =
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), leaf).toString
+    graft.streaming.DrainWork.stableDir(leaf)
 
   /** name -> (build index, probe it). Paths/table names match the
     * combined registry entries, so probe-after-build reads exactly

@@ -51,4 +51,20 @@ object DrainWork {
     case Some(b) => java.nio.file.Files.createTempDirectory(b, prefix).toString
     case None    => java.nio.file.Files.createTempDirectory(prefix).toString
   }
+
+  /** STABLE scratch path (no random suffix) for build/probe pairs that
+    * run in separate calls and must agree on the location — the stored
+    * index registry entries and their StoredSplits twins. Same medium
+    * selection and guard rails as [[tempDir]]; the caller's write mode
+    * ("overwrite") owns staleness. NOTE: the medium is re-evaluated per
+    * call, so a build that landed on /dev/shm probes from /dev/shm
+    * unless the free-space guard flipped mid-run — in which case the
+    * probe falls back to an empty dir and fails loudly rather than
+    * reading half an index.
+    */
+  def stableDir(leaf: String): String = shmUsable match {
+    case Some(b) => b.resolve(leaf).toString
+    case None => java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), leaf).toString
+  }
 }
