@@ -22,11 +22,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     is bounded by partition count (metadata, not data), and an
   *     interrupted run leaves untouched partitions valid.
   *   - The rewrite lands in `_compact_tmp` under the target and swaps in
-  *     only after success — a crashed compaction never corrupts the
-  *     source directory.
+  *     only after a commit marker records the whole swap — a crashed
+  *     compaction never LOSES rows, and [[healDir]] (run automatically on
+  *     the next pass) restores the exact row set from any crash point.
+  *
+  * Flat-dir crash contract ([[compactDir]] / [[compactPartitioned]]):
+  * a flat parquet directory is read by raw `spark.read.parquet`, which
+  * consults no manifest — so unlike the shard tables ([[compactShards]],
+  * whose readers go through [[ShardStore.read]]), there is NO metadata
+  * commit point a reader would observe, and replacing N data files with
+  * M cannot be atomic to such readers: any swap order has an instant
+  * where some row is visible twice or zero times. The protocol here
+  * chooses the safe side — stage to `_compact_tmp`, publish a
+  * `_compact_commit` journal (the recovery commit point), rename the
+  * compacted files IN under fresh `c<gen>-` names, THEN delete the
+  * originals, every rename/delete checked (Hadoop reports failure as
+  * `false`, not an exception). Rows are never missing at any crash
+  * point; the one transient window (crash after rename-in, before
+  * delete-olds) shows duplicates until [[healDir]] completes the
+  * journal. Run compaction offline relative to readers (same posture as
+  * the shard protocol, `ShardStore.scala`).
   *
   * Compaction is layout-only: row set and schema are unchanged
-  * (CompactSpec pins row parity and file counts).
+  * (CompactSpec pins row parity, file counts, and all flat/shard crash
+  * windows).
   */
 object Compact {
 
@@ -49,28 +68,120 @@ object Compact {
   def planFileCount(totalBytes: Long, targetBytes: Long): Int =
     math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
 
+  private val CommitMarker = "_compact_commit"
+  private val CompactedRe = "^c(\\d+)-\\d+\\.parquet$".r
+
+  private def checkedRename(f: FileSystem, src: Path, dst: Path): Unit =
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"compactDir: rename $src -> $dst failed")
+
+  private def checkedDelete(f: FileSystem, p: Path): Unit =
+    if (f.exists(p) && !f.delete(p, false) && f.exists(p))
+      throw new java.io.IOException(s"compactDir: delete $p failed")
+
+  /** Publish the flat-dir swap journal — the RECOVERY commit point:
+    * staged to a `.tmp` sidecar, then one checked rename. Before the
+    * marker exists a crash leaves only staging garbage (originals
+    * untouched); once it exists, [[healDir]] can always finish the swap.
+    */
+  private def publishDirMarker(f: FileSystem, dirP: Path, gen: Long,
+      moves: Seq[(String, String)], dels: Seq[String]): Unit = {
+    val tmp = new Path(dirP, CommitMarker + ".tmp")
+    val body = new StringBuilder(s"gen=$gen\n")
+    moves.foreach { case (s, d) => body ++= s"move=$s\t$d\n" }
+    dels.foreach(n => body ++= s"del=$n\n")
+    val out = f.create(tmp, true)
+    try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+    checkedRename(f, tmp, new Path(dirP, CommitMarker))
+  }
+
+  /** Complete (or discard) whatever a crashed [[compactDir]] pass left
+    * behind. No marker → any `_compact_tmp` is uncommitted staging and
+    * the originals are intact: delete the staging. Marker present → the
+    * swap is committed: finish it exactly as the crashed pass would
+    * have — rename each staged file in (skipping ones already in),
+    * delete each listed original still present, clear the journal. A
+    * staged file that is in NEITHER place is corruption (external
+    * interference) and throws rather than deleting originals over it.
+    * [[compactDir]] runs this on entry; it is also safe to call alone.
+    */
+  def healDir(spark: SparkSession, dir: String): Unit =
+    healDirFs(fs(spark, dir), new Path(dir))
+
+  private def healDirFs(f: FileSystem, dirP: Path): Unit = {
+    if (!f.exists(dirP)) return
+    val tmp = new Path(dirP, "_compact_tmp")
+    val marker = new Path(dirP, CommitMarker)
+    f.delete(new Path(dirP, CommitMarker + ".tmp"), false)
+    if (!f.exists(marker)) { f.delete(tmp, true); return }
+    val in = f.open(marker)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val moves = text.linesIterator.filter(_.startsWith("move=")).map { l =>
+      val parts = l.stripPrefix("move=").split('\t')
+      (parts(0), parts(1))
+    }.toSeq
+    val dels = text.linesIterator.filter(_.startsWith("del="))
+      .map(_.stripPrefix("del=")).toSeq
+    moves.foreach { case (src, dst) =>
+      val s = new Path(tmp, src); val d = new Path(dirP, dst)
+      if (f.exists(s)) checkedRename(f, s, d)
+      else if (!f.exists(d))
+        throw new java.io.IOException(
+          s"compactDir heal: staged file $src is in neither $tmp nor $dirP " +
+            "— refusing to delete originals over a lost rewrite")
+    }
+    dels.foreach(n => checkedDelete(f, new Path(dirP, n)))
+    checkedDelete(f, marker)
+    f.delete(tmp, true)
+  }
+
   /** Compact one flat parquet directory in place to ~`targetBytes`
     * files. No-op (returns the current layout) when the directory
-    * already has ≤ the planned file count.
+    * already has ≤ the planned file count. Crash contract in the object
+    * doc: rows are never lost; [[healDir]] (run on entry) completes any
+    * crashed predecessor before this pass plans.
     */
-  def compactDir(spark: SparkSession, dir: String, targetBytes: Long): Report = {
+  def compactDir(spark: SparkSession, dir: String, targetBytes: Long): Report =
+    compactDirImpl(spark, dir, targetBytes, failAt = "")
+
+  private[graft] def compactDirImpl(spark: SparkSession, dir: String,
+      targetBytes: Long, failAt: String): Report = {
     val f = fs(spark, dir)
-    val files = dataFiles(f, new Path(dir))
+    val dirP = new Path(dir)
+    def crashpoint(at: String): Unit =
+      if (failAt == at) throw new CompactCrash(at)
+    healDirFs(f, dirP)
+    val files = dataFiles(f, dirP)
     val totalBytes = files.map(_.getLen).sum
     val nOut = planFileCount(totalBytes, targetBytes)
     if (files.length <= nOut)
       return Report(dir, files.length, totalBytes, files.length)
 
-    val tmp = new Path(dir, "_compact_tmp")
+    // fresh generation → the c<gen>- target names cannot collide with
+    // any existing data file (a colliding name would have bumped gen)
+    val gen = files.flatMap(s => s.getPath.getName match {
+      case CompactedRe(g) => Some(g.toLong)
+      case _              => None
+    }).maxOption.getOrElse(0L) + 1L
+    val tmp = new Path(dirP, "_compact_tmp")
     f.delete(tmp, true)
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
+    crashpoint("staged")
 
-    val compacted = dataFiles(f, tmp)
-    files.foreach(s => f.delete(s.getPath, false))
-    compacted.foreach(s => f.rename(s.getPath, new Path(dir, s.getPath.getName)))
+    val staged = dataFiles(f, tmp).map(_.getPath.getName).sorted.toSeq
+    val moves = staged.zipWithIndex.map { case (n, i) =>
+      n -> f"c$gen%d-$i%05d.parquet" }
+    publishDirMarker(f, dirP, gen, moves, files.map(_.getPath.getName).toSeq)
+    crashpoint("committed")
+    moves.foreach { case (src, dst) =>
+      checkedRename(f, new Path(tmp, src), new Path(dirP, dst)) }
+    crashpoint("moved")
+    files.foreach(s => checkedDelete(f, s.getPath))
+    checkedDelete(f, new Path(dirP, CommitMarker))
     f.delete(tmp, true)
-    Report(dir, files.length, totalBytes, compacted.length)
+    Report(dir, files.length, totalBytes, moves.length)
   }
 
   /** Test-only crash injection for [[compactShards]]: thrown at a named
@@ -118,12 +229,14 @@ object Compact {
     */
   def compactShards(spark: SparkSession, root: String, targetBytes: Long,
                     nested: Seq[String] = Nil,
-                    upTo: Long = Long.MaxValue): Report =
-    compactShardsImpl(spark, root, targetBytes, nested, upTo, failAt = "")
+                    upTo: Long = Long.MaxValue,
+                    graceMs: Long = 0L): Report =
+    compactShardsImpl(spark, root, targetBytes, nested, upTo, failAt = "",
+      graceMs = graceMs)
 
   private[graft] def compactShardsImpl(spark: SparkSession, root: String,
       targetBytes: Long, nested: Seq[String], upTo: Long,
-      failAt: String): Report = {
+      failAt: String, graceMs: Long = 0L): Report = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, root)
     val rootP = new Path(root)
@@ -131,7 +244,7 @@ object Compact {
       if (failAt == at) throw new CompactCrash(at)
     if (!f.exists(rootP)) return Report(root, 0, 0L, 0)
     // complete/garbage-collect any crashed predecessor before planning
-    ShardStore.heal(f, rootP)
+    ShardStore.heal(f, rootP, graceMs)
     def filesUnder(dir: Path): Seq[Long] = {
       val it = f.listFiles(dir, true)
       val b = Seq.newBuilder[Long]
@@ -168,7 +281,7 @@ object Compact {
         d
       }
       ShardStore.publish(f, rootP, ShardStore.Manifest(gen, dirName, keepId))
-      ShardStore.heal(f, rootP)
+      ShardStore.heal(f, rootP, graceMs)
       return Report(root, before, totalBytes, liveFiles.size)
     }
     val nOut = planFileCount(totalBytes, targetBytes)
@@ -202,7 +315,7 @@ object Compact {
     ShardStore.publish(f, rootP,
       ShardStore.Manifest(gen, liveDir.getName, keepId))
     crashpoint("published")
-    ShardStore.heal(f, rootP)
+    ShardStore.heal(f, rootP, graceMs)
     Report(root, before, totalBytes, after)
   }
 

@@ -146,26 +146,52 @@ object ShardStore {
   /** Garbage-collect everything the current manifest supersedes plus
     * any artifact a crashed pass left behind: the staging dir, tmp
     * manifests, live dirs the manifest doesn't reference, superseded
-    * `batch=` dirs, and older manifests. Safe to run any time the
-    * owning sink is quiesced; [[Compact.compactShards]] runs it on
-    * entry (completing any crashed predecessor) and after publishing.
+    * `batch=` dirs, and older manifests. [[Compact.compactShards]] runs
+    * it on entry (completing any crashed predecessor) and after
+    * publishing.
+    *
+    * `graceMs` is the ONLINE-compaction knob (r12 VERDICT #2): a probe
+    * that planned its scan against the pre-publish listing (old
+    * manifest + superseded shards) still holds references to those
+    * paths, so deleting them at publish time fails that probe mid-scan.
+    * With `graceMs > 0`, reader-visible artifacts the CURRENT manifest
+    * supersedes (older `batch=` dirs, older live dirs, older manifests)
+    * are deleted only once the manifest file is at least `graceMs` old —
+    * i.e. every scan that began before the publish has had `graceMs` to
+    * finish against its consistent pre-publish snapshot (full rows, no
+    * duplicates: its plan predates the new live dir). Set it to the
+    * longest plausible probe scan. Never-reader-visible garbage (the
+    * `_compact_tmp` staging dir, `.tmp` manifests, orphan live dirs a
+    * crash left unpublished) is collected immediately regardless — no
+    * reader can hold a reference to an artifact no manifest ever named.
     */
-  def heal(f: FileSystem, root: Path): Unit = {
+  def heal(f: FileSystem, root: Path, graceMs: Long = 0L): Unit = {
     if (!f.exists(root)) return
     f.delete(new Path(root, "_compact_tmp"), true)
     val m = currentManifest(f, root)
+    // supersession age = age of the current manifest file (its publish
+    // was the moment anything it supersedes became unreachable to NEW
+    // readers); with no manifest nothing is superseded, only orphaned
+    val expired = graceMs <= 0L || m.exists { man =>
+      val st = f.getFileStatus(new Path(root, manifestName(man.gen)))
+      System.currentTimeMillis() - st.getModificationTime >= graceMs
+    }
     f.listStatus(root).foreach { s =>
       val n = s.getPath.getName
       val stale = n.stripSuffix(".tmp") match {
         case _ if !n.startsWith("_compact") => false
         case ManifestRe(g) =>
-          n.endsWith(".tmp") || m.exists(_.gen > g.toLong)
-        case LiveRe(_) => !m.exists(_.dir == n)
+          n.endsWith(".tmp") || (expired && m.exists(_.gen > g.toLong))
+        case LiveRe(g) =>
+          !m.exists(_.dir == n) &&
+            // gen beyond the manifest = crashed orphan, never published,
+            // no reader ever saw it; at/below = superseded, grace-gated
+            (m.forall(g.toLong > _.gen) || expired)
         case _ => n == "_compact_tmp"
       }
       if (stale) f.delete(s.getPath, true)
     }
-    m.foreach { man =>
+    if (expired) m.foreach { man =>
       batchShards(f, root).foreach { case (id, p) =>
         if (id <= man.batchValue) f.delete(p, true)
       }

@@ -201,6 +201,73 @@ class PropertiesSpec extends SparkSuite {
       }
     })
 
+  // r12 VERDICT #4: pin the ShardStore invariant ITSELF — read = every
+  // appended row exactly once — over randomized interleavings of the
+  // protocol's moves, not just the three failpoint instances CompactSpec
+  // pins. 100 schedules; each op is followed by a full read check.
+  {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.{Compact, ShardStore}
+
+    sealed trait ShardOp
+    case class Append(vs: List[Long]) extends ShardOp
+    case class CompactAt(failAt: String, coverAll: Boolean) extends ShardOp
+    case object Heal extends ShardOp
+    case object Replay extends ShardOp
+
+    val opGen: Gen[ShardOp] = Gen.frequency(
+      4 -> Gen.resize(4, Gen.listOf(Gen.choose(0L, 99L))).map(Append.apply),
+      4 -> Gen.zip(
+        Gen.oneOf("", "", "staged", "swapped", "published"),
+        Gen.oneOf(true, false)).map((CompactAt.apply _).tupled),
+      1 -> Gen.const(Heal),
+      2 -> Gen.const(Replay))
+
+    val schedParams = ScTest.Parameters.default.withMinSuccessfulTests(100)
+    test("ShardStore protocol: read = appended rows exactly once, under random " +
+         "append/compact-crash/heal/replay schedules") {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, batch BIGINT")
+      val p = Prop.forAll(Gen.resize(6, Gen.nonEmptyListOf(opGen))) { ops =>
+        val root = java.nio.file.Files.createTempDirectory("shardstore_prop").toString
+        val rootP = new Path(root)
+        val f = ShardStore.fs(spark, root)
+        var nextId = 0L
+        val appended = scala.collection.mutable.Map.empty[Long, List[Long]]
+        def writeBatch(id: Long, vs: List[Long]): Unit =
+          vs.toDF("id").write.mode("overwrite").parquet(s"$root/batch=$id")
+        def readRows(): Seq[Long] =
+          ShardStore.read(spark, root, schema).select("id").as[Long]
+            .collect().sorted.toSeq
+        ops.forall { op =>
+          op match {
+            case Append(vs) =>
+              appended(nextId) = vs; writeBatch(nextId, vs); nextId += 1
+            case CompactAt(failAt, coverAll) =>
+              // a sink compacts only batches its checkpoint has
+              // committed; `coverAll=false` leaves the newest one out
+              val upTo = if (coverAll) Long.MaxValue else nextId - 2
+              try Compact.compactShardsImpl(spark, root, targetBytes = 1L << 30,
+                nested = Nil, upTo = upTo, failAt = failAt)
+              catch { case _: Compact.CompactCrash => () }
+            case Heal => ShardStore.heal(f, rootP)
+            case Replay =>
+              // the sink contract: a replayed batch id at/below the
+              // manifest cut returns BEFORE writing its shard; above
+              // the cut it rewrites the same shard idempotently
+              val cut = ShardStore.currentManifest(f, rootP)
+                .map(_.batchValue).getOrElse(Long.MinValue)
+              appended.keys.maxOption.filter(_ > cut)
+                .foreach(id => writeBatch(id, appended(id)))
+          }
+          readRows() == appended.values.flatten.toSeq.sorted
+        }
+      }
+      val r = ScTest.check(schedParams, p)
+      assert(r.passed, r.status.toString)
+    }
+  }
+
   check("cosineNearDupLsh is a subset of the exact all-pairs result",
     Prop.forAll(Gen.resize(12, Gen.nonEmptyListOf(
       Gen.listOfN(8, Gen.choose(-0.5, 0.5))))) { vecs =>

@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 
 import graft.{SparkSuite, Tables}
 
+/** Local filesystem that returns `false` (Hadoop's failure contract)
+  * for renames onto `c<gen>-` compaction targets — rename-failure
+  * injection for the flat-dir swap protocol. Registered in the test
+  * via `fs.faulty.impl` under the `faulty://` scheme.
+  */
+class FaultyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("faulty:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (dst.getName.matches("c\\d+-\\d+\\.parquet")) false
+    else super.rename(src, dst)
+}
+
 class CompactSpec extends SparkSuite {
 
   private def parquetFiles(dir: String): Array[String] =
@@ -40,6 +53,66 @@ class CompactSpec extends SparkSuite {
     val rep = Compact.compactDir(spark, dir, targetBytes = 1L << 30)
     assert(rep.filesBefore == 1 && rep.filesAfter == 1)
     assert(parquetFiles(dir).toSet == before) // untouched, not rewritten
+  }
+
+  test("compactDir crash windows: rows are never lost; heal restores the exact set") {
+    import spark.implicits._
+    def build(tag: String): String = {
+      val dir = Files.createTempDirectory(s"compact_flat_crash_$tag").toString
+      (0 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartition(8).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def rows(dir: String): Seq[String] =
+      spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    Seq("staged", "committed", "moved").foreach { fp =>
+      val dir = build(fp)
+      val want = rows(dir)
+      val crash = intercept[Compact.CompactCrash] {
+        Compact.compactDirImpl(spark, dir, targetBytes = 1L << 30, failAt = fp)
+      }
+      assert(crash.getMessage.contains(fp))
+      // no crash point loses a row: before the journal applies, the
+      // originals are intact and the staging is underscore-hidden;
+      // after rename-in ("moved") the compacted copy is in but the
+      // originals are not yet deleted → transient duplicates, full set
+      val mid = rows(dir)
+      assert(mid.distinct == want, s"rows lost/corrupted mid-crash at '$fp'")
+      if (fp == "moved") assert(mid.length == 2 * want.length)
+      else assert(mid == want, s"unexpected anomaly at '$fp'")
+      // the next pass heals first, then reports a consistent layout
+      Compact.compactDir(spark, dir, targetBytes = 1L << 30)
+      assert(rows(dir) == want, s"post-recovery rows wrong after '$fp'")
+      val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(!names.contains("_compact_tmp") && !names.contains("_compact_commit"))
+      assert(parquetFiles(dir).length == 1)
+    }
+  }
+
+  test("compactDir failed rename throws (never a false-success report) and heals") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact_flat_rename").toString
+    (0 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val want = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    // a filesystem whose rename REPORTS failure (`false`, Hadoop's
+    // contract for e.g. a lost object-store rename) on the c<gen>-
+    // swap-in targets — the r11-medium failure shape the old code
+    // swallowed into a success Report
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
+    val e = intercept[java.io.IOException] {
+      Compact.compactDir(spark, s"faulty://$dir", targetBytes = 1L << 30)
+    }
+    assert(e.getMessage.contains("rename"))
+    // journal is committed; originals are intact; nothing lost
+    assert(new java.io.File(dir, "_compact_commit").exists())
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq == want)
+    // on a healthy filesystem the next pass completes the crashed swap
+    Compact.compactDir(spark, dir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq == want)
+    assert(!new java.io.File(dir, "_compact_commit").exists())
+    assert(parquetFiles(dir).length == 1)
   }
 
   test("compactShards consolidates bm25 batch shards: probe identical, pruning preserved") {
@@ -169,6 +242,55 @@ class CompactSpec extends SparkSuite {
         && !d.endsWith(".tmp")) == 1, s"$fp: $dirs")
       assert(rep.filesAfter > 0)
     }
+  }
+
+  test("grace-window GC: a probe planned before compaction survives it; zero grace fails it") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v BIGINT, batch BIGINT")
+    def build(tag: String): String = {
+      val root = Files.createTempDirectory(s"compact_grace_$tag").toString
+      (0 until 3).foreach { b =>
+        (0 until 40).map(i => (b * 100L + i, i.toLong)).toDF("id", "v")
+          .write.mode("overwrite").parquet(s"$root/batch=$b")
+      }
+      root
+    }
+    def batchDirs(root: String) = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+
+    // the hazard the grace window exists for: with graceMs=0 (offline
+    // default), publish-time GC deletes the shard dirs a pre-planned
+    // probe's file index already references → it fails mid-scan
+    val r0 = build("zero")
+    val planned0 = ShardStore.read(spark, r0, schema)
+    Compact.compactShards(spark, r0, targetBytes = 1L << 30)
+    assert(batchDirs(r0).isEmpty)
+    intercept[Exception] { planned0.count() }
+
+    // with a grace window, superseded artifacts outlive every scan that
+    // planned against them: the pre-planned probe reads its consistent
+    // pre-publish snapshot — full rows, no duplicates
+    val root = build("live")
+    val want = ShardStore.read(spark, root, schema).drop("batch")
+      .collect().map(_.toString).sorted.toSeq
+    assert(want.length == 120)
+    val planned = ShardStore.read(spark, root, schema)
+    Compact.compactShards(spark, root, targetBytes = 1L << 30,
+      graceMs = 10L * 60 * 1000)
+    assert(batchDirs(root).length == 3, "superseded shards must outlive the grace")
+    assert(planned.drop("batch").collect().map(_.toString).sorted.toSeq == want)
+    // a FRESH probe plans against the new manifest: the superseded dirs
+    // are behind its cut, so the lingering copies are invisible to it
+    assert(ShardStore.read(spark, root, schema).drop("batch")
+      .collect().map(_.toString).sorted.toSeq == want)
+    // grace expiry (modelled by an explicit zero-grace heal) collects
+    // the superseded artifacts; reads are unchanged
+    val f = ShardStore.fs(spark, root)
+    ShardStore.heal(f, new org.apache.hadoop.fs.Path(root))
+    assert(batchDirs(root).isEmpty)
+    assert(ShardStore.read(spark, root, schema).drop("batch")
+      .collect().map(_.toString).sorted.toSeq == want)
   }
 
   test("compactShards over data-file-free shards publishes an empty live dir") {
