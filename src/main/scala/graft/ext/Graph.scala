@@ -584,6 +584,18 @@ object Graph {
   /** Global triangle statistics: one row of
     * (nodes, edges, wedges, triangles), all exact longs.
     *
+    * PRECONDITION (both strategies, r12 ADVICE): `edges` must be a
+    * DISTINCT undirected edge list — one row per unordered pair, no
+    * self-loops. Duplicates break both branches differently (the
+    * adjacency arrays double-list a neighbor and inflate the
+    * Σ(outdeg−1) wedge term while `sorted_intersect_count` keeps set
+    * semantics; the wedge self-join fans out), so the two strategies
+    * would also disagree across `broadcastEdgeLimit`. The repo's edge
+    * producers ([[coOccurrenceEdges]] and kin) emit distinct pairs by
+    * construction; a caller with raw edges must `.distinct()` first —
+    * not done defensively here because it is an edge-scale shuffle the
+    * common (already-distinct) case would pay on every call.
+    *
     * Two closure strategies, picked by measured edge count (r12):
     *
     * UNDER `broadcastEdgeLimit` — adjacency intersection: per-src
@@ -722,6 +734,9 @@ object Graph {
     *
     * Returns one row:
     * (centers_sampled, wedges_sampled, triangles_sampled, triangles_est).
+    *
+    * Same PRECONDITION as [[triangleStats]]: `edges` must be a distinct
+    * undirected edge list (no duplicate pairs, no self-loops).
     */
   def triangleSample(edges: DataFrame, sampleBuckets: Int = 4,
                      broadcastEdgeLimit: Long = 30000000L): DataFrame = {

@@ -344,17 +344,6 @@ object Similarity {
     graft.operators.Compact.compactShards(spark, s"$indexPath/lists",
       targetBytes, nested = Seq("cluster_id"), upTo = upTo)
 
-  /** The whole chain drained end-to-end (the `t13_streaming_ann` driver
-    * query): standing centroid model trained once from the corpus →
-    * embeddings file-stream (3 arbitrary splits) → per-batch inverted-
-    * list shards → stream-index probe. Equals [[ivfTopKStored]] with
-    * the same build parameters for any split (oracle-pinned — the
-    * `x_ann_ivf` oracle, since assignment is a pure per-vector function
-    * of the standing model). With `compact=true` the drain tail
-    * consolidates the lists shards behind the drained checkpoint
-    * (every batch is committed once AvailableNow terminates) before
-    * probing — the opt-in maintenance posture, result-identical.
-    */
   /** Shared drain harness for the streaming-ANN chains (t13/t14): 3-way
     * embedding file-stream → AvailableNow drain through `sink` — ONE
     * spelling of the drain mechanics (source write, readStream options,
@@ -385,6 +374,17 @@ object Similarity {
     emb
   }
 
+  /** The whole chain drained end-to-end (the `t13_streaming_ann` driver
+    * query): standing centroid model trained once from the corpus →
+    * embeddings file-stream (3 arbitrary splits) → per-batch inverted-
+    * list shards → stream-index probe. Equals [[ivfTopKStored]] with
+    * the same build parameters for any split (oracle-pinned — the
+    * `x_ann_ivf` oracle, since assignment is a pure per-vector function
+    * of the standing model). With `compact=true` the drain tail
+    * consolidates the lists shards behind the drained checkpoint
+    * (every batch is committed once AvailableNow terminates) before
+    * probing — the opt-in maintenance posture, result-identical.
+    */
   def availableNowIvf(spark: org.apache.spark.sql.SparkSession,
       sfDir: String,
       compact: Boolean = graft.streaming.DrainCompact.enabled): DataFrame = {

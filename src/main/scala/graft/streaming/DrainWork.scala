@@ -52,19 +52,36 @@ object DrainWork {
     case None    => java.nio.file.Files.createTempDirectory(prefix).toString
   }
 
+  /** The stable-scratch root, decided ONCE per JVM (r12 ADVICE):
+    * [[stableDir]]'s whole contract is that a build and its
+    * separate-call probe resolve the same location, so the medium
+    * choice must not flip with a mid-run free-space dip — a flip would
+    * silently point the probe at a possibly-stale twin on the other
+    * medium. Memoizing pins the pair to one medium; if /dev/shm later
+    * fills, the build itself fails loudly (ENOSPC) instead. Namespaced
+    * per-user under a `graft-<user>` root (r12 ADVICE): predictable
+    * world-shared leaf names under /dev/shm collided across users and
+    * could be pre-created by another tenant. Concurrent runs by the
+    * SAME user still share these dirs — the stored-index registry
+    * assumes one bench/verify run per user per host, same as the
+    * committed-reference measurement protocol.
+    */
+  private lazy val stableBase: java.nio.file.Path = {
+    val user = sys.props.getOrElse("user.name", "anon")
+    val base = shmUsable match {
+      case Some(b) => b.resolve(s"graft-$user")
+      case None => java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft-$user")
+    }
+    java.nio.file.Files.createDirectories(base)
+    base
+  }
+
   /** STABLE scratch path (no random suffix) for build/probe pairs that
     * run in separate calls and must agree on the location — the stored
-    * index registry entries and their StoredSplits twins. Same medium
-    * selection and guard rails as [[tempDir]]; the caller's write mode
-    * ("overwrite") owns staleness. NOTE: the medium is re-evaluated per
-    * call, so a build that landed on /dev/shm probes from /dev/shm
-    * unless the free-space guard flipped mid-run — in which case the
-    * probe falls back to an empty dir and fails loudly rather than
-    * reading half an index.
+    * index registry entries and their StoredSplits twins. Medium and
+    * namespace come from [[stableBase]] (memoized per JVM, per-user);
+    * the caller's write mode ("overwrite") owns staleness.
     */
-  def stableDir(leaf: String): String = shmUsable match {
-    case Some(b) => b.resolve(leaf).toString
-    case None => java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), leaf).toString
-  }
+  def stableDir(leaf: String): String = stableBase.resolve(leaf).toString
 }
