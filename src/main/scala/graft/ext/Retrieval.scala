@@ -200,11 +200,12 @@ object Retrieval {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetBytes: Long = 128L << 20,
-      upTo: Long = Long.MaxValue): Seq[graft.operators.Compact.Report] = Seq(
+      upTo: Long = Long.MaxValue,
+      graceMs: Long = 0L): Seq[graft.operators.Compact.Report] = Seq(
     graft.operators.Compact.compactShards(spark, s"$indexPath/postings",
-      targetBytes, nested = Seq("tok_band"), upTo = upTo),
+      targetBytes, nested = Seq("tok_band"), upTo = upTo, graceMs = graceMs),
     graft.operators.Compact.compactShards(spark, s"$indexPath/doclen",
-      targetBytes, upTo = upTo))
+      targetBytes, upTo = upTo, graceMs = graceMs))
 
   /** Probe the stream-maintained index: identical results to
     * [[bm25TopK]] over every document any shard has indexed (parity

@@ -340,9 +340,10 @@ object Similarity {
     */
   def compactIvfLists(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetBytes: Long = 128L << 20,
-      upTo: Long = Long.MaxValue): graft.operators.Compact.Report =
+      upTo: Long = Long.MaxValue,
+      graceMs: Long = 0L): graft.operators.Compact.Report =
     graft.operators.Compact.compactShards(spark, s"$indexPath/lists",
-      targetBytes, nested = Seq("cluster_id"), upTo = upTo)
+      targetBytes, nested = Seq("cluster_id"), upTo = upTo, graceMs = graceMs)
 
   /** Shared drain harness for the streaming-ANN chains (t13/t14): 3-way
     * embedding file-stream → AvailableNow drain through `sink` — ONE
@@ -858,9 +859,10 @@ object Similarity {
     */
   def compactIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetBytes: Long = 128L << 20,
-      upTo: Long = Long.MaxValue): graft.operators.Compact.Report =
+      upTo: Long = Long.MaxValue,
+      graceMs: Long = 0L): graft.operators.Compact.Report =
     graft.operators.Compact.compactShards(spark, s"$indexPath/codes",
-      targetBytes, nested = Seq("coarse_id"), upTo = upTo)
+      targetBytes, nested = Seq("coarse_id"), upTo = upTo, graceMs = graceMs)
 
   /** The whole IVF-PQ chain drained end-to-end (the
     * `t14_streaming_ivfpq` driver query): standing model trained once →

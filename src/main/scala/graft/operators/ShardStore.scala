@@ -50,10 +50,15 @@ import org.apache.spark.sql.types.StructType
   * keeps working: consolidated ids are behind the watermark, so no live
   * row can belong to a replayable batch.
   *
-  * Concurrency posture unchanged from r11: compaction runs OFFLINE
-  * relative to probes (a reader that listed a superseded dir before
-  * cleanup deleted it can still hit a missing file mid-scan); crash
-  * SAFETY is what the manifest adds.
+  * Concurrency posture (r13): compaction may run CONCURRENT with
+  * probes when [[heal]]'s `graceMs` is set to at least the longest
+  * plausible probe scan — superseded artifacts then outlive every scan
+  * that planned against the pre-publish listing, and such a scan reads
+  * its consistent pre-publish snapshot (full rows, no duplicates; its
+  * plan predates the new live dir). With the default `graceMs = 0`
+  * (offline maintenance, the AvailableNow drain tail) cleanup is
+  * immediate and a concurrent reader can hit a missing file mid-scan —
+  * CompactSpec pins both behaviors.
   */
 object ShardStore {
 

@@ -268,6 +268,40 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  // flat-dir twin of the shard-protocol property: a raw-parquet reader
+  // consults no manifest, so the pinned invariant is the achievable
+  // contract (Compact.scala header) — no row is ever LOST at any crash
+  // point (the DISTINCT row set is always complete), and after healDir
+  // the read is exactly the original multiset.
+  {
+    import graft.operators.Compact
+
+    val flatParams = ScTest.Parameters.default.withMinSuccessfulTests(30)
+    test("flat-dir compaction: rows never lost under random crash/heal schedules; " +
+         "heal restores exactness") {
+      val fpGen = Gen.oneOf("", "staged", "committed", "moved")
+      val p = Prop.forAll(
+        Gen.resize(3, Gen.nonEmptyListOf(fpGen)),
+        Gen.choose(2, 6)) { (fps, parts) =>
+        val dir = java.nio.file.Files.createTempDirectory("flat_prop").toString
+        (0 until 60).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+          .repartition(parts).write.mode("overwrite").parquet(dir)
+        def rows() = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+        val want = rows()
+        fps.forall { fp =>
+          try Compact.compactDirImpl(spark, dir, targetBytes = 1L << 30, failAt = fp)
+          catch { case _: Compact.CompactCrash => () }
+          rows().distinct == want.distinct
+        } && {
+          Compact.healDir(spark, dir)
+          rows() == want
+        }
+      }
+      val r = ScTest.check(flatParams, p)
+      assert(r.passed, r.status.toString)
+    }
+  }
+
   check("cosineNearDupLsh is a subset of the exact all-pairs result",
     Prop.forAll(Gen.resize(12, Gen.nonEmptyListOf(
       Gen.listOfN(8, Gen.choose(-0.5, 0.5))))) { vecs =>
