@@ -71,9 +71,13 @@ object Compact {
   private val CommitMarker = "_compact_commit"
   private val CompactedRe = "^c(\\d+)-\\d+\\.parquet$".r
 
-  private def checkedRename(f: FileSystem, src: Path, dst: Path): Unit =
+  // Hadoop reports rename/delete failure as `false`, not an exception —
+  // one checked spelling for every protocol step (r11 ADVICE, medium:
+  // an unchecked rename returned a success Report over a corrupt table)
+  private def checkedRename(f: FileSystem, src: Path, dst: Path,
+                            ctx: String = "compactDir"): Unit =
     if (!f.rename(src, dst))
-      throw new java.io.IOException(s"compactDir: rename $src -> $dst failed")
+      throw new java.io.IOException(s"$ctx: rename $src -> $dst failed")
 
   private def checkedDelete(f: FileSystem, p: Path): Unit =
     if (f.exists(p) && !f.delete(p, false) && f.exists(p))
@@ -118,8 +122,14 @@ object Compact {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
     val moves = text.linesIterator.filter(_.startsWith("move=")).map { l =>
-      val parts = l.stripPrefix("move=").split('\t')
-      (parts(0), parts(1))
+      // a malformed journal is CORRUPTION (external truncation, or a
+      // store without atomic rename) — name it, like the ShardStore
+      // manifest parser, instead of an opaque index error
+      l.stripPrefix("move=").split('\t') match {
+        case Array(src, dst) => (src, dst)
+        case _ => throw new java.io.IOException(
+          s"compactDir heal: corrupt $CommitMarker under $dirP: '$l'")
+      }
     }.toSeq
     val dels = text.linesIterator.filter(_.startsWith("del="))
       .map(_.stripPrefix("del=")).toSeq
@@ -305,12 +315,7 @@ object Compact {
     crashpoint("staged")
     val after = filesUnder(tmp).size
     val liveDir = new Path(rootP, ShardStore.liveDirName(gen))
-    // Hadoop reports rename failure as `false`, not an exception — an
-    // unchecked rename here returned a success Report over a table with
-    // zero consolidated shards (r11 ADVICE, medium)
-    if (!f.rename(tmp, liveDir))
-      throw new java.io.IOException(
-        s"compactShards: rename $tmp -> $liveDir failed")
+    checkedRename(f, tmp, liveDir, ctx = "compactShards")
     crashpoint("swapped")
     ShardStore.publish(f, rootP,
       ShardStore.Manifest(gen, liveDir.getName, keepId))

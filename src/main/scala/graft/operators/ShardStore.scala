@@ -169,6 +169,13 @@ object ShardStore {
     * `_compact_tmp` staging dir, `.tmp` manifests, orphan live dirs a
     * crash left unpublished) is collected immediately regardless — no
     * reader can hold a reference to an artifact no manifest ever named.
+    *
+    * Clock caveat: expiry compares the CLIENT clock against the
+    * STORE's manifest mtime, so client-store skew shifts the effective
+    * window (skew ahead shrinks it). Size `graceMs` as
+    * longest-scan + clock-skew bound — on an NTP'd fleet that bound is
+    * seconds, and a generous grace costs only lingering bytes, never
+    * correctness.
     */
   def heal(f: FileSystem, root: Path, graceMs: Long = 0L): Unit = {
     if (!f.exists(root)) return

@@ -74,6 +74,17 @@ object DrainWork {
         System.getProperty("java.io.tmpdir"), s"graft-$user")
     }
     java.nio.file.Files.createDirectories(base)
+    // createDirectories silently ADOPTS an existing dir, so the
+    // namespace alone does not defeat a pre-created world-writable
+    // squat (r13 review): verify the root is actually ours before any
+    // index lands in it — fail loudly, never write into a directory
+    // another principal controls
+    val owner = try java.nio.file.Files.getOwner(base).getName
+                catch { case _: UnsupportedOperationException => user }
+    require(owner == user,
+      s"stable scratch root $base is owned by '$owner', not '$user' — " +
+        "refusing to place stored indexes in a directory another " +
+        "principal controls")
     base
   }
 
