@@ -201,11 +201,13 @@ object Retrieval {
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetBytes: Long = 128L << 20,
       upTo: Long = Long.MaxValue,
-      graceMs: Long = 0L): Seq[graft.operators.Compact.Report] = Seq(
+      graceMs: Long = 0L,
+      minor: Boolean = false): Seq[graft.operators.Compact.Report] = Seq(
     graft.operators.Compact.compactShards(spark, s"$indexPath/postings",
-      targetBytes, nested = Seq("tok_band"), upTo = upTo, graceMs = graceMs),
+      targetBytes, nested = Seq("tok_band"), upTo = upTo, graceMs = graceMs,
+      minor = minor),
     graft.operators.Compact.compactShards(spark, s"$indexPath/doclen",
-      targetBytes, upTo = upTo, graceMs = graceMs))
+      targetBytes, upTo = upTo, graceMs = graceMs, minor = minor))
 
   /** Probe the stream-maintained index: identical results to
     * [[bm25TopK]] over every document any shard has indexed (parity

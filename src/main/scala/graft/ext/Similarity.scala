@@ -341,9 +341,11 @@ object Similarity {
   def compactIvfLists(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetBytes: Long = 128L << 20,
       upTo: Long = Long.MaxValue,
-      graceMs: Long = 0L): graft.operators.Compact.Report =
+      graceMs: Long = 0L,
+      minor: Boolean = false): graft.operators.Compact.Report =
     graft.operators.Compact.compactShards(spark, s"$indexPath/lists",
-      targetBytes, nested = Seq("cluster_id"), upTo = upTo, graceMs = graceMs)
+      targetBytes, nested = Seq("cluster_id"), upTo = upTo, graceMs = graceMs,
+      minor = minor)
 
   /** Shared drain harness for the streaming-ANN chains (t13/t14): 3-way
     * embedding file-stream → AvailableNow drain through `sink` — ONE
@@ -860,9 +862,11 @@ object Similarity {
   def compactIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetBytes: Long = 128L << 20,
       upTo: Long = Long.MaxValue,
-      graceMs: Long = 0L): graft.operators.Compact.Report =
+      graceMs: Long = 0L,
+      minor: Boolean = false): graft.operators.Compact.Report =
     graft.operators.Compact.compactShards(spark, s"$indexPath/codes",
-      targetBytes, nested = Seq("coarse_id"), upTo = upTo, graceMs = graceMs)
+      targetBytes, nested = Seq("coarse_id"), upTo = upTo, graceMs = graceMs,
+      minor = minor)
 
   /** The whole IVF-PQ chain drained end-to-end (the
     * `t14_streaming_ivfpq` driver query): standing model trained once →

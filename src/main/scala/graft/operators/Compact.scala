@@ -236,17 +236,28 @@ object Compact {
     * All-empty shard sets (the as-of right store after click-free
     * batches) publish an empty live dir instead of crashing schema
     * inference (r11 ADVICE).
+    *
+    * TIERED maintenance (r13): `minor = true` consolidates ONLY the
+    * selected shards into an additional run directory and appends it to
+    * the manifest's run list — cost proportional to the DELTA, standing
+    * runs untouched. The default (`minor = false`, major) merges the
+    * standing runs and the shards into a single run — the full rewrite,
+    * paid rarely. A continuously-fed 100 TB index runs minor per
+    * O(100) accumulated shards and major only when the run count
+    * itself becomes the listing cost (the LSM schedule); probing is
+    * identical either way ([[ShardStore.read]] unions runs + shards).
     */
   def compactShards(spark: SparkSession, root: String, targetBytes: Long,
                     nested: Seq[String] = Nil,
                     upTo: Long = Long.MaxValue,
-                    graceMs: Long = 0L): Report =
+                    graceMs: Long = 0L,
+                    minor: Boolean = false): Report =
     compactShardsImpl(spark, root, targetBytes, nested, upTo, failAt = "",
-      graceMs = graceMs)
+      graceMs = graceMs, minor = minor)
 
   private[graft] def compactShardsImpl(spark: SparkSession, root: String,
       targetBytes: Long, nested: Seq[String], upTo: Long,
-      failAt: String, graceMs: Long = 0L): Report = {
+      failAt: String, graceMs: Long = 0L, minor: Boolean = false): Report = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, root)
     val rootP = new Path(root)
@@ -269,8 +280,8 @@ object Compact {
     val cut = prior.map(_.batchValue).getOrElse(Long.MinValue)
     val shards = ShardStore.batchShards(f, rootP)
       .filter { case (id, _) => id > cut && id <= upTo }
-    val livePath = prior.map(m => new Path(rootP, m.dir))
-    val liveFiles = livePath.map(filesUnder).getOrElse(Nil)
+    val livePaths = prior.toSeq.flatMap(_.dirs).map(new Path(rootP, _))
+    val liveFiles = livePaths.flatMap(filesUnder)
     val srcFiles = shards.flatMap { case (_, p) => filesUnder(p) }
     val before = liveFiles.size + srcFiles.size
     val totalBytes = (liveFiles ++ srcFiles).sum
@@ -285,16 +296,21 @@ object Compact {
       // writes a right shard, clicks or not): nothing to rewrite, so
       // supersede them by manifest alone — re-pointing at the standing
       // live dir, or an empty one when no compaction ever ran
-      val dirName = prior.map(_.dir).getOrElse {
+      val dirNames = prior.map(_.dirs).getOrElse {
         val d = ShardStore.liveDirName(gen)
         f.mkdirs(new Path(rootP, d))
-        d
+        Seq(d)
       }
-      ShardStore.publish(f, rootP, ShardStore.Manifest(gen, dirName, keepId))
+      ShardStore.publish(f, rootP, ShardStore.Manifest(gen, dirNames, keepId))
       ShardStore.heal(f, rootP, graceMs)
       return Report(root, before, totalBytes, liveFiles.size)
     }
-    val nOut = planFileCount(totalBytes, targetBytes)
+    // minor: rewrite ONLY the selected shards into a NEW run, standing
+    // runs untouched — maintenance cost tracks the delta. major
+    // (default): merge standing runs + shards into one run — the full
+    // rewrite, paid rarely (the LSM split, r13)
+    val rewriteBytes = if (minor) srcFiles.sum else totalBytes
+    val nOut = planFileCount(rewriteBytes, targetBytes)
     val tmp = new Path(rootP, "_compact_tmp")
     f.delete(tmp, true)
     // basePath keeps nested partition discovery consistent across the
@@ -302,25 +318,27 @@ object Compact {
     // the data — the manifest's batchValue re-exposes it at read time
     val srcDf = spark.read.option("basePath", root)
       .parquet(shards.map(_._2.toString): _*).drop("batch")
-    val df = livePath match {
-      case Some(p) if liveFiles.nonEmpty =>
-        srcDf.unionByName(
-          spark.read.option("basePath", p.toString).parquet(p.toString))
-      case _ => srcDf
-    }
+    val df =
+      if (minor || liveFiles.isEmpty) srcDf
+      else livePaths.filter(p => filesUnder(p).nonEmpty)
+        .map(p => spark.read.option("basePath", p.toString).parquet(p.toString))
+        .foldLeft(srcDf)(_ unionByName _)
     val writer =
       if (nested.isEmpty) df.coalesce(nOut).write
       else df.repartition(nOut, nested.map(col): _*).write.partitionBy(nested: _*)
     writer.mode("overwrite").parquet(tmp.toString)
     crashpoint("staged")
-    val after = filesUnder(tmp).size
+    val newRunFiles = filesUnder(tmp).size
     val liveDir = new Path(rootP, ShardStore.liveDirName(gen))
     checkedRename(f, tmp, liveDir, ctx = "compactShards")
     crashpoint("swapped")
-    ShardStore.publish(f, rootP,
-      ShardStore.Manifest(gen, liveDir.getName, keepId))
+    val dirs =
+      if (minor) prior.toSeq.flatMap(_.dirs) :+ liveDir.getName
+      else Seq(liveDir.getName)
+    ShardStore.publish(f, rootP, ShardStore.Manifest(gen, dirs, keepId))
     crashpoint("published")
     ShardStore.heal(f, rootP, graceMs)
+    val after = if (minor) liveFiles.size + newRunFiles else newRunFiles
     Report(root, before, totalBytes, after)
   }
 

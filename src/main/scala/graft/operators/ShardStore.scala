@@ -63,9 +63,14 @@ import org.apache.spark.sql.types.StructType
 object ShardStore {
 
   /** The committed compaction state: rows of batches `<= batchValue`
-    * live (only) in `dir`; `batch=` dirs with larger ids are current.
+    * live (only) in the run directories `dirs`; `batch=` dirs with
+    * larger ids are current. A single-element `dirs` is the fully
+    * merged (major-compacted) layout; several elements are TIERED runs
+    * — each a minor pass's delta-sized consolidation (r13): minor
+    * compaction keeps maintenance cost proportional to the NEW shards
+    * instead of rewriting the whole standing index every pass.
     */
-  final case class Manifest(gen: Long, dir: String, batchValue: Long)
+  final case class Manifest(gen: Long, dirs: Seq[String], batchValue: Long)
 
   /** The declared schema [[read]] requires, built from a shard's DATA
     * schema: the layout contract (`batch BIGINT` partition column) in
@@ -112,8 +117,15 @@ object ShardStore {
       val kv = text.linesIterator.filter(_.contains("="))
         .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1).trim }
         .toMap
-      try Manifest(g, kv("dir"), kv("batchValue").toLong)
-      catch { case e: Exception => throw new java.io.IOException(
+      try {
+        // `dirs=` is the tiered form (comma-joined run names, r13);
+        // `dir=` is the pre-tiering single-run spelling, still accepted
+        // so standing indexes written by earlier code read unchanged
+        val dirs = kv.get("dirs").map(_.split(',').toSeq.filter(_.nonEmpty))
+          .orElse(kv.get("dir").map(Seq(_)))
+          .getOrElse(throw new NoSuchElementException("dirs"))
+        Manifest(g, dirs, kv("batchValue").toLong)
+      } catch { case e: Exception => throw new java.io.IOException(
         s"ShardStore: corrupt manifest ${manifestName(g)} under $root: '$text'", e) }
     }
   }
@@ -140,7 +152,8 @@ object ShardStore {
     val tmp = new Path(root, manifestName(m.gen) + ".tmp")
     val out = f.create(tmp, true)
     try out.write(
-      s"gen=${m.gen}\ndir=${m.dir}\nbatchValue=${m.batchValue}\n".getBytes("UTF-8"))
+      s"gen=${m.gen}\ndirs=${m.dirs.mkString(",")}\nbatchValue=${m.batchValue}\n"
+        .getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(root, manifestName(m.gen))
     if (!f.rename(tmp, fin))
@@ -195,7 +208,7 @@ object ShardStore {
         case ManifestRe(g) =>
           n.endsWith(".tmp") || (expired && m.exists(_.gen > g.toLong))
         case LiveRe(g) =>
-          !m.exists(_.dir == n) &&
+          !m.exists(_.dirs.contains(n)) &&
             // gen beyond the manifest = crashed orphan, never published,
             // no reader ever saw it; at/below = superseded, grace-gated
             (m.forall(g.toLong > _.gen) || expired)
@@ -229,13 +242,18 @@ object ShardStore {
       parts += spark.read.option("basePath", root).schema(schema)
         .parquet(shardPaths: _*)
     m.foreach { man =>
-      val live = new Path(rootP, man.dir)
-      // a crash between live-dir rename and manifest publish leaves the
-      // dir unreferenced (handled above); referenced-but-absent would
-      // mean external deletion — let the read fail loudly in that case
-      parts += spark.read.option("basePath", live.toString).schema(dataSchema)
-        .parquet(live.toString)
-        .withColumn("batch", lit(man.batchValue).cast(schema("batch").dataType))
+      man.dirs.foreach { d =>
+        val live = new Path(rootP, d)
+        // a crash between live-dir rename and manifest publish leaves
+        // the dir unreferenced (handled above); referenced-but-absent
+        // would mean external deletion — let the read fail loudly then.
+        // Every run carries batch = batchValue: consolidated ids are
+        // all behind the watermark, which is the only property the
+        // downstream batch-column logic needs
+        parts += spark.read.option("basePath", live.toString).schema(dataSchema)
+          .parquet(live.toString)
+          .withColumn("batch", lit(man.batchValue).cast(schema("batch").dataType))
+      }
     }
     val ps = parts.result()
     if (ps.isEmpty)

@@ -211,7 +211,8 @@ class PropertiesSpec extends SparkSuite {
 
     sealed trait ShardOp
     case class Append(vs: List[Long]) extends ShardOp
-    case class CompactAt(failAt: String, coverAll: Boolean) extends ShardOp
+    case class CompactAt(failAt: String, coverAll: Boolean,
+                         minor: Boolean) extends ShardOp
     case object Heal extends ShardOp
     case object Replay extends ShardOp
 
@@ -219,6 +220,7 @@ class PropertiesSpec extends SparkSuite {
       4 -> Gen.resize(4, Gen.listOf(Gen.choose(0L, 99L))).map(Append.apply),
       4 -> Gen.zip(
         Gen.oneOf("", "", "staged", "swapped", "published"),
+        Gen.oneOf(true, false),
         Gen.oneOf(true, false)).map((CompactAt.apply _).tupled),
       1 -> Gen.const(Heal),
       2 -> Gen.const(Replay))
@@ -243,12 +245,13 @@ class PropertiesSpec extends SparkSuite {
           op match {
             case Append(vs) =>
               appended(nextId) = vs; writeBatch(nextId, vs); nextId += 1
-            case CompactAt(failAt, coverAll) =>
+            case CompactAt(failAt, coverAll, minor) =>
               // a sink compacts only batches its checkpoint has
-              // committed; `coverAll=false` leaves the newest one out
+              // committed; `coverAll=false` leaves the newest one out;
+              // minor passes stack tiered runs instead of merging
               val upTo = if (coverAll) Long.MaxValue else nextId - 2
               try Compact.compactShardsImpl(spark, root, targetBytes = 1L << 30,
-                nested = Nil, upTo = upTo, failAt = failAt)
+                nested = Nil, upTo = upTo, failAt = failAt, minor = minor)
               catch { case _: Compact.CompactCrash => () }
             case Heal => ShardStore.heal(f, rootP)
             case Replay =>

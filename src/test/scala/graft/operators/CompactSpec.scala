@@ -244,6 +244,62 @@ class CompactSpec extends SparkSuite {
     }
   }
 
+  test("tiered compaction: minor passes are delta-sized runs, major merges them; reads identical") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v BIGINT, band STRING, batch BIGINT")
+    val root = Files.createTempDirectory("compact_tiered").toString
+    def writeBatch(b: Int): Unit =
+      (0 until 40).map(i => (b * 100L + i, i.toLong, (i % 4).toString))
+        .toDF("id", "v", "band")
+        .write.mode("overwrite").partitionBy("band").parquet(s"$root/batch=$b")
+    def readAll(): Seq[String] =
+      ShardStore.read(spark, root, schema).drop("batch")
+        .collect().map(_.toString).sorted.toSeq
+    def names() = new java.io.File(root).listFiles().map(_.getName).toSet
+
+    (0 until 3).foreach(writeBatch)
+    val want3 = readAll()
+    // first minor pass: 3 shards -> 1 run
+    Compact.compactShards(spark, root, targetBytes = 1L << 30,
+      nested = Seq("band"), minor = true)
+    assert(!names().exists(_.startsWith("batch=")))
+    assert(names().count(_.startsWith("_compact_live_g")) == 1)
+    assert(readAll() == want3)
+
+    // second minor pass consolidates only the NEW shards: a second run
+    // appears and the first run's directory is untouched (delta-sized
+    // maintenance — the standing index is not rewritten)
+    val run1 = names().filter(_.startsWith("_compact_live_g"))
+    val run1Mtime = new java.io.File(root, run1.head).lastModified()
+    (3 until 6).foreach(writeBatch)
+    val want6 = readAll()
+    Compact.compactShards(spark, root, targetBytes = 1L << 30,
+      nested = Seq("band"), minor = true)
+    assert(names().count(_.startsWith("_compact_live_g")) == 2)
+    assert(names().intersect(run1) == run1)
+    assert(new java.io.File(root, run1.head).lastModified() == run1Mtime)
+    assert(readAll() == want6)
+
+    // replay contract still holds across runs: a compacted id rewriting
+    // its shard would be excluded by the manifest cut (simulate one)
+    writeBatch(2)
+    assert(readAll() == want6)
+    ShardStore.heal(ShardStore.fs(spark, root),
+      new org.apache.hadoop.fs.Path(root))
+    assert(!names().exists(_.startsWith("batch=")))
+
+    // major pass merges both runs (+ any new shards) into one
+    (6 until 8).foreach(writeBatch)
+    val want8 = readAll()
+    Compact.compactShards(spark, root, targetBytes = 1L << 30,
+      nested = Seq("band"))
+    assert(names().count(_.startsWith("_compact_live_g")) == 1)
+    assert(names().count(n => n.startsWith("_compact_manifest_g")
+      && !n.endsWith(".tmp")) == 1)
+    assert(readAll() == want8)
+  }
+
   test("grace-window GC: a probe planned before compaction survives it; zero grace fails it") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
