@@ -242,22 +242,26 @@ object Compact {
     * the manifest's run list — cost proportional to the DELTA, standing
     * runs untouched. The default (`minor = false`, major) merges the
     * standing runs and the shards into a single run — the full rewrite,
-    * paid rarely. A continuously-fed 100 TB index runs minor per
-    * O(100) accumulated shards and major only when the run count
-    * itself becomes the listing cost (the LSM schedule); probing is
+    * paid rarely. `maxRuns` closes the schedule: a minor pass that
+    * would push the run count past it escalates to major for that one
+    * pass, so a caller can run `minor = true, maxRuns = N` on a fixed
+    * cadence and get the whole LSM policy — delta-priced passes with a
+    * periodic amortized merge — from one call site. Probing is
     * identical either way ([[ShardStore.read]] unions runs + shards).
     */
   def compactShards(spark: SparkSession, root: String, targetBytes: Long,
                     nested: Seq[String] = Nil,
                     upTo: Long = Long.MaxValue,
                     graceMs: Long = 0L,
-                    minor: Boolean = false): Report =
+                    minor: Boolean = false,
+                    maxRuns: Int = Int.MaxValue): Report =
     compactShardsImpl(spark, root, targetBytes, nested, upTo, failAt = "",
-      graceMs = graceMs, minor = minor)
+      graceMs = graceMs, minor = minor, maxRuns = maxRuns)
 
   private[graft] def compactShardsImpl(spark: SparkSession, root: String,
       targetBytes: Long, nested: Seq[String], upTo: Long,
-      failAt: String, graceMs: Long = 0L, minor: Boolean = false): Report = {
+      failAt: String, graceMs: Long = 0L, minor: Boolean = false,
+      maxRuns: Int = Int.MaxValue): Report = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, root)
     val rootP = new Path(root)
@@ -308,8 +312,12 @@ object Compact {
     // minor: rewrite ONLY the selected shards into a NEW run, standing
     // runs untouched — maintenance cost tracks the delta. major
     // (default): merge standing runs + shards into one run — the full
-    // rewrite, paid rarely (the LSM split, r13)
-    val rewriteBytes = if (minor) srcFiles.sum else totalBytes
+    // rewrite, paid rarely (the LSM split, r13). A minor pass that
+    // would exceed maxRuns escalates to major — the periodic merge of
+    // the LSM schedule, decided here so callers keep one call site
+    val doMinor =
+      minor && prior.toSeq.flatMap(_.dirs).size + 1 <= maxRuns
+    val rewriteBytes = if (doMinor) srcFiles.sum else totalBytes
     val nOut = planFileCount(rewriteBytes, targetBytes)
     val tmp = new Path(rootP, "_compact_tmp")
     f.delete(tmp, true)
@@ -319,7 +327,7 @@ object Compact {
     val srcDf = spark.read.option("basePath", root)
       .parquet(shards.map(_._2.toString): _*).drop("batch")
     val df =
-      if (minor || liveFiles.isEmpty) srcDf
+      if (doMinor || liveFiles.isEmpty) srcDf
       else livePaths.filter(p => filesUnder(p).nonEmpty)
         .map(p => spark.read.option("basePath", p.toString).parquet(p.toString))
         .foldLeft(srcDf)(_ unionByName _)
@@ -333,12 +341,12 @@ object Compact {
     checkedRename(f, tmp, liveDir, ctx = "compactShards")
     crashpoint("swapped")
     val dirs =
-      if (minor) prior.toSeq.flatMap(_.dirs) :+ liveDir.getName
+      if (doMinor) prior.toSeq.flatMap(_.dirs) :+ liveDir.getName
       else Seq(liveDir.getName)
     ShardStore.publish(f, rootP, ShardStore.Manifest(gen, dirs, keepId))
     crashpoint("published")
     ShardStore.heal(f, rootP, graceMs)
-    val after = if (minor) liveFiles.size + newRunFiles else newRunFiles
+    val after = if (doMinor) liveFiles.size + newRunFiles else newRunFiles
     Report(root, before, totalBytes, after)
   }
 

@@ -289,15 +289,25 @@ class CompactSpec extends SparkSuite {
       new org.apache.hadoop.fs.Path(root))
     assert(!names().exists(_.startsWith("batch=")))
 
-    // major pass merges both runs (+ any new shards) into one
+    // a minor pass that would exceed maxRuns escalates to major — the
+    // LSM schedule from one call site: 2 standing runs + 1 more would
+    // be 3 > maxRuns=2, so this pass merges everything into one run
     (6 until 8).foreach(writeBatch)
     val want8 = readAll()
     Compact.compactShards(spark, root, targetBytes = 1L << 30,
-      nested = Seq("band"))
+      nested = Seq("band"), minor = true, maxRuns = 2)
     assert(names().count(_.startsWith("_compact_live_g")) == 1)
     assert(names().count(n => n.startsWith("_compact_manifest_g")
       && !n.endsWith(".tmp")) == 1)
     assert(readAll() == want8)
+
+    // and a plain major pass keeps working over the merged layout
+    (8 until 9).foreach(writeBatch)
+    val want9 = readAll()
+    Compact.compactShards(spark, root, targetBytes = 1L << 30,
+      nested = Seq("band"))
+    assert(names().count(_.startsWith("_compact_live_g")) == 1)
+    assert(readAll() == want9)
   }
 
   test("grace-window GC: a probe planned before compaction survives it; zero grace fails it") {
