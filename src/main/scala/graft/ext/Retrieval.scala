@@ -202,12 +202,14 @@ object Retrieval {
       indexPath: String, targetBytes: Long = 128L << 20,
       upTo: Long = Long.MaxValue,
       graceMs: Long = 0L,
-      minor: Boolean = false): Seq[graft.operators.Compact.Report] = Seq(
+      minor: Boolean = false,
+      maxRuns: Int = Int.MaxValue): Seq[graft.operators.Compact.Report] = Seq(
     graft.operators.Compact.compactShards(spark, s"$indexPath/postings",
       targetBytes, nested = Seq("tok_band"), upTo = upTo, graceMs = graceMs,
-      minor = minor),
+      minor = minor, maxRuns = maxRuns),
     graft.operators.Compact.compactShards(spark, s"$indexPath/doclen",
-      targetBytes, upTo = upTo, graceMs = graceMs, minor = minor))
+      targetBytes, upTo = upTo, graceMs = graceMs, minor = minor,
+      maxRuns = maxRuns))
 
   /** Probe the stream-maintained index: identical results to
     * [[bm25TopK]] over every document any shard has indexed (parity

@@ -342,10 +342,11 @@ object Similarity {
       indexPath: String, targetBytes: Long = 128L << 20,
       upTo: Long = Long.MaxValue,
       graceMs: Long = 0L,
-      minor: Boolean = false): graft.operators.Compact.Report =
+      minor: Boolean = false,
+      maxRuns: Int = Int.MaxValue): graft.operators.Compact.Report =
     graft.operators.Compact.compactShards(spark, s"$indexPath/lists",
       targetBytes, nested = Seq("cluster_id"), upTo = upTo, graceMs = graceMs,
-      minor = minor)
+      minor = minor, maxRuns = maxRuns)
 
   /** Shared drain harness for the streaming-ANN chains (t13/t14): 3-way
     * embedding file-stream → AvailableNow drain through `sink` — ONE
@@ -863,10 +864,11 @@ object Similarity {
       indexPath: String, targetBytes: Long = 128L << 20,
       upTo: Long = Long.MaxValue,
       graceMs: Long = 0L,
-      minor: Boolean = false): graft.operators.Compact.Report =
+      minor: Boolean = false,
+      maxRuns: Int = Int.MaxValue): graft.operators.Compact.Report =
     graft.operators.Compact.compactShards(spark, s"$indexPath/codes",
       targetBytes, nested = Seq("coarse_id"), upTo = upTo, graceMs = graceMs,
-      minor = minor)
+      minor = minor, maxRuns = maxRuns)
 
   /** The whole IVF-PQ chain drained end-to-end (the
     * `t14_streaming_ivfpq` driver query): standing model trained once →

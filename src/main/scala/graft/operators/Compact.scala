@@ -284,53 +284,74 @@ object Compact {
     val cut = prior.map(_.batchValue).getOrElse(Long.MinValue)
     val shards = ShardStore.batchShards(f, rootP)
       .filter { case (id, _) => id > cut && id <= upTo }
-    val livePaths = prior.toSeq.flatMap(_.dirs).map(new Path(rootP, _))
-    val liveFiles = livePaths.flatMap(filesUnder)
+    val priorDirs = prior.toSeq.flatMap(_.dirs)
+    // each standing run listed exactly ONCE — the listing is the
+    // metadata cost this operator's design notes price, so it is not
+    // paid twice (sizing + union filter reuse this map)
+    val runFiles: Map[Path, Seq[Long]] = priorDirs
+      .map(d => { val p = new Path(rootP, d); p -> filesUnder(p) }).toMap
+    val liveFiles = runFiles.values.flatten.toSeq
     val srcFiles = shards.flatMap { case (_, p) => filesUnder(p) }
     val before = liveFiles.size + srcFiles.size
     val totalBytes = (liveFiles ++ srcFiles).sum
-    // nothing newly coverable — or a bare single shard with no standing
-    // live dir, which is already one directory (the pre-manifest no-op)
-    if (shards.isEmpty || (prior.isEmpty && shards.size <= 1))
-      return Report(root, before, totalBytes, before)
-    val gen = ShardStore.nextGen(f, rootP)
-    val keepId = math.max(cut, shards.last._1)
-    if (srcFiles.isEmpty) {
-      // the selected shards hold zero data files (every as-of batch
-      // writes a right shard, clicks or not): nothing to rewrite, so
-      // supersede them by manifest alone — re-pointing at the standing
-      // live dir, or an empty one when no compaction ever ran
-      val dirNames = prior.map(_.dirs).getOrElse {
-        val d = ShardStore.liveDirName(gen)
-        f.mkdirs(new Path(rootP, d))
-        Seq(d)
-      }
-      ShardStore.publish(f, rootP, ShardStore.Manifest(gen, dirNames, keepId))
-      ShardStore.heal(f, rootP, graceMs)
-      return Report(root, before, totalBytes, liveFiles.size)
-    }
     // minor: rewrite ONLY the selected shards into a NEW run, standing
     // runs untouched — maintenance cost tracks the delta. major
     // (default): merge standing runs + shards into one run — the full
     // rewrite, paid rarely (the LSM split, r13). A minor pass that
     // would exceed maxRuns escalates to major — the periodic merge of
     // the LSM schedule, decided here so callers keep one call site
-    val doMinor =
-      minor && prior.toSeq.flatMap(_.dirs).size + 1 <= maxRuns
+    val doMinor = minor && priorDirs.size + 1 <= maxRuns
+    // a major pass with multiple standing runs has merge work even
+    // with NO new shards — the drained-then-consolidate ending of a
+    // tiered schedule (r13 review: the early return made stacked runs
+    // permanently uncollapsible once the stream stopped appending)
+    val wantRunMerge = !doMinor && priorDirs.size > 1
+    // nothing newly coverable and no runs to merge — or a bare single
+    // shard with no standing live dir, which is already one directory
+    // (the pre-manifest no-op)
+    if ((shards.isEmpty && !wantRunMerge) || (prior.isEmpty && shards.size <= 1))
+      return Report(root, before, totalBytes, before)
+    val gen = ShardStore.nextGen(f, rootP)
+    val keepId = shards.lastOption.map(s => math.max(cut, s._1)).getOrElse(cut)
+    if (srcFiles.isEmpty && (liveFiles.isEmpty || !wantRunMerge)) {
+      // nothing to rewrite: the selected shards hold zero data files
+      // (every as-of batch writes a right shard, clicks or not) and
+      // either the runs are empty too or they are to be kept as-is —
+      // supersede by manifest alone. A major pass over all-empty runs
+      // collapses them to ONE empty dir (no data to move); otherwise
+      // the standing runs re-point unchanged, or a fresh empty dir
+      // stands in when no compaction ever ran
+      val dirNames =
+        if (wantRunMerge || prior.isEmpty) {
+          val d = ShardStore.liveDirName(gen)
+          f.mkdirs(new Path(rootP, d))
+          Seq(d)
+        } else priorDirs
+      ShardStore.publish(f, rootP, ShardStore.Manifest(gen, dirNames, keepId))
+      ShardStore.heal(f, rootP, graceMs)
+      return Report(root, before, totalBytes,
+        if (wantRunMerge || prior.isEmpty) 0 else liveFiles.size)
+    }
     val rewriteBytes = if (doMinor) srcFiles.sum else totalBytes
     val nOut = planFileCount(rewriteBytes, targetBytes)
     val tmp = new Path(rootP, "_compact_tmp")
     f.delete(tmp, true)
     // basePath keeps nested partition discovery consistent across the
     // selected shard paths; the discovered batch column is dropped from
-    // the data — the manifest's batchValue re-exposes it at read time
-    val srcDf = spark.read.option("basePath", root)
-      .parquet(shards.map(_._2.toString): _*).drop("batch")
-    val df =
-      if (doMinor || liveFiles.isEmpty) srcDf
-      else livePaths.filter(p => filesUnder(p).nonEmpty)
-        .map(p => spark.read.option("basePath", p.toString).parquet(p.toString))
-        .foldLeft(srcDf)(_ unionByName _)
+    // the data — the manifest's batchValue re-exposes it at read time.
+    // A runs-only merge reads the runs alone — keyed on srcFILES, not
+    // shard dirs: data-file-free shard dirs (the as-of click-free
+    // case) would fail schema inference and contribute nothing; the
+    // manifest cut still supersedes them
+    val srcDfOpt =
+      if (srcFiles.isEmpty) None
+      else Some(spark.read.option("basePath", root)
+        .parquet(shards.map(_._2.toString): _*).drop("batch"))
+    val runDfs =
+      if (doMinor) Nil
+      else runFiles.collect { case (p, fls) if fls.nonEmpty =>
+        spark.read.option("basePath", p.toString).parquet(p.toString) }.toSeq
+    val df = (srcDfOpt.toSeq ++ runDfs).reduce(_ unionByName _)
     val writer =
       if (nested.isEmpty) df.coalesce(nOut).write
       else df.repartition(nOut, nested.map(col): _*).write.partitionBy(nested: _*)
@@ -341,7 +362,7 @@ object Compact {
     checkedRename(f, tmp, liveDir, ctx = "compactShards")
     crashpoint("swapped")
     val dirs =
-      if (doMinor) prior.toSeq.flatMap(_.dirs) :+ liveDir.getName
+      if (doMinor) priorDirs :+ liveDir.getName
       else Seq(liveDir.getName)
     ShardStore.publish(f, rootP, ShardStore.Manifest(gen, dirs, keepId))
     crashpoint("published")

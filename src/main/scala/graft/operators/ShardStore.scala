@@ -124,6 +124,10 @@ object ShardStore {
         val dirs = kv.get("dirs").map(_.split(',').toSeq.filter(_.nonEmpty))
           .orElse(kv.get("dir").map(Seq(_)))
           .getOrElse(throw new NoSuchElementException("dirs"))
+        // an empty run list is corruption, not "no runs": a manifest
+        // always names at least one live dir, and accepting Seq() here
+        // would silently drop every superseded shard's rows from reads
+        if (dirs.isEmpty) throw new NoSuchElementException("dirs is empty")
         Manifest(g, dirs, kv("batchValue").toLong)
       } catch { case e: Exception => throw new java.io.IOException(
         s"ShardStore: corrupt manifest ${manifestName(g)} under $root: '$text'", e) }

@@ -310,6 +310,56 @@ class CompactSpec extends SparkSuite {
     assert(readAll() == want9)
   }
 
+  test("major pass with NO new shards still merges stacked runs (drained-stream ending)") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, batch BIGINT")
+    val root = Files.createTempDirectory("compact_runsonly").toString
+    def writeBatch(b: Int): Unit =
+      (0 until 20).map(i => b * 100L + i).toDF("id")
+        .write.mode("overwrite").parquet(s"$root/batch=$b")
+    def readAll() = ShardStore.read(spark, root, schema).drop("batch")
+      .collect().map(_.toString).sorted.toSeq
+    def runs() = new java.io.File(root).listFiles()
+      .map(_.getName).count(_.startsWith("_compact_live_g"))
+    // stack two runs, then the stream stops: no new shards ever again
+    (0 until 2).foreach(writeBatch)
+    Compact.compactShards(spark, root, targetBytes = 1L << 30, minor = true)
+    (2 until 4).foreach(writeBatch)
+    Compact.compactShards(spark, root, targetBytes = 1L << 30, minor = true)
+    assert(runs() == 2)
+    val want = readAll()
+    // minor with nothing new: no-op (nothing to fold, runs kept)
+    Compact.compactShards(spark, root, targetBytes = 1L << 30, minor = true)
+    assert(runs() == 2 && readAll() == want)
+    // major with nothing new: the runs still merge (this was the
+    // r13-review gap — stacked runs were uncollapsible once appends
+    // stopped)
+    Compact.compactShards(spark, root, targetBytes = 1L << 30)
+    assert(runs() == 1)
+    assert(readAll() == want)
+    // idempotent afterwards
+    Compact.compactShards(spark, root, targetBytes = 1L << 30)
+    assert(runs() == 1 && readAll() == want)
+  }
+
+  test("a manifest with an empty run list is corruption: reads throw, never drop rows") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, batch BIGINT")
+    val root = Files.createTempDirectory("compact_corrupt").toString
+    Seq(1L, 2L).toDF("id").write.parquet(s"$root/batch=0")
+    // externally truncated manifest: names no run but covers batch 0 —
+    // accepting it would silently drop batch 0's rows from every read
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_compact_manifest_g1"),
+      "gen=1\ndirs=\nbatchValue=0\n".getBytes("UTF-8"))
+    val e = intercept[java.io.IOException] {
+      ShardStore.read(spark, root, schema).count()
+    }
+    assert(e.getMessage.contains("corrupt manifest"))
+  }
+
   test("grace-window GC: a probe planned before compaction survives it; zero grace fails it") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
