@@ -203,7 +203,7 @@ object Retrieval {
       upTo: Long = Long.MaxValue,
       graceMs: Long = 0L,
       minor: Boolean = false,
-      maxRuns: Int = Int.MaxValue): Seq[graft.operators.Compact.Report] = Seq(
+      maxRuns: Int = graft.operators.Compact.DefaultMaxRuns): Seq[graft.operators.Compact.Report] = Seq(
     graft.operators.Compact.compactShards(spark, s"$indexPath/postings",
       targetBytes, nested = Seq("tok_band"), upTo = upTo, graceMs = graceMs,
       minor = minor, maxRuns = maxRuns),

@@ -343,7 +343,7 @@ object Similarity {
       upTo: Long = Long.MaxValue,
       graceMs: Long = 0L,
       minor: Boolean = false,
-      maxRuns: Int = Int.MaxValue): graft.operators.Compact.Report =
+      maxRuns: Int = graft.operators.Compact.DefaultMaxRuns): graft.operators.Compact.Report =
     graft.operators.Compact.compactShards(spark, s"$indexPath/lists",
       targetBytes, nested = Seq("cluster_id"), upTo = upTo, graceMs = graceMs,
       minor = minor, maxRuns = maxRuns)
@@ -865,7 +865,7 @@ object Similarity {
       upTo: Long = Long.MaxValue,
       graceMs: Long = 0L,
       minor: Boolean = false,
-      maxRuns: Int = Int.MaxValue): graft.operators.Compact.Report =
+      maxRuns: Int = graft.operators.Compact.DefaultMaxRuns): graft.operators.Compact.Report =
     graft.operators.Compact.compactShards(spark, s"$indexPath/codes",
       targetBytes, nested = Seq("coarse_id"), upTo = upTo, graceMs = graceMs,
       minor = minor, maxRuns = maxRuns)

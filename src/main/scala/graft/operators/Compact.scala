@@ -247,27 +247,51 @@ object Compact {
     * pass, so a caller can run `minor = true, maxRuns = N` on a fixed
     * cadence and get the whole LSM policy — delta-priced passes with a
     * periodic amortized merge — from one call site. Probing is
-    * identical either way ([[ShardStore.read]] unions runs + shards).
+    * identical either way ([[ShardStore.read]] unions runs + shards),
+    * though its plan grows with run count — hence a FINITE default
+    * `maxRuns` (r13 ADVICE: unbounded stacking was the default shape):
+    * a minor-only call site degrades to periodic majors instead of
+    * accumulating runs without limit.
+    *
+    * SINGLE-WRITER, ENFORCED (r14, r13 VERDICT #1): the pass holds the
+    * [[ShardStore.claimCompactor]] `_compact_lock` for its whole
+    * duration — a concurrent pass on the same root throws instead of
+    * colliding on the generation. A claim older than `lockTtlMs` is a
+    * crashed pass's and is broken; size it beyond the longest plausible
+    * pass.
     */
   def compactShards(spark: SparkSession, root: String, targetBytes: Long,
                     nested: Seq[String] = Nil,
                     upTo: Long = Long.MaxValue,
                     graceMs: Long = 0L,
                     minor: Boolean = false,
-                    maxRuns: Int = Int.MaxValue): Report =
+                    maxRuns: Int = DefaultMaxRuns,
+                    lockTtlMs: Long = DefaultLockTtlMs): Report =
     compactShardsImpl(spark, root, targetBytes, nested, upTo, failAt = "",
-      graceMs = graceMs, minor = minor, maxRuns = maxRuns)
+      graceMs = graceMs, minor = minor, maxRuns = maxRuns,
+      lockTtlMs = lockTtlMs)
+
+  /** Default minor-run bound — typical LSM fan-out; TieredCompactProbe
+    * (SCALE.md r14) prices probe latency vs run count behind it.
+    */
+  val DefaultMaxRuns = 8
+
+  /** Default stale-claim TTL: generous vs any observed pass. */
+  val DefaultLockTtlMs: Long = 30L * 60 * 1000
 
   private[graft] def compactShardsImpl(spark: SparkSession, root: String,
       targetBytes: Long, nested: Seq[String], upTo: Long,
       failAt: String, graceMs: Long = 0L, minor: Boolean = false,
-      maxRuns: Int = Int.MaxValue): Report = {
+      maxRuns: Int = DefaultMaxRuns,
+      lockTtlMs: Long = DefaultLockTtlMs): Report = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, root)
     val rootP = new Path(root)
     def crashpoint(at: String): Unit =
       if (failAt == at) throw new CompactCrash(at)
     if (!f.exists(rootP)) return Report(root, 0, 0L, 0)
+    val lock = ShardStore.claimCompactor(f, rootP, lockTtlMs)
+    try {
     // complete/garbage-collect any crashed predecessor before planning
     ShardStore.heal(f, rootP, graceMs)
     def filesUnder(dir: Path): Seq[Long] = {
@@ -369,6 +393,9 @@ object Compact {
     ShardStore.heal(f, rootP, graceMs)
     val after = if (doMinor) liveFiles.size + newRunFiles else newRunFiles
     Report(root, before, totalBytes, after)
+    // release even on failure/crash-injection: the process is alive, so
+    // the pass is over; a REAL crash leaves the claim for the TTL break
+    } finally ShardStore.releaseCompactor(f, lock)
   }
 
   /** Compact every leaf partition of a hive-partitioned root (any

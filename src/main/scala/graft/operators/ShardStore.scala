@@ -59,6 +59,16 @@ import org.apache.spark.sql.types.StructType
   * (offline maintenance, the AvailableNow drain tail) cleanup is
   * immediate and a concurrent reader can hit a missing file mid-scan —
   * CompactSpec pins both behaviors.
+  *
+  * Compaction itself is SINGLE-WRITER per root, and since r14 that is
+  * ENFORCED, not assumed: [[Compact.compactShards]] claims an exclusive
+  * `_compact_lock` ([[claimCompactor]]) for the whole pass — a second
+  * concurrent pass fails loudly instead of colliding on [[nextGen]]
+  * (nested live-dir renames, overwritten manifests, a sibling [[heal]]
+  * deleting a swapped-but-unpublished live dir). The reference's own
+  * posture is serialized runs (`max_active_runs=1`,
+  * dags/01_openaq_ingestion.py:46); the lock makes violating it an
+  * error instead of corruption.
   */
 object ShardStore {
 
@@ -100,38 +110,41 @@ object ShardStore {
         .map(_ -> s.getPath))
       .sortBy(_._1)
 
-  /** The highest-generation committed manifest. A manifest that exists
-    * but cannot be parsed is CORRUPTION and throws — treating it as
-    * absent would resurface superseded shards as duplicate rows.
+  /** Parse one committed manifest file. A manifest that exists but
+    * cannot be parsed is CORRUPTION and throws — treating it as absent
+    * would resurface superseded shards as duplicate rows.
     */
+  private def parseManifest(f: FileSystem, root: Path, gen: Long): Manifest = {
+    val in = f.open(new Path(root, manifestName(gen)))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val kv = text.linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1).trim }
+      .toMap
+    try {
+      // `dirs=` is the tiered form (comma-joined run names, r13);
+      // `dir=` is the pre-tiering single-run spelling, still accepted
+      // so standing indexes written by earlier code read unchanged
+      val dirs = kv.get("dirs").map(_.split(',').toSeq.filter(_.nonEmpty))
+        .orElse(kv.get("dir").map(Seq(_)))
+        .getOrElse(throw new NoSuchElementException("dirs"))
+      // an empty run list is corruption, not "no runs": a manifest
+      // always names at least one live dir, and accepting Seq() here
+      // would silently drop every superseded shard's rows from reads
+      if (dirs.isEmpty) throw new NoSuchElementException("dirs is empty")
+      Manifest(gen, dirs, kv("batchValue").toLong)
+    } catch { case e: Exception => throw new java.io.IOException(
+      s"ShardStore: corrupt manifest ${manifestName(gen)} under $root: '$text'", e) }
+  }
+
+  /** The highest-generation committed manifest. */
   def currentManifest(f: FileSystem, root: Path): Option[Manifest] = {
     if (!f.exists(root)) return None
     val gens = f.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
       case ManifestRe(g) => Some(g.toLong)
       case _             => None
     })
-    gens.maxOption.map { g =>
-      val in = f.open(new Path(root, manifestName(g)))
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                 finally in.close()
-      val kv = text.linesIterator.filter(_.contains("="))
-        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1).trim }
-        .toMap
-      try {
-        // `dirs=` is the tiered form (comma-joined run names, r13);
-        // `dir=` is the pre-tiering single-run spelling, still accepted
-        // so standing indexes written by earlier code read unchanged
-        val dirs = kv.get("dirs").map(_.split(',').toSeq.filter(_.nonEmpty))
-          .orElse(kv.get("dir").map(Seq(_)))
-          .getOrElse(throw new NoSuchElementException("dirs"))
-        // an empty run list is corruption, not "no runs": a manifest
-        // always names at least one live dir, and accepting Seq() here
-        // would silently drop every superseded shard's rows from reads
-        if (dirs.isEmpty) throw new NoSuchElementException("dirs is empty")
-        Manifest(g, dirs, kv("batchValue").toLong)
-      } catch { case e: Exception => throw new java.io.IOException(
-        s"ShardStore: corrupt manifest ${manifestName(g)} under $root: '$text'", e) }
-    }
+    gens.maxOption.map(parseManifest(f, root, _))
   }
 
   /** Next unused generation number: one past anything any artifact name
@@ -151,12 +164,20 @@ object ShardStore {
 
   /** Publish a manifest — the compaction COMMIT POINT: content staged
     * to a `.tmp` sidecar, then a single checked rename.
+    *
+    * Single-run manifests (the major-compacted common case) also carry
+    * the pre-tiering `dir=` spelling so a mixed-version reader fleet
+    * keeps working across a rolling upgrade (r13 ADVICE). A multi-run
+    * manifest has no old-reader spelling — stacked runs are a one-way
+    * upgrade: run a major pass before downgrading readers.
     */
   def publish(f: FileSystem, root: Path, m: Manifest): Unit = {
     val tmp = new Path(root, manifestName(m.gen) + ".tmp")
+    val compat = if (m.dirs.size == 1) s"dir=${m.dirs.head}\n" else ""
     val out = f.create(tmp, true)
     try out.write(
-      s"gen=${m.gen}\ndirs=${m.dirs.mkString(",")}\nbatchValue=${m.batchValue}\n"
+      (s"gen=${m.gen}\n" + compat +
+        s"dirs=${m.dirs.mkString(",")}\nbatchValue=${m.batchValue}\n")
         .getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(root, manifestName(m.gen))
@@ -164,6 +185,52 @@ object ShardStore {
       throw new java.io.IOException(
         s"ShardStore: manifest publish rename $tmp -> $fin failed")
   }
+
+  private val LockName = "_compact_lock"
+
+  /** Claim exclusive COMPACTOR ownership of `root` — the enforcement of
+    * the single-writer contract the whole manifest protocol assumes
+    * (r13 VERDICT #1): two concurrent passes would both take
+    * [[nextGen]] = g, nest their live-dir renames on local fs, and
+    * overwrite each other's manifest publish — and a sibling's [[heal]]
+    * would delete a first pass's swapped-but-unpublished live dir as an
+    * orphan. The claim is an exclusive `create(_, overwrite = false)`
+    * of a `_compact_lock` sidecar: atomic on HDFS and local fs (the
+    * stores this protocol targets). A live claim younger than `ttlMs`
+    * fails the pass LOUDLY; an older claim is a crashed compactor's
+    * (this process cannot block on it forever) — it is broken and
+    * re-claimed, so `ttlMs` must exceed the longest plausible pass.
+    * Release with [[releaseCompactor]] in a `finally`.
+    */
+  def claimCompactor(f: FileSystem, root: Path, ttlMs: Long): Path = {
+    val lock = new Path(root, LockName)
+    def attempt(): Boolean =
+      try {
+        val out = f.create(lock, false) // exclusive: throws if present
+        try out.write(s"claimedAt=${System.currentTimeMillis()}\n"
+          .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!attempt()) {
+      val age = try {
+        System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime
+      } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (age < ttlMs)
+        throw new java.io.IOException(
+          s"ShardStore: another compactor holds $lock (age ${age}ms < ttl " +
+            s"${ttlMs}ms) — concurrent compaction of one root is not " +
+            "supported; serialize passes or wait for the holder")
+      f.delete(lock, false) // stale claim: crashed compactor, break it
+      if (!attempt())
+        throw new java.io.IOException(
+          s"ShardStore: lost the race re-claiming stale lock $lock")
+    }
+    lock
+  }
+
+  def releaseCompactor(f: FileSystem, lock: Path): Unit =
+    f.delete(lock, false)
 
   /** Garbage-collect everything the current manifest supersedes plus
     * any artifact a crashed pass left behind: the staging dir, tmp
@@ -176,16 +243,30 @@ object ShardStore {
     * that planned its scan against the pre-publish listing (old
     * manifest + superseded shards) still holds references to those
     * paths, so deleting them at publish time fails that probe mid-scan.
-    * With `graceMs > 0`, reader-visible artifacts the CURRENT manifest
-    * supersedes (older `batch=` dirs, older live dirs, older manifests)
-    * are deleted only once the manifest file is at least `graceMs` old —
-    * i.e. every scan that began before the publish has had `graceMs` to
-    * finish against its consistent pre-publish snapshot (full rows, no
-    * duplicates: its plan predates the new live dir). Set it to the
-    * longest plausible probe scan. Never-reader-visible garbage (the
-    * `_compact_tmp` staging dir, `.tmp` manifests, orphan live dirs a
-    * crash left unpublished) is collected immediately regardless — no
-    * reader can hold a reference to an artifact no manifest ever named.
+    * With `graceMs > 0`, each reader-visible superseded artifact (older
+    * `batch=` dirs, older live dirs, older manifests) is deleted only
+    * once the manifest that FIRST superseded it is at least `graceMs`
+    * old — i.e. every scan that began before that publish has had
+    * `graceMs` to finish against its consistent pre-publish snapshot
+    * (full rows, no duplicates: its plan predates the new live dir).
+    * The clock is per-artifact (r13 ADVICE, medium): gating on the
+    * LATEST manifest's age would reset at every publish, so a pass
+    * cadence under `graceMs` — exactly the continuously-fed mode the
+    * grace window exists for — would never collect anything. The
+    * superseding manifest's mtime is read from the manifests retained
+    * during their own grace; if it was already collected, its grace
+    * elapsed ≥ `graceMs` ago and the artifact is collected too. Set
+    * `graceMs` to the longest plausible probe scan. Never-reader-visible
+    * garbage (the `_compact_tmp` staging dir, `.tmp` manifests, orphan
+    * live dirs a crash left unpublished) is collected immediately
+    * regardless — no reader can hold a reference to an artifact no
+    * manifest ever named.
+    *
+    * COMPACTOR-PRIVATE: heal decides "orphan vs superseded" from the
+    * current manifest, which is only safe while no other pass is
+    * between its live-dir swap and its publish — run it under the
+    * [[claimCompactor]] lock (as [[Compact.compactShards]] does) or
+    * with compaction quiescent.
     *
     * Clock caveat: expiry compares the CLIENT clock against the
     * STORE's manifest mtime, so client-store skew shifts the effective
@@ -198,31 +279,56 @@ object ShardStore {
     if (!f.exists(root)) return
     f.delete(new Path(root, "_compact_tmp"), true)
     val m = currentManifest(f, root)
-    // supersession age = age of the current manifest file (its publish
-    // was the moment anything it supersedes became unreachable to NEW
-    // readers); with no manifest nothing is superseded, only orphaned
-    val expired = graceMs <= 0L || m.exists { man =>
-      val st = f.getFileStatus(new Path(root, manifestName(man.gen)))
-      System.currentTimeMillis() - st.getModificationTime >= graceMs
-    }
+    val now = System.currentTimeMillis()
+    // every retained manifest, gen-ascending, with its publish mtime —
+    // the per-artifact supersession clocks. Only materialized when a
+    // grace window is in force (the offline default skips the reads)
+    val history: Seq[(Manifest, Long)] =
+      if (graceMs <= 0L || m.isEmpty) Nil
+      else f.listStatus(root).toSeq.flatMap { s =>
+        s.getPath.getName match {
+          case ManifestRe(g) =>
+            Some(parseManifest(f, root, g.toLong) -> s.getModificationTime)
+          case _ => None
+        }
+      }.sortBy(_._1.gen)
+    // an artifact's grace runs from the publish of the first manifest
+    // satisfying `supersededBy`; a missing superseder (already
+    // collected) means its own grace elapsed — the artifact's did too
+    def aged(supersededBy: Manifest => Boolean): Boolean =
+      graceMs <= 0L ||
+        history.collectFirst { case (man, t) if supersededBy(man) => t }
+          .forall(t => now - t >= graceMs)
     f.listStatus(root).foreach { s =>
       val n = s.getPath.getName
       val stale = n.stripSuffix(".tmp") match {
         case _ if !n.startsWith("_compact") => false
         case ManifestRe(g) =>
-          n.endsWith(".tmp") || (expired && m.exists(_.gen > g.toLong))
+          n.endsWith(".tmp") ||
+            (m.exists(_.gen > g.toLong) && aged(_.gen > g.toLong))
         case LiveRe(g) =>
-          !m.exists(_.dirs.contains(n)) &&
+          !m.exists(_.dirs.contains(n)) && {
             // gen beyond the manifest = crashed orphan, never published,
-            // no reader ever saw it; at/below = superseded, grace-gated
-            (m.forall(g.toLong > _.gen) || expired)
+            // no reader ever saw it → immediate (single-writer holds:
+            // heal runs under the compactor claim). At/below = was a
+            // published run: grace runs from the first manifest that
+            // dropped it (after the last one referencing it)
+            m.forall(g.toLong > _.gen) || {
+              val refs = history.collect {
+                case (man, _) if man.dirs.contains(n) => man.gen }
+              refs.isEmpty ||
+                aged(man => man.gen > refs.max && !man.dirs.contains(n))
+            }
+          }
         case _ => n == "_compact_tmp"
       }
       if (stale) f.delete(s.getPath, true)
     }
-    if (expired) m.foreach { man =>
+    m.foreach { man =>
       batchShards(f, root).foreach { case (id, p) =>
-        if (id <= man.batchValue) f.delete(p, true)
+        // grace runs from the first manifest whose cut covered this id
+        if (id <= man.batchValue && aged(_.batchValue >= id))
+          f.delete(p, true)
       }
     }
   }
@@ -232,6 +338,11 @@ object ShardStore {
     * including nested partition columns and `batch BIGINT` (the repo's
     * shard readers already do — declared schemas are what make empty
     * shards readable and schema drift loud). Missing root → typed empty.
+    *
+    * Plan size grows linearly with the manifest's RUN count (one scan
+    * relation per run dir, union-reduced) — fine at the intended O(few)
+    * stacked runs the compactor's `maxRuns` bounds, wrong at hundreds:
+    * keep `maxRuns` small (see [[Compact.compactShards]]).
     */
   def read(spark: SparkSession, root: String, schema: StructType): DataFrame = {
     val rootP = new Path(root)

@@ -6,6 +6,33 @@ import org.scalacheck.{Gen, Prop, Test => ScTest}
 import graft.functions.{Keys, Numeric}
 import graft.operators.{Dedup, Merge}
 
+/** Local filesystem whose Nth protocol-step rename RETURNS FALSE —
+  * Hadoop's failure contract for e.g. a lost object-store rename, the
+  * failure mode the flat-dir compactor's checked renames exist for.
+  * Only renames onto the protocol's own targets (the `_compact_commit`
+  * journal and `c<gen>-` swap-in files) count toward the index, so
+  * Spark's task-commit renames inside the staging dir are untouched.
+  * Registered under the `flaky://` scheme via `fs.flaky.impl`;
+  * configured through the companion (FileSystem instances are cached
+  * per scheme, so static state is the channel).
+  */
+class FlakyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (FlakyRenameFs.shouldFail(dst)) false else super.rename(src, dst)
+}
+object FlakyRenameFs {
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var failIndex: Int = -1
+  def arm(idx: Int): Unit = { counter.set(0); failIndex = idx }
+  def shouldFail(dst: org.apache.hadoop.fs.Path): Boolean = {
+    val n = dst.getName
+    val protocolStep = n == "_compact_commit" || n.matches("c\\d+-\\d+\\.parquet")
+    protocolStep && counter.getAndIncrement() == failIndex
+  }
+}
+
 /** Property-based invariants (SURVEY §5.4) — ScalaCheck generators drive
   * small DataFrames through the operators; 20 cases per property.
   */
@@ -215,6 +242,10 @@ class PropertiesSpec extends SparkSuite {
                          minor: Boolean) extends ShardOp
     case object Heal extends ShardOp
     case object Replay extends ShardOp
+    // a second compactor attempts a pass while one's claim is live:
+    // the single-writer enforcement (r13 VERDICT #1) must refuse it
+    // loudly and leave the store byte-identical
+    case object ContendedCompact extends ShardOp
 
     val opGen: Gen[ShardOp] = Gen.frequency(
       4 -> Gen.resize(4, Gen.listOf(Gen.choose(0L, 99L))).map(Append.apply),
@@ -223,7 +254,8 @@ class PropertiesSpec extends SparkSuite {
         Gen.oneOf(true, false),
         Gen.oneOf(true, false)).map((CompactAt.apply _).tupled),
       1 -> Gen.const(Heal),
-      2 -> Gen.const(Replay))
+      2 -> Gen.const(Replay),
+      1 -> Gen.const(ContendedCompact))
 
     val schedParams = ScTest.Parameters.default.withMinSuccessfulTests(100)
     test("ShardStore protocol: read = appended rows exactly once, under random " +
@@ -254,6 +286,18 @@ class PropertiesSpec extends SparkSuite {
                 nested = Nil, upTo = upTo, failAt = failAt, minor = minor)
               catch { case _: Compact.CompactCrash => () }
             case Heal => ShardStore.heal(f, rootP)
+            case ContendedCompact =>
+              val lock = new Path(root, "_compact_lock")
+              val out = f.create(lock, false)
+              out.close()
+              try {
+                val e = intercept[java.io.IOException] {
+                  Compact.compactShardsImpl(spark, root,
+                    targetBytes = 1L << 30, nested = Nil,
+                    upTo = Long.MaxValue, failAt = "")
+                }
+                assert(e.getMessage.contains("another compactor"))
+              } finally f.delete(lock, false)
             case Replay =>
               // the sink contract: a replayed batch id at/below the
               // manifest cut returns BEFORE writing its shard; above
@@ -301,6 +345,52 @@ class PropertiesSpec extends SparkSuite {
         }
       }
       val r = ScTest.check(flatParams, p)
+      assert(r.passed, r.status.toString)
+    }
+
+    // r13 VERDICT #6: the randomized flat-dir schedules above draw only
+    // CRASH points; this twin draws rename-RETURNS-FALSE at a random
+    // protocol step (journal publish or any c<gen>- swap-in) — the
+    // Hadoop failure mode the checked renames exist for. Invariant:
+    // the pass throws (never a false-success Report), no row is ever
+    // lost, and healDir on a healthy filesystem restores exactness.
+    test("flat-dir compaction: a rename failing at any protocol step throws, " +
+         "loses nothing, and heals exactly") {
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.flaky.impl", classOf[FlakyRenameFs].getName)
+      val p = Prop.forAll(Gen.choose(0, 4), Gen.choose(2, 6),
+        Gen.choose(2, 4)) { (failIdx, parts, outFiles) =>
+        val dir = java.nio.file.Files.createTempDirectory("flat_flaky").toString
+        val df = (0 until 60).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+          .repartition(parts)
+        df.write.mode("overwrite").parquet(dir)
+        def rows() = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+        val want = rows()
+        val bytes = new java.io.File(dir).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+        // target ~outFiles outputs so several swap-in renames exist;
+        // protocol renames = 1 journal publish + nOut swap-ins, so a
+        // failIdx beyond them exercises the pass-succeeds path too
+        val target = math.max(1L, bytes / outFiles)
+        FlakyRenameFs.arm(failIdx)
+        val threw =
+          try { Compact.compactDir(spark, s"flaky://$dir", target); false }
+          catch { case e: java.io.IOException =>
+            assert(e.getMessage.contains("rename")); true }
+        FlakyRenameFs.arm(-1)
+        // nothing lost at the failure point, whichever step it hit
+        rows().distinct == want.distinct && {
+          // a healthy-fs heal (or the no-op when the pass succeeded)
+          // restores the exact multiset
+          Compact.healDir(spark, dir)
+          rows() == want && (!threw || {
+            // and the next pass completes normally
+            Compact.compactDir(spark, dir, target)
+            rows() == want
+          })
+        }
+      }
+      val r = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), p)
       assert(r.passed, r.status.toString)
     }
   }
