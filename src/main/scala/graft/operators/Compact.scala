@@ -257,8 +257,10 @@ object Compact {
     * [[ShardStore.claimCompactor]] `_compact_lock` for its whole
     * duration — a concurrent pass on the same root throws instead of
     * colliding on the generation. A claim older than `lockTtlMs` is a
-    * crashed pass's and is broken; size it beyond the longest plausible
-    * pass.
+    * crashed pass's and is broken; a LIVE pass heartbeats its claim
+    * ([[ShardStore.startHeartbeat]]) so an over-TTL rewrite is never
+    * broken mid-pass — on a store without `setTimes`, size the TTL
+    * beyond the longest plausible pass instead.
     */
   def compactShards(spark: SparkSession, root: String, targetBytes: Long,
                     nested: Seq[String] = Nil,
@@ -291,6 +293,10 @@ object Compact {
       if (failAt == at) throw new CompactCrash(at)
     if (!f.exists(rootP)) return Report(root, 0, 0L, 0)
     val lock = ShardStore.claimCompactor(f, rootP, lockTtlMs)
+    // a pass longer than the TTL must not get its LIVE claim broken as
+    // stale: heartbeat the lock for the duration (real crash = owner
+    // stops heartbeating = TTL break stays correct)
+    val heartbeat = ShardStore.startHeartbeat(f, lock, lockTtlMs)
     try {
     // complete/garbage-collect any crashed predecessor before planning
     ShardStore.heal(f, rootP, graceMs)
@@ -395,7 +401,10 @@ object Compact {
     Report(root, before, totalBytes, after)
     // release even on failure/crash-injection: the process is alive, so
     // the pass is over; a REAL crash leaves the claim for the TTL break
-    } finally ShardStore.releaseCompactor(f, lock)
+    } finally {
+      heartbeat.cancel(false)
+      ShardStore.releaseCompactor(f, lock)
+    }
   }
 
   /** Compact every leaf partition of a hive-partitioned root (any

@@ -132,6 +132,10 @@ object ShardStore {
       // always names at least one live dir, and accepting Seq() here
       // would silently drop every superseded shard's rows from reads
       if (dirs.isEmpty) throw new NoSuchElementException("dirs is empty")
+      // a DUPLICATE run entry is corruption too — [[read]] unions the
+      // list as-is, so accepting it would silently double those rows
+      if (dirs.distinct.size != dirs.size)
+        throw new IllegalArgumentException(s"duplicate run in dirs: $dirs")
       Manifest(gen, dirs, kv("batchValue").toLong)
     } catch { case e: Exception => throw new java.io.IOException(
       s"ShardStore: corrupt manifest ${manifestName(gen)} under $root: '$text'", e) }
@@ -199,7 +203,9 @@ object ShardStore {
     * stores this protocol targets). A live claim younger than `ttlMs`
     * fails the pass LOUDLY; an older claim is a crashed compactor's
     * (this process cannot block on it forever) — it is broken and
-    * re-claimed, so `ttlMs` must exceed the longest plausible pass.
+    * re-claimed. A healthy holder keeps its claim younger than any TTL
+    * via [[startHeartbeat]]; without a heartbeat (stores lacking
+    * `setTimes`) `ttlMs` must exceed the longest plausible pass.
     * Release with [[releaseCompactor]] in a `finally`.
     */
   def claimCompactor(f: FileSystem, root: Path, ttlMs: Long): Path = {
@@ -211,7 +217,12 @@ object ShardStore {
           .getBytes("UTF-8"))
         finally out.close()
         true
-      } catch { case _: java.io.IOException => false }
+      } catch { case e: java.io.IOException =>
+        // contention only if the lock actually exists — a create that
+        // failed for any OTHER reason (permissions, store outage) must
+        // surface as itself, not masquerade as a concurrent compactor
+        if (f.exists(lock)) false else throw e
+      }
     if (!attempt()) {
       val age = try {
         System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime
@@ -221,16 +232,47 @@ object ShardStore {
           s"ShardStore: another compactor holds $lock (age ${age}ms < ttl " +
             s"${ttlMs}ms) — concurrent compaction of one root is not " +
             "supported; serialize passes or wait for the holder")
-      f.delete(lock, false) // stale claim: crashed compactor, break it
+      // break the stale claim ATOMICALLY: rename it aside first — only
+      // one breaker's rename can succeed, so two waiters cannot both
+      // break-and-claim (a bare delete+create would let the slower
+      // waiter delete the faster one's FRESH re-claim)
+      val aside = new Path(root, LockName +
+        s".broken.${System.nanoTime()}.${Thread.currentThread().getId}")
+      if (f.rename(lock, aside)) f.delete(aside, false)
       if (!attempt())
         throw new java.io.IOException(
-          s"ShardStore: lost the race re-claiming stale lock $lock")
+          s"ShardStore: lost the race re-claiming stale lock $lock — " +
+            "another compactor broke it first and is now live")
     }
     lock
   }
 
   def releaseCompactor(f: FileSystem, lock: Path): Unit =
     f.delete(lock, false)
+
+  private lazy val heartbeatPool =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "shardstore-lock-heartbeat")
+      t.setDaemon(true); t
+    }
+
+  /** Keep a claimed lock FRESH while a long pass runs: a daemon task
+    * re-touches the lock's mtime every `ttlMs / 3`, so a pass that
+    * outlives the TTL (a 100 TB major rewrite) does not get its LIVE
+    * claim broken as "stale" by a waiting sibling — the TTL then only
+    * ever breaks claims whose owner stopped heartbeating (a real
+    * crash). Cancel in the same `finally` that releases the lock. On a
+    * store without `setTimes` the touch is a silent no-op and the
+    * fallback contract applies: size `ttlMs` beyond the longest pass.
+    */
+  def startHeartbeat(f: FileSystem, lock: Path,
+      ttlMs: Long): java.util.concurrent.ScheduledFuture[_] = {
+    val period = math.max(100L, ttlMs / 3)
+    heartbeatPool.scheduleAtFixedRate(
+      () => try f.setTimes(lock, System.currentTimeMillis(), -1L)
+            catch { case _: Exception => () },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
 
   /** Garbage-collect everything the current manifest supersedes plus
     * any artifact a crashed pass left behind: the staging dir, tmp
@@ -287,8 +329,17 @@ object ShardStore {
       if (graceMs <= 0L || m.isEmpty) Nil
       else f.listStatus(root).toSeq.flatMap { s =>
         s.getPath.getName match {
+          case ManifestRe(g) if g.toLong == m.get.gen =>
+            Some(m.get -> s.getModificationTime)
           case ManifestRe(g) =>
-            Some(parseManifest(f, root, g.toLong) -> s.getModificationTime)
+            // an OLD manifest that no longer parses (external truncation
+            // mid-grace) is skipped, not thrown: it only served as a
+            // supersession clock, and without it artifacts fall to the
+            // next superseder's (later) mtime — GC delayed, never
+            // premature. The CURRENT manifest still throws on corruption
+            // (currentManifest above), as reads do.
+            scala.util.Try(parseManifest(f, root, g.toLong)).toOption
+              .map(_ -> s.getModificationTime)
           case _ => None
         }
       }.sortBy(_._1.gen)
@@ -320,7 +371,9 @@ object ShardStore {
                 aged(man => man.gen > refs.max && !man.dirs.contains(n))
             }
           }
-        case _ => n == "_compact_tmp"
+        // a broken-aside lock is dead on arrival (the breaker either
+        // claimed or crashed); the LIVE lock itself is never touched
+        case _ => n == "_compact_tmp" || n.startsWith(LockName + ".broken.")
       }
       if (stale) f.delete(s.getPath, true)
     }

@@ -343,6 +343,49 @@ class CompactSpec extends SparkSuite {
     assert(runs() == 1 && readAll() == want)
   }
 
+  test("manifest compat: legacy dir= parses; new single-run manifests carry both " +
+       "spellings; duplicate runs are corruption") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, batch BIGINT")
+    // (a) a PRE-TIERING manifest (dir= only) written by earlier code:
+    // standing indexes keep reading unchanged after an upgrade
+    val legacy = Files.createTempDirectory("compact_legacy").toString
+    Seq(1L, 2L).toDF("id").write.parquet(s"$legacy/_compact_live_g1")
+    Seq(9L).toDF("id").write.parquet(s"$legacy/batch=5")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(legacy, "_compact_manifest_g1"),
+      "gen=1\ndir=_compact_live_g1\nbatchValue=3\n".getBytes("UTF-8"))
+    assert(ShardStore.read(spark, legacy, schema).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 9L))
+    // (b) a manifest this code publishes for ONE run also carries the
+    // legacy dir= spelling, so a pre-tiering reader fleet keeps working
+    // across a rolling upgrade (multi-run manifests are one-way)
+    val neu = Files.createTempDirectory("compact_compat").toString
+    (0 until 2).foreach(b =>
+      Seq(b.toLong).toDF("id").write.parquet(s"$neu/batch=$b"))
+    Compact.compactShards(spark, neu, targetBytes = 1L << 30)
+    val mf = new java.io.File(neu).listFiles()
+      .filter(f => f.getName.startsWith("_compact_manifest_g")
+        && !f.getName.endsWith(".tmp")).head
+    val text = new String(
+      java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    assert(text.linesIterator.exists(_.startsWith("dir=")), text)
+    assert(text.linesIterator.exists(_.startsWith("dirs=")), text)
+    // (c) duplicate run entries would double those rows on read —
+    // corruption, rejected loudly
+    val dup = Files.createTempDirectory("compact_dup").toString
+    Seq(1L).toDF("id").write.parquet(s"$dup/_compact_live_g1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dup, "_compact_manifest_g1"),
+      "gen=1\ndirs=_compact_live_g1,_compact_live_g1\nbatchValue=0\n"
+        .getBytes("UTF-8"))
+    val e = intercept[java.io.IOException] {
+      ShardStore.read(spark, dup, schema).count()
+    }
+    assert(e.getMessage.contains("corrupt manifest"))
+  }
+
   test("a manifest with an empty run list is corruption: reads throw, never drop rows") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -444,6 +487,31 @@ class CompactSpec extends SparkSuite {
     assert(!new java.io.File(root, "_compact_lock").exists())
     assert(new java.io.File(root).listFiles().map(_.getName)
       .count(_.startsWith("_compact_live_g")) == 1)
+  }
+
+  test("lock heartbeat keeps a live claim fresh past the TTL; release frees it") {
+    val root = Files.createTempDirectory("compact_hb").toString
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = ShardStore.fs(spark, root)
+    f.mkdirs(rootP)
+    val ttl = 2000L
+    val lock = ShardStore.claimCompactor(f, rootP, ttlMs = ttl)
+    val hb = ShardStore.startHeartbeat(f, lock, ttlMs = ttl)
+    try {
+      Thread.sleep(ttl + 1000L)
+      // well past the TTL the claim still reads FRESH to a contender:
+      // an over-TTL pass is never broken mid-flight (the 100 TB major
+      // rewrite case); only a holder that STOPPED heartbeating is stale
+      val e = intercept[java.io.IOException] {
+        ShardStore.claimCompactor(f, rootP, ttlMs = ttl)
+      }
+      assert(e.getMessage.contains("another compactor"))
+    } finally {
+      hb.cancel(false)
+      ShardStore.releaseCompactor(f, lock)
+    }
+    val l2 = ShardStore.claimCompactor(f, rootP, ttlMs = ttl)
+    ShardStore.releaseCompactor(f, l2)
   }
 
   test("grace clocks are per-artifact: frequent passes cannot starve GC") {
