@@ -150,17 +150,30 @@ object Compact {
     * files. No-op (returns the current layout) when the directory
     * already has ≤ the planned file count. Crash contract in the object
     * doc: rows are never lost; [[healDir]] (run on entry) completes any
-    * crashed predecessor before this pass plans.
+    * crashed predecessor before this pass plans. Single-writer is
+    * ENFORCED exactly as for [[compactShards]]: the pass holds the
+    * [[ShardStore.claimCompactor]] lock (heartbeated), so a concurrent
+    * pass on the same directory fails loudly instead of sharing the
+    * staging dir and overwriting the journal.
     */
-  def compactDir(spark: SparkSession, dir: String, targetBytes: Long): Report =
-    compactDirImpl(spark, dir, targetBytes, failAt = "")
+  def compactDir(spark: SparkSession, dir: String, targetBytes: Long,
+                 lockTtlMs: Long = DefaultLockTtlMs): Report =
+    compactDirImpl(spark, dir, targetBytes, failAt = "", lockTtlMs = lockTtlMs)
 
   private[graft] def compactDirImpl(spark: SparkSession, dir: String,
-      targetBytes: Long, failAt: String): Report = {
+      targetBytes: Long, failAt: String,
+      lockTtlMs: Long = DefaultLockTtlMs): Report = {
     val f = fs(spark, dir)
     val dirP = new Path(dir)
     def crashpoint(at: String): Unit =
       if (failAt == at) throw new CompactCrash(at)
+    if (!f.exists(dirP)) return Report(dir, 0, 0L, 0)
+    // same single-writer enforcement as the shard protocol: two flat
+    // passes share the `_compact_tmp` staging and overwrite each
+    // other's journal — claim the dir for the pass, heartbeat it
+    val claim = ShardStore.claimCompactor(f, dirP, lockTtlMs)
+    val heartbeat = ShardStore.startHeartbeat(f, claim.lock, lockTtlMs)
+    try {
     healDirFs(f, dirP)
     val files = dataFiles(f, dirP)
     val totalBytes = files.map(_.getLen).sum
@@ -192,6 +205,10 @@ object Compact {
     checkedDelete(f, new Path(dirP, CommitMarker))
     f.delete(tmp, true)
     Report(dir, files.length, totalBytes, moves.length)
+    } finally {
+      heartbeat.cancel(false)
+      ShardStore.releaseCompactor(f, claim)
+    }
   }
 
   /** Test-only crash injection for [[compactShards]]: thrown at a named
@@ -292,11 +309,11 @@ object Compact {
     def crashpoint(at: String): Unit =
       if (failAt == at) throw new CompactCrash(at)
     if (!f.exists(rootP)) return Report(root, 0, 0L, 0)
-    val lock = ShardStore.claimCompactor(f, rootP, lockTtlMs)
+    val claim = ShardStore.claimCompactor(f, rootP, lockTtlMs)
     // a pass longer than the TTL must not get its LIVE claim broken as
     // stale: heartbeat the lock for the duration (real crash = owner
     // stops heartbeating = TTL break stays correct)
-    val heartbeat = ShardStore.startHeartbeat(f, lock, lockTtlMs)
+    val heartbeat = ShardStore.startHeartbeat(f, claim.lock, lockTtlMs)
     try {
     // complete/garbage-collect any crashed predecessor before planning
     ShardStore.heal(f, rootP, graceMs)
@@ -403,7 +420,7 @@ object Compact {
     // the pass is over; a REAL crash leaves the claim for the TTL break
     } finally {
       heartbeat.cancel(false)
-      ShardStore.releaseCompactor(f, lock)
+      ShardStore.releaseCompactor(f, claim)
     }
   }
 

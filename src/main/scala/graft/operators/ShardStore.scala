@@ -192,6 +192,14 @@ object ShardStore {
 
   private val LockName = "_compact_lock"
 
+  /** A held compactor claim: the lock path plus the claimant's nonce —
+    * [[releaseCompactor]] deletes the lock only while it still carries
+    * this nonce, so a claimant whose stale claim was broken and
+    * re-claimed by a sibling (possible only where the heartbeat is a
+    * no-op) cannot delete the sibling's fresh lock on its way out.
+    */
+  final case class Claim(lock: Path, nonce: String)
+
   /** Claim exclusive COMPACTOR ownership of `root` — the enforcement of
     * the single-writer contract the whole manifest protocol assumes
     * (r13 VERDICT #1): two concurrent passes would both take
@@ -208,13 +216,15 @@ object ShardStore {
     * `setTimes`) `ttlMs` must exceed the longest plausible pass.
     * Release with [[releaseCompactor]] in a `finally`.
     */
-  def claimCompactor(f: FileSystem, root: Path, ttlMs: Long): Path = {
+  def claimCompactor(f: FileSystem, root: Path, ttlMs: Long): Claim = {
     val lock = new Path(root, LockName)
+    val nonce = java.util.UUID.randomUUID().toString
     def attempt(): Boolean =
       try {
         val out = f.create(lock, false) // exclusive: throws if present
-        try out.write(s"claimedAt=${System.currentTimeMillis()}\n"
-          .getBytes("UTF-8"))
+        try out.write(
+          s"claimedAt=${System.currentTimeMillis()}\nnonce=$nonce\n"
+            .getBytes("UTF-8"))
         finally out.close()
         true
       } catch { case e: java.io.IOException =>
@@ -244,11 +254,23 @@ object ShardStore {
           s"ShardStore: lost the race re-claiming stale lock $lock — " +
             "another compactor broke it first and is now live")
     }
-    lock
+    Claim(lock, nonce)
   }
 
-  def releaseCompactor(f: FileSystem, lock: Path): Unit =
-    f.delete(lock, false)
+  /** Release a claim — only while the lock still carries OUR nonce: a
+    * lock that changed hands (our claim went stale on a no-setTimes
+    * store and a sibling broke + re-claimed it) belongs to the sibling
+    * now and must survive our exit.
+    */
+  def releaseCompactor(f: FileSystem, c: Claim): Unit = {
+    val ours = try {
+      val in = f.open(c.lock)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      text.linesIterator.contains(s"nonce=${c.nonce}")
+    } catch { case _: java.io.IOException => false }
+    if (ours) f.delete(c.lock, false)
+  }
 
   private lazy val heartbeatPool =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>

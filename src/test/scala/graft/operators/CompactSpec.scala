@@ -487,6 +487,22 @@ class CompactSpec extends SparkSuite {
     assert(!new java.io.File(root, "_compact_lock").exists())
     assert(new java.io.File(root).listFiles().map(_.getName)
       .count(_.startsWith("_compact_live_g")) == 1)
+
+    // the FLAT-dir compactor enforces the same contract: two passes
+    // would share _compact_tmp staging and overwrite the journal
+    val flat = Files.createTempDirectory("compact_lock_flat").toString
+    (0 until 40).map(_.toLong).toDF("id")
+      .repartition(4).write.mode("overwrite").parquet(flat)
+    val flatLock = new java.io.File(flat, "_compact_lock")
+    assert(flatLock.createNewFile())
+    val e2 = intercept[java.io.IOException] {
+      Compact.compactDir(spark, flat, targetBytes = 1L << 30)
+    }
+    assert(e2.getMessage.contains("another compactor"))
+    assert(flatLock.delete())
+    Compact.compactDir(spark, flat, targetBytes = 1L << 30)
+    assert(spark.read.parquet(flat).count() == 40)
+    assert(!flatLock.exists())
   }
 
   test("lock heartbeat keeps a live claim fresh past the TTL; release frees it") {
@@ -495,8 +511,8 @@ class CompactSpec extends SparkSuite {
     val f = ShardStore.fs(spark, root)
     f.mkdirs(rootP)
     val ttl = 2000L
-    val lock = ShardStore.claimCompactor(f, rootP, ttlMs = ttl)
-    val hb = ShardStore.startHeartbeat(f, lock, ttlMs = ttl)
+    val claim = ShardStore.claimCompactor(f, rootP, ttlMs = ttl)
+    val hb = ShardStore.startHeartbeat(f, claim.lock, ttlMs = ttl)
     try {
       Thread.sleep(ttl + 1000L)
       // well past the TTL the claim still reads FRESH to a contender:
@@ -508,7 +524,7 @@ class CompactSpec extends SparkSuite {
       assert(e.getMessage.contains("another compactor"))
     } finally {
       hb.cancel(false)
-      ShardStore.releaseCompactor(f, lock)
+      ShardStore.releaseCompactor(f, claim)
     }
     val l2 = ShardStore.claimCompactor(f, rootP, ttlMs = ttl)
     ShardStore.releaseCompactor(f, l2)
