@@ -408,6 +408,45 @@ object ShardStore {
     }
   }
 
+  /** Operational status of a shard root — the "which maintenance does
+    * this table need" view an operator schedules the LSM policy from,
+    * one row per root: current generation and cut, standing RUN count
+    * (compare against [[Compact.compactShards]]'s `maxRuns`), shards
+    * accumulated past the cut (minor-pass pressure), superseded
+    * artifacts still awaiting their GC grace, and the compactor lock's
+    * age if one is held. Pure metadata: one listing plus the retained
+    * manifests — no data files are opened, so it is safe to poll.
+    */
+  def statusDf(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rootP = new Path(root)
+    val f = fs(spark, root)
+    val now = System.currentTimeMillis()
+    if (!f.exists(rootP))
+      return Seq((root, None: Option[Long], None: Option[Long], 0, 0, 0, 0,
+        None: Option[Long])).toDF("root", "generation", "batch_value",
+        "run_dirs", "pending_shards", "superseded_shards",
+        "stale_manifests", "lock_age_ms")
+    val m = currentManifest(f, rootP)
+    val cut = m.map(_.batchValue).getOrElse(Long.MinValue)
+    val shards = batchShards(f, rootP)
+    val names = f.listStatus(rootP).map(_.getPath.getName)
+    val manifests = names.count(n =>
+      ManifestRe.findFirstIn(n).isDefined && !n.endsWith(".tmp"))
+    val lockAge = try {
+      Some(now - f.getFileStatus(new Path(rootP, LockName))
+        .getModificationTime)
+    } catch { case _: java.io.IOException => None }
+    Seq((root, m.map(_.gen), m.map(_.batchValue),
+      m.map(_.dirs.size).getOrElse(0),
+      shards.count(_._1 > cut),
+      shards.count(_._1 <= cut),
+      math.max(0, manifests - 1),
+      lockAge)).toDF("root", "generation", "batch_value", "run_dirs",
+      "pending_shards", "superseded_shards", "stale_manifests",
+      "lock_age_ms")
+  }
+
   /** Read a shard table: the union of non-superseded `batch=` dirs and
     * the manifest's live dir. `schema` must DECLARE every column
     * including nested partition columns and `batch BIGINT` (the repo's

@@ -595,6 +595,41 @@ class CompactSpec extends SparkSuite {
       .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("statusDf reports a shard root's maintenance pressure from metadata alone") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("compact_status").toString
+    def writeBatch(b: Int): Unit =
+      (0 until 10).map(i => b * 100L + i).toDF("id")
+        .write.mode("overwrite").parquet(s"$root/batch=$b")
+    def status() = ShardStore.statusDf(spark, root)
+      .select("generation", "batch_value", "run_dirs", "pending_shards",
+        "superseded_shards", "stale_manifests", "lock_age_ms")
+      .as[(Option[Long], Option[Long], Int, Int, Int, Int, Option[Long])]
+      .head()
+    // pre-manifest: everything is pending minor-pass pressure
+    (0 until 3).foreach(writeBatch)
+    assert(status() == ((None, None, 0, 3, 0, 0, None)))
+    // after a minor pass under grace: one run, cut at 2, the three
+    // superseded shards retained awaiting their grace, no stale lock
+    Compact.compactShards(spark, root, targetBytes = 1L << 30,
+      minor = true, graceMs = 10L * 60 * 1000)
+    (3 until 5).foreach(writeBatch)
+    assert(status() == ((Some(1L), Some(2L), 1, 2, 3, 0, None)))
+    // a second minor pass stacks a run and retires the old manifest
+    // into grace retention
+    Compact.compactShards(spark, root, targetBytes = 1L << 30,
+      minor = true, graceMs = 10L * 60 * 1000)
+    val s = status()
+    assert(s._1 == Some(2L) && s._3 == 2 && s._4 == 0 && s._5 == 5
+      && s._6 == 1 && s._7 == None)
+    // a held compactor lock surfaces as its age
+    val claim = ShardStore.claimCompactor(ShardStore.fs(spark, root),
+      new org.apache.hadoop.fs.Path(root), ttlMs = 60000L)
+    assert(status()._7.exists(_ >= 0L))
+    ShardStore.releaseCompactor(ShardStore.fs(spark, root), claim)
+    assert(status()._7.isEmpty)
+  }
+
   test("compactPartitioned compacts each hive leaf independently") {
     val root = Files.createTempDirectory("compact_part").toString
     val ev = Tables.events(spark, sfDir)
