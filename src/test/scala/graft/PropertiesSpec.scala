@@ -238,22 +238,28 @@ class PropertiesSpec extends SparkSuite {
 
     sealed trait ShardOp
     case class Append(vs: List[Long]) extends ShardOp
+    // graceMs > 0 exercises the r14 per-artifact clocks: GC is then
+    // DEFERRED (superseded dirs linger), and the read invariant must
+    // hold identically — the manifest cut, not deletion, is what keeps
+    // lingering shards invisible
     case class CompactAt(failAt: String, coverAll: Boolean,
-                         minor: Boolean) extends ShardOp
-    case object Heal extends ShardOp
+                         minor: Boolean, graceMs: Long) extends ShardOp
+    case class Heal(graceMs: Long) extends ShardOp
     case object Replay extends ShardOp
     // a second compactor attempts a pass while one's claim is live:
     // the single-writer enforcement (r13 VERDICT #1) must refuse it
     // loudly and leave the store byte-identical
     case object ContendedCompact extends ShardOp
 
+    val graceGen: Gen[Long] = Gen.oneOf(0L, 0L, 10L * 60 * 1000)
     val opGen: Gen[ShardOp] = Gen.frequency(
       4 -> Gen.resize(4, Gen.listOf(Gen.choose(0L, 99L))).map(Append.apply),
       4 -> Gen.zip(
         Gen.oneOf("", "", "staged", "swapped", "published"),
         Gen.oneOf(true, false),
-        Gen.oneOf(true, false)).map((CompactAt.apply _).tupled),
-      1 -> Gen.const(Heal),
+        Gen.oneOf(true, false),
+        graceGen).map((CompactAt.apply _).tupled),
+      1 -> graceGen.map(Heal.apply),
       2 -> Gen.const(Replay),
       1 -> Gen.const(ContendedCompact))
 
@@ -277,15 +283,16 @@ class PropertiesSpec extends SparkSuite {
           op match {
             case Append(vs) =>
               appended(nextId) = vs; writeBatch(nextId, vs); nextId += 1
-            case CompactAt(failAt, coverAll, minor) =>
+            case CompactAt(failAt, coverAll, minor, graceMs) =>
               // a sink compacts only batches its checkpoint has
               // committed; `coverAll=false` leaves the newest one out;
               // minor passes stack tiered runs instead of merging
               val upTo = if (coverAll) Long.MaxValue else nextId - 2
               try Compact.compactShardsImpl(spark, root, targetBytes = 1L << 30,
-                nested = Nil, upTo = upTo, failAt = failAt, minor = minor)
+                nested = Nil, upTo = upTo, failAt = failAt, minor = minor,
+                graceMs = graceMs)
               catch { case _: Compact.CompactCrash => () }
-            case Heal => ShardStore.heal(f, rootP)
+            case Heal(graceMs) => ShardStore.heal(f, rootP, graceMs)
             case ContendedCompact =>
               val lock = new Path(root, "_compact_lock")
               val out = f.create(lock, false)
