@@ -80,6 +80,37 @@ class StreamingAnnSpec extends SparkSuite {
     assert(probe() == want && want.nonEmpty)
   }
 
+  test("stacked tiered runs keep dynamic cell pruning: every run scan is DPP-filtered") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_spec_dpp").toString
+    Similarity.writeIvfModel(emb, "vec_id", "embedding",
+      nClusters = 4, iterations = 2, path = idx)
+    val sink = Similarity.ivfSink(idx, "vec_id", "embedding") _
+    (0 until 4).foreach(b =>
+      sink(emb.filter(pmod(col("vec_id"), lit(4)) === b).toDF(), b.toLong))
+    Similarity.compactIvfLists(spark, idx, upTo = 1L, minor = true)
+    Similarity.compactIvfLists(spark, idx, upTo = 3L, minor = true)
+    val runs = new java.io.File(s"$idx/lists").listFiles().map(_.getName)
+      .filter(_.startsWith("_compact_live_g")).toSeq
+    assert(runs.length == 2, runs.mkString(","))
+    val df = Similarity.ivfTopKStreamed(spark, idx, queries,
+      "vec_id", "embedding", nProbe = 2, k = 3)
+    // the probe's "reads only probed cells" claim must survive the
+    // TIERED layout: parity tests cannot see a silent regression to
+    // full scans, so pin the PLAN — each run is its own scan relation
+    // (ShardStore.read unions per run), and each must carry a
+    // dynamicpruning partition filter on cluster_id from the probed
+    // (query, cell) build side
+    val plan = df.queryExecution.executedPlan.toString
+    runs.foreach { r =>
+      val line = plan.linesIterator
+        .find(l => l.contains(r) && l.contains("FileScan"))
+      assert(line.isDefined, s"no scan over run $r in the probe plan")
+      assert(line.exists(_.contains("dynamicpruning")),
+        s"run $r scan lost dynamic cell pruning: ${line.get.take(400)}")
+    }
+    assert(df.count() > 0)
+  }
+
   test("missing lists store probes as typed empty, not an error") {
     val idx = java.nio.file.Files.createTempDirectory("graft_ann_spec_empty").toString
     Similarity.writeIvfModel(emb, "vec_id", "embedding",
