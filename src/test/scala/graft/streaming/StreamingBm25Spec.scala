@@ -55,4 +55,29 @@ class StreamingBm25Spec extends SparkSuite {
     assert(p.contains("PartitionFilters") && p.contains("tok_band"),
       s"band pruning lost on the streamed index:\n$p")
   }
+
+  test("stacked tiered runs keep static band pruning: every run scan carries tok_band") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").limit(80)
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_tiers").toString
+    (0 until 4).foreach(b => Retrieval.bm25Sink(idx, "doc_id", "text")(
+      docs.filter(col("doc_id") % 4 === b).toDF(), b.toLong))
+    Retrieval.compactIndex(spark, idx, upTo = 1L, minor = true)
+    Retrieval.compactIndex(spark, idx, upTo = 3L, minor = true)
+    val runs = new java.io.File(s"$idx/postings").listFiles().map(_.getName)
+      .filter(_.startsWith("_compact_live_g")).toSeq
+    assert(runs.length == 2, runs.mkString(","))
+    // the terms' isin(bands) filter is a LITERAL predicate, so each
+    // run's own scan relation must prune tok_band partitions
+    // statically — parity tests cannot see a regression to full scans
+    val plan = Retrieval.bm25TopKStreamed(spark, idx, "doc_id", Terms, k = 5)
+      .queryExecution.executedPlan.toString
+    runs.foreach { r =>
+      val line = plan.linesIterator
+        .find(l => l.contains(s"postings/$r") && l.contains("FileScan"))
+      assert(line.isDefined, s"no scan over postings run $r in the probe plan")
+      assert(line.exists(l =>
+          l.contains("PartitionFilters: [") && l.contains("tok_band")),
+        s"postings run $r scan lost band pruning: ${line.get.take(400)}")
+    }
+  }
 }
