@@ -197,6 +197,10 @@ object Retrieval {
     * committed watermark. [[bm25Sink]]'s replay idempotence is a
     * re-delivered batch overwriting its own shard; on a consolidated
     * shard that overwrite would drop the other batches' rows.
+    *
+    * `minor`/`maxRuns` run the tiered LSM schedule; `maxRuns` defaults
+    * to the measured probe-latency knee (8 — RunCountProbe, SCALE.md
+    * r14: flat through 8 stacked runs, 2–3× worse by 32).
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetBytes: Long = 128L << 20,

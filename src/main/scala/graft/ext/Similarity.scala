@@ -336,7 +336,9 @@ object Similarity {
     * the probe result is unchanged (StreamingAnnSpec pins parity).
     * Same safety contract as the BM25 index: consolidate only batches
     * beyond replay (after an AvailableNow drain terminates, or
-    * `upTo` = the owning stream's committed watermark).
+    * `upTo` = the owning stream's committed watermark). `minor`/
+    * `maxRuns` run the tiered LSM schedule; the `maxRuns` default is
+    * the measured probe-latency knee (SCALE.md r14).
     */
   def compactIvfLists(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetBytes: Long = 128L << 20,
