@@ -317,16 +317,18 @@ object Compact {
     try {
     // complete/garbage-collect any crashed predecessor before planning
     ShardStore.heal(f, rootP, graceMs)
-    def filesUnder(dir: Path): Seq[Long] = {
-      val it = f.listFiles(dir, true)
-      val b = Seq.newBuilder[Long]
-      while (it.hasNext) {
-        val s = it.next()
+    // manual listStatus recursion, NOT FileSystem.listFiles(recursive):
+    // listFiles eagerly materializes LocatedFileStatus permissions,
+    // which RawLocalFileSystem-derived schemes (test fault injectors,
+    // wrapped local stores) cannot load (`new File(URI)` demands
+    // file://) — listStatus defers them and works everywhere
+    def filesUnder(dir: Path): Seq[Long] =
+      f.listStatus(dir).toSeq.flatMap { s =>
         val n = s.getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".")) b += s.getLen
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (s.isDirectory) filesUnder(s.getPath)
+        else Seq(s.getLen)
       }
-      b.result()
-    }
     val prior = ShardStore.currentManifest(f, rootP)
     val cut = prior.map(_.batchValue).getOrElse(Long.MinValue)
     val shards = ShardStore.batchShards(f, rootP)
