@@ -117,6 +117,16 @@ object Compact {
     val tmp = new Path(dirP, "_compact_tmp")
     val marker = new Path(dirP, CommitMarker)
     f.delete(new Path(dirP, CommitMarker + ".tmp"), false)
+    // a crashed stale-break leaves a `_compact_lock.broken.*` aside file
+    // (the breaker renames the stale lock away, then deletes — a crash
+    // between the two orphans it). ShardStore.heal collects these for
+    // shard roots; collect them for flat dirs too (r14 VERDICT: a flat
+    // dir that ever suffered a crashed break carried the remnant
+    // forever). The LIVE `_compact_lock` itself is never touched.
+    f.listStatus(dirP).foreach { s =>
+      if (s.getPath.getName.startsWith(ShardStore.LockName + ".broken."))
+        f.delete(s.getPath, false)
+    }
     if (!f.exists(marker)) { f.delete(tmp, true); return }
     val in = f.open(marker)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -290,8 +300,9 @@ object Compact {
       graceMs = graceMs, minor = minor, maxRuns = maxRuns,
       lockTtlMs = lockTtlMs)
 
-  /** Default minor-run bound — typical LSM fan-out; TieredCompactProbe
-    * (SCALE.md r14) prices probe latency vs run count behind it.
+  /** Default minor-run bound — typical LSM fan-out; RunCountProbe
+    * (SCALE.md r14) prices probe latency vs run count behind it: flat
+    * through ~8 stacked runs, 2-3x worse by 32 — 8 is the measured knee.
     */
   val DefaultMaxRuns = 8
 
@@ -426,11 +437,38 @@ object Compact {
     }
   }
 
+  /** Default concurrent-leaf bound for [[compactPartitioned]]: enough
+    * to overlap scheduling + listing latency across leaves without
+    * flooding the scheduler — per-leaf jobs still share the executors,
+    * so this bounds in-flight JOBS, not cluster resources.
+    */
+  val DefaultLeafParallelism = 8
+
   /** Compact every leaf partition of a hive-partitioned root (any
     * nesting depth — recurses until a directory holds data files).
+    *
+    * Leaves compact CONCURRENTLY from a bounded pool (r14 VERDICT #4:
+    * the serial loop was 10k sequential Spark jobs at 100 TB partition
+    * counts — wall-clock the SUM of leaves instead of the max). Spark
+    * schedules concurrent jobs natively; correctness under interleaving
+    * comes from each leaf's own compactor lock + per-claim heartbeat
+    * ([[compactDir]] claims per directory), and a leaf pass touches
+    * nothing outside its directory. One crashed leaf does not abandon
+    * the others: every leaf runs to completion (or failure) before the
+    * first failure is rethrown with the rest suppressed, so an
+    * interrupted run leaves every non-failed partition compacted and
+    * every failed one recoverable by the next pass's heal. Reports come
+    * back in leaf order regardless of completion order.
     */
   def compactPartitioned(spark: SparkSession, root: String,
-                         targetBytes: Long): Seq[Report] = {
+                         targetBytes: Long,
+                         parallelism: Int = DefaultLeafParallelism): Seq[Report] =
+    compactPartitionedImpl(spark, root, targetBytes, parallelism,
+      failAtLeaf = _ => "")
+
+  private[graft] def compactPartitionedImpl(spark: SparkSession, root: String,
+      targetBytes: Long, parallelism: Int,
+      failAtLeaf: Path => String): Seq[Report] = {
     val f = fs(spark, root)
     def leaves(dir: Path): Seq[Path] = {
       val kids = f.listStatus(dir).filter(s =>
@@ -438,7 +476,39 @@ object Compact {
       val subdirs = kids.filter(_.isDirectory)
       if (subdirs.isEmpty) Seq(dir) else subdirs.toSeq.flatMap(s => leaves(s.getPath))
     }
-    leaves(new Path(root)).map(p => compactDir(spark, p.toString, targetBytes))
+    val ls = leaves(new Path(root))
+    val par = math.max(1, math.min(parallelism, ls.size))
+    if (par == 1)
+      ls.map(p => compactDirImpl(spark, p.toString, targetBytes,
+        failAt = failAtLeaf(p)))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par, { r =>
+        val t = new Thread(r, "compact-partitioned-leaf")
+        t.setDaemon(true); t
+      })
+      try {
+        val futs = ls.map { p =>
+          pool.submit(new java.util.concurrent.Callable[Report] {
+            override def call(): Report =
+              compactDirImpl(spark, p.toString, targetBytes,
+                failAt = failAtLeaf(p))
+          })
+        }
+        // gather EVERY leaf before surfacing any failure — a crashed
+        // leaf must not strand in-flight siblings mid-protocol
+        val outcomes = futs.map { ft =>
+          try Right(ft.get())
+          catch { case e: java.util.concurrent.ExecutionException =>
+            Left(e.getCause) }
+        }
+        outcomes.collectFirst { case Left(t) => t }.foreach { first =>
+          outcomes.collect { case Left(o) if o ne first => o }
+            .foreach(first.addSuppressed)
+          throw first
+        }
+        outcomes.collect { case Right(r) => r }
+      } finally pool.shutdownNow()
+    }
   }
 
   /** Diagnostic frame over [[compactPartitioned]] reports (file-count

@@ -190,7 +190,7 @@ object ShardStore {
         s"ShardStore: manifest publish rename $tmp -> $fin failed")
   }
 
-  private val LockName = "_compact_lock"
+  private[operators] val LockName = "_compact_lock"
 
   /** A held compactor claim: the lock path plus the claimant's nonce —
     * [[releaseCompactor]] deletes the lock only while it still carries
@@ -206,9 +206,13 @@ object ShardStore {
     * [[nextGen]] = g, nest their live-dir renames on local fs, and
     * overwrite each other's manifest publish — and a sibling's [[heal]]
     * would delete a first pass's swapped-but-unpublished live dir as an
-    * orphan. The claim is an exclusive `create(_, overwrite = false)`
-    * of a `_compact_lock` sidecar: atomic on HDFS and local fs (the
-    * stores this protocol targets). A live claim younger than `ttlMs`
+    * orphan. The claim is an exclusive creation of a `_compact_lock`
+    * sidecar: on HDFS-like stores via `create(_, overwrite = false)`
+    * (namenode-atomic); on `file://` stores via `Files.createFile`
+    * (O_EXCL, kernel-atomic across OS processes — Hadoop's
+    * RawLocalFileSystem implements non-overwrite create as an
+    * exists-check-then-create, which is race-free only within one JVM's
+    * cached FileSystem, r14 ADVICE). A live claim younger than `ttlMs`
     * fails the pass LOUDLY; an older claim is a crashed compactor's
     * (this process cannot block on it forever) — it is broken and
     * re-claimed. A healthy holder keeps its claim younger than any TTL
@@ -219,20 +223,58 @@ object ShardStore {
   def claimCompactor(f: FileSystem, root: Path, ttlMs: Long): Claim = {
     val lock = new Path(root, LockName)
     val nonce = java.util.UUID.randomUUID().toString
-    def attempt(): Boolean =
-      try {
-        val out = f.create(lock, false) // exclusive: throws if present
-        try out.write(
-          s"claimedAt=${System.currentTimeMillis()}\nnonce=$nonce\n"
-            .getBytes("UTF-8"))
-        finally out.close()
-        true
-      } catch { case e: java.io.IOException =>
-        // contention only if the lock actually exists — a create that
-        // failed for any OTHER reason (permissions, store outage) must
-        // surface as itself, not masquerade as a concurrent compactor
-        if (f.exists(lock)) false else throw e
-      }
+    val body = s"claimedAt=${System.currentTimeMillis()}\nnonce=$nonce\n"
+      .getBytes("UTF-8")
+    // file:// claims go through O_EXCL (kernel-atomic across OS
+    // processes); RawLocalFileSystem's non-overwrite create is an
+    // exists-check-then-create, race-free only inside one JVM's cached
+    // FileSystem instance (r14 ADVICE). Custom test schemes and
+    // HDFS-like stores keep the Hadoop path, whose create(_, false) IS
+    // their atomic primitive.
+    val nioLock: Option[java.nio.file.Path] =
+      if (f.getUri.getScheme == "file")
+        Some(java.nio.file.Paths.get(lock.toUri.getPath))
+      else None
+    def attempt(): Boolean = nioLock match {
+      case Some(p) =>
+        try {
+          java.nio.file.Files.createFile(p) // O_EXCL: throws if present
+          try { java.nio.file.Files.write(p, body); true }
+          catch { case e: java.io.IOException =>
+            // ours (create succeeded, no sibling holds it) but
+            // nonce-less: left behind it would read as a live contender
+            // and block the root until the TTL — best-effort delete
+            try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () }
+            throw e
+          }
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      case None =>
+        var created = false
+        try {
+          val out = f.create(lock, false) // exclusive: throws if present
+          created = true
+          try out.write(body) finally out.close()
+          true
+        } catch { case e: java.io.IOException =>
+          // a lock we CREATED but failed to write is our own,
+          // nonce-less half-claim (store hiccup on the write) — left in
+          // place it masquerades as a live contender and blocks every
+          // pass on this root until the TTL (r14 ADVICE): we own it, so
+          // best-effort delete before surfacing the real failure
+          if (created) {
+            try f.delete(lock, false)
+            catch { case _: java.io.IOException => () }
+            throw e
+          }
+          // contention only if the lock actually exists — a create that
+          // failed for any OTHER reason (permissions, store outage) must
+          // surface as itself, not masquerade as a concurrent compactor
+          if (f.exists(lock)) false else throw e
+        }
+    }
     if (!attempt()) {
       val age = try {
         System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime
@@ -272,12 +314,6 @@ object ShardStore {
     if (ours) f.delete(c.lock, false)
   }
 
-  private lazy val heartbeatPool =
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
-      val t = new Thread(r, "shardstore-lock-heartbeat")
-      t.setDaemon(true); t
-    }
-
   /** Keep a claimed lock FRESH while a long pass runs: a daemon task
     * re-touches the lock's mtime every `ttlMs / 3`, so a pass that
     * outlives the TTL (a 100 TB major rewrite) does not get its LIVE
@@ -286,14 +322,44 @@ object ShardStore {
     * crash). Cancel in the same `finally` that releases the lock. On a
     * store without `setTimes` the touch is a silent no-op and the
     * fallback contract applies: size `ttlMs` beyond the longest pass.
+    *
+    * Each claim gets its OWN single-thread scheduler (r14 ADVICE): on a
+    * shared pool, one `setTimes` hung against a stalled store would
+    * starve a SIBLING root's heartbeat past its TTL, exposing that
+    * healthy claim to a stale-break — the exact corruption the lock
+    * exists to prevent, and live the moment passes run concurrently
+    * (e.g. [[Compact.compactPartitioned]]'s per-leaf parallelism).
+    * Cancelling the returned future also tears the scheduler down, so
+    * long-lived processes don't accumulate idle heartbeat threads.
     */
   def startHeartbeat(f: FileSystem, lock: Path,
       ttlMs: Long): java.util.concurrent.ScheduledFuture[_] = {
+    val pool =
+      java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+        val t = new Thread(r, s"shardstore-lock-heartbeat-${lock.getParent.getName}")
+        t.setDaemon(true); t
+      }
     val period = math.max(100L, ttlMs / 3)
-    heartbeatPool.scheduleAtFixedRate(
+    val inner = pool.scheduleAtFixedRate(
       () => try f.setTimes(lock, System.currentTimeMillis(), -1L)
             catch { case _: Exception => () },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    new java.util.concurrent.ScheduledFuture[Any] {
+      override def cancel(mayInterrupt: Boolean): Boolean = {
+        val r = inner.cancel(mayInterrupt)
+        pool.shutdownNow() // a touch hung on THIS store may linger; the
+        r                  // daemon thread dies with it, blocking no one
+      }
+      override def isCancelled: Boolean = inner.isCancelled
+      override def isDone: Boolean = inner.isDone
+      override def get(): Any = inner.get()
+      override def get(t: Long, u: java.util.concurrent.TimeUnit): Any =
+        inner.get(t, u)
+      override def getDelay(u: java.util.concurrent.TimeUnit): Long =
+        inner.getDelay(u)
+      override def compareTo(o: java.util.concurrent.Delayed): Int =
+        inner.compareTo(o)
+    }
   }
 
   /** Garbage-collect everything the current manifest supersedes plus

@@ -47,6 +47,56 @@ object BlockingRenameFs {
   }
 }
 
+/** Local filesystem whose `_compact_lock` create SUCCEEDS but whose
+  * stream then fails the write — the store-hiccup shape from r14
+  * ADVICE: the claimant owns a nonce-less half-lock that must not be
+  * left behind to masquerade as a live contender. Registered under
+  * `wfail://` via `fs.wfail.impl`.
+  */
+class FaultyLockWriteFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("wfail:///")
+  // every RawLocalFileSystem create funnels through this hook
+  override protected def createOutputStreamWithMode(
+      p: org.apache.hadoop.fs.Path, append: Boolean,
+      permission: org.apache.hadoop.fs.permission.FsPermission)
+      : java.io.OutputStream = {
+    val real = super.createOutputStreamWithMode(p, append, permission)
+    if (FaultyLockWriteFs.armed && p.getName == "_compact_lock")
+      new java.io.OutputStream {
+        override def write(b: Int): Unit =
+          throw new java.io.IOException("injected lock-write failure")
+        override def write(b: Array[Byte], off: Int, len: Int): Unit =
+          throw new java.io.IOException("injected lock-write failure")
+        override def close(): Unit = real.close()
+      }
+    else real
+  }
+}
+object FaultyLockWriteFs { @volatile var armed = false }
+
+/** Local filesystem whose `setTimes` PARKS on a latch for paths
+  * containing an armed substring — a stalled store hanging one claim's
+  * heartbeat touch. Registered under `hang://` via `fs.hang.impl`.
+  */
+class HangingTouchFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("hang:///")
+  override def setTimes(p: org.apache.hadoop.fs.Path,
+                        mtime: Long, atime: Long): Unit = {
+    if (HangingTouchFs.hangSubstring.exists(p.toString.contains))
+      HangingTouchFs.gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    super.setTimes(p, mtime, atime)
+  }
+}
+object HangingTouchFs {
+  @volatile var hangSubstring: Option[String] = None
+  var gate = new java.util.concurrent.CountDownLatch(1)
+  def arm(substr: String): Unit = {
+    gate = new java.util.concurrent.CountDownLatch(1)
+    hangSubstring = Some(substr)
+  }
+  def disarm(): Unit = { hangSubstring = None; gate.countDown() }
+}
+
 class CompactSpec extends SparkSuite {
 
   private def parquetFiles(dir: String): Array[String] =
@@ -725,5 +775,116 @@ class CompactSpec extends SparkSuite {
 
     val df = Compact.reportDf(spark, reports)
     assert(df.count() == reports.length)
+  }
+
+  test("flat-dir heal collects crashed stale-break lock remnants; the live lock survives") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact_broken_lock").toString
+    (0 until 20).map(_.toLong).toDF("id")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    // a crashed break leaves the renamed-aside stale lock behind
+    // (rename succeeded, delete never ran); heal must GC it while never
+    // touching a LIVE lock
+    assert(new java.io.File(dir, "_compact_lock.broken.123.1").createNewFile())
+    assert(new java.io.File(dir, "_compact_lock").createNewFile())
+    Compact.healDir(spark, dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.exists(_.startsWith("_compact_lock.broken.")), names.toString)
+    assert(names.contains("_compact_lock"))
+    // and a normal pass (lock now free) heals a remnant on entry too
+    assert(new java.io.File(dir, "_compact_lock").delete())
+    assert(new java.io.File(dir, "_compact_lock.broken.456.2").createNewFile())
+    Compact.compactDir(spark, dir, targetBytes = 1L << 30)
+    val after = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!after.exists(_.startsWith("_compact_lock.broken.")), after.toString)
+    assert(spark.read.parquet(dir).count() == 20)
+  }
+
+  test("a half-written claim (create ok, write fails) is cleaned up, not left as a contender") {
+    val dir = Files.createTempDirectory("compact_halfclaim").toString
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.wfail.impl", classOf[FaultyLockWriteFs].getName)
+    val rootP = new org.apache.hadoop.fs.Path(s"wfail://$dir")
+    val f = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(rootP)
+    FaultyLockWriteFs.armed = true
+    try {
+      // the store hiccup surfaces as ITSELF — not as "another compactor"
+      val e = intercept[java.io.IOException] {
+        ShardStore.claimCompactor(f, rootP, ttlMs = 60000L)
+      }
+      assert(e.getMessage.contains("injected lock-write failure"),
+        e.getMessage)
+      // the nonce-less half-lock was ours: it must not survive to block
+      // every pass on this root until the TTL (r14 ADVICE)
+      assert(!new java.io.File(dir, "_compact_lock").exists())
+    } finally FaultyLockWriteFs.armed = false
+    // with the store healthy again the very next claim succeeds
+    val c = ShardStore.claimCompactor(f, rootP, ttlMs = 60000L)
+    ShardStore.releaseCompactor(f, c)
+    assert(!new java.io.File(dir, "_compact_lock").exists())
+  }
+
+  test("heartbeats are per-claim: one store's hung touch cannot starve a sibling root's claim") {
+    val base = Files.createTempDirectory("compact_hb_iso").toString
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.hang.impl", classOf[HangingTouchFs].getName)
+    val f = new org.apache.hadoop.fs.Path(s"hang://$base")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootA = new org.apache.hadoop.fs.Path(s"hang://$base/stalledroot")
+    val rootB = new org.apache.hadoop.fs.Path(s"hang://$base/healthyroot")
+    f.mkdirs(rootA); f.mkdirs(rootB)
+    val ttl = 1200L // heartbeat period = ttl/3 = 400ms
+    HangingTouchFs.arm("stalledroot")
+    val claimA = ShardStore.claimCompactor(f, rootA, ttlMs = ttl)
+    val hbA = ShardStore.startHeartbeat(f, claimA.lock, ttlMs = ttl)
+    val claimB = ShardStore.claimCompactor(f, rootB, ttlMs = ttl)
+    val hbB = ShardStore.startHeartbeat(f, claimB.lock, ttlMs = ttl)
+    try {
+      // well past the TTL, with root A's touches parked on the stalled
+      // store: root B's heartbeat must have kept ITS claim fresh — on
+      // the old shared single-thread pool, A's hung setTimes occupied
+      // the one heartbeat thread and B's live claim went breakably
+      // stale (r14 ADVICE low #2)
+      Thread.sleep(ttl * 5 / 2)
+      val e = intercept[java.io.IOException] {
+        ShardStore.claimCompactor(f, rootB, ttlMs = ttl)
+      }
+      assert(e.getMessage.contains("another compactor"), e.getMessage)
+    } finally {
+      HangingTouchFs.disarm()
+      hbA.cancel(false); hbB.cancel(false)
+      ShardStore.releaseCompactor(f, claimA)
+      ShardStore.releaseCompactor(f, claimB)
+    }
+  }
+
+  test("parallel compactPartitioned: a crashed leaf strands nothing; siblings complete and heal") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("compact_par_crash").toString
+    (0 until 120).map(i => (i.toLong, i % 2)).toDF("id", "p")
+      .repartition(4).write.mode("overwrite").partitionBy("p").parquet(root)
+    def rows() = spark.read.parquet(root).collect().map(_.toString).sorted.toSeq
+    def leafFiles(leaf: String) = new java.io.File(root, leaf).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val want = rows()
+    assert(leafFiles("p=0").length == 4 && leafFiles("p=1").length == 4)
+    // two leaves run CONCURRENTLY; p=0 crashes after its journal commit
+    val e = intercept[Compact.CompactCrash] {
+      Compact.compactPartitionedImpl(spark, root, targetBytes = 1L << 30,
+        parallelism = 2,
+        failAtLeaf = p => if (p.getName == "p=0") "committed" else "")
+    }
+    assert(e.getMessage.contains("committed"))
+    // the sibling leaf finished its own pass despite the crash...
+    assert(leafFiles("p=1").length == 1)
+    // ...and no row anywhere was lost at the crash point
+    assert(rows().distinct == want)
+    // the next (parallel) pass heals the crashed leaf and compacts it
+    val reports = Compact.compactPartitioned(spark, root,
+      targetBytes = 1L << 30, parallelism = 2)
+    assert(reports.length == 2 && reports.forall(_.filesAfter == 1))
+    assert(rows() == want)
+    assert(!new java.io.File(root, "p=0/_compact_commit").exists())
   }
 }
