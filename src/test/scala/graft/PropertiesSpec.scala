@@ -33,6 +33,18 @@ object FlakyRenameFs {
   }
 }
 
+/** Local filesystem that REFUSES `setTimes` — the no-setTimes store
+  * profile from the heartbeat contract ("on a store without setTimes
+  * the touch is a silent no-op; size ttlMs beyond the longest pass").
+  * Registered under `nst://` via `fs.nst.impl`.
+  */
+class NoSetTimesFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("nst:///")
+  override def setTimes(p: org.apache.hadoop.fs.Path,
+                        mtime: Long, atime: Long): Unit =
+    throw new java.io.IOException("setTimes unsupported on this store")
+}
+
 /** Property-based invariants (SURVEY §5.4) — ScalaCheck generators drive
   * small DataFrames through the operators; 20 cases per property.
   */
@@ -250,6 +262,15 @@ class PropertiesSpec extends SparkSuite {
     // the single-writer enforcement (r13 VERDICT #1) must refuse it
     // loudly and leave the store byte-identical
     case object ContendedCompact extends ShardOp
+    // a crashed predecessor's claim (mtime far past the TTL, no
+    // heartbeat) sits on the root: the pass must break it, re-claim,
+    // run to completion, and release — the end-to-end break-and-reclaim
+    // path through the real compactor (r14 VERDICT #6)
+    case object StaleBreakCompact extends ShardOp
+    // store clock ahead of the client (skewed mtime in the FUTURE):
+    // age reads negative, which must classify as LIVE — a skewed clock
+    // may delay a break, never cause one
+    case object SkewedContendedCompact extends ShardOp
 
     val graceGen: Gen[Long] = Gen.oneOf(0L, 0L, 10L * 60 * 1000)
     val opGen: Gen[ShardOp] = Gen.frequency(
@@ -261,7 +282,9 @@ class PropertiesSpec extends SparkSuite {
         graceGen).map((CompactAt.apply _).tupled),
       1 -> graceGen.map(Heal.apply),
       2 -> Gen.const(Replay),
-      1 -> Gen.const(ContendedCompact))
+      1 -> Gen.const(ContendedCompact),
+      1 -> Gen.const(StaleBreakCompact),
+      1 -> Gen.const(SkewedContendedCompact))
 
     val schedParams = ScTest.Parameters.default.withMinSuccessfulTests(100)
     test("ShardStore protocol: read = appended rows exactly once, under random " +
@@ -305,6 +328,29 @@ class PropertiesSpec extends SparkSuite {
                 }
                 assert(e.getMessage.contains("another compactor"))
               } finally f.delete(lock, false)
+            case StaleBreakCompact =>
+              val lock = new java.io.File(root, "_compact_lock")
+              assert(lock.createNewFile())
+              assert(lock.setLastModified(
+                System.currentTimeMillis() - 10L * 60 * 1000))
+              Compact.compactShardsImpl(spark, root, targetBytes = 1L << 30,
+                nested = Nil, upTo = Long.MaxValue, failAt = "",
+                lockTtlMs = 60000L)
+              // broken, re-claimed for the pass, released on exit
+              assert(!lock.exists(), "stale-broken lock survived the pass")
+            case SkewedContendedCompact =>
+              val lock = new java.io.File(root, "_compact_lock")
+              assert(lock.createNewFile())
+              assert(lock.setLastModified(
+                System.currentTimeMillis() + 10L * 60 * 1000))
+              try {
+                val e = intercept[java.io.IOException] {
+                  Compact.compactShardsImpl(spark, root,
+                    targetBytes = 1L << 30, nested = Nil,
+                    upTo = Long.MaxValue, failAt = "", lockTtlMs = 60000L)
+                }
+                assert(e.getMessage.contains("another compactor"))
+              } finally lock.delete()
             case Replay =>
               // the sink contract: a replayed batch id at/below the
               // manifest cut returns BEFORE writing its shard; above
@@ -319,6 +365,138 @@ class PropertiesSpec extends SparkSuite {
       }
       val r = ScTest.check(schedParams, p)
       assert(r.passed, r.status.toString)
+    }
+  }
+
+  // r14 VERDICT #6: the claim/break/release algebra itself, under
+  // randomized schedules — stale breaks under skewed clocks (backdated
+  // and future mtimes), heartbeat touches, crashed holders, late
+  // releases by broken ex-holders — on BOTH store profiles (setTimes
+  // local, no-setTimes). Pure filesystem ops, no Spark jobs: 50
+  // schedules run in seconds. Invariants:
+  //   - a claim succeeds iff no LIVE lock exists (age < ttl, where a
+  //     future mtime reads negative = live: skew delays breaks, never
+  //     causes them);
+  //   - a successful claim over an EXISTING (stale) lock is a
+  //     break-and-reclaim — counted, and required to occur at least
+  //     once across the run;
+  //   - the lock always carries the current holder's nonce;
+  //   - release deletes the lock iff it still carries the releaser's
+  //     nonce (a broken ex-holder's late release never kills a
+  //     successor's claim).
+  {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.ShardStore
+
+    sealed trait LockOp
+    case class TryClaim(ttlMs: Long) extends LockOp
+    case object Backdate extends LockOp      // holder stopped heartbeating long ago
+    case object SkewFuture extends LockOp    // store clock ahead of the client
+    case object HeartbeatTouch extends LockOp // one heartbeat tick (best-effort)
+    case object Release extends LockOp       // current holder exits cleanly
+    case object CrashHolder extends LockOp   // holder dies; its lock remains
+    case object ReleaseBroken extends LockOp // an ex-holder's finally runs late
+
+    // TTLs far above schedule wall-clock (ops run in ms) and far below
+    // the backdate/skew offsets (10 min): no op sequence can land a
+    // lock age NEAR a ttl, so expected outcomes are deterministic
+    val lockOpGen: Gen[LockOp] = Gen.frequency(
+      5 -> Gen.oneOf(30000L, 60000L).map(TryClaim.apply),
+      3 -> Gen.const(Backdate),
+      2 -> Gen.const(SkewFuture),
+      2 -> Gen.const(HeartbeatTouch),
+      3 -> Gen.const(Release),
+      2 -> Gen.const(CrashHolder),
+      2 -> Gen.const(ReleaseBroken))
+
+    test("compactor lock algebra: claim/break/release under randomized skewed-clock " +
+         "schedules, setTimes and no-setTimes store profiles") {
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.nst.impl", classOf[NoSetTimesFs].getName)
+      val breaks = new java.util.concurrent.atomic.AtomicInteger(0)
+      val p = Prop.forAll(
+        Gen.resize(14, Gen.nonEmptyListOf(lockOpGen)),
+        Gen.oneOf(true, false)) { (ops, noSetTimes) =>
+        val dir = java.nio.file.Files.createTempDirectory("lock_prop").toString
+        val rootP = new Path(if (noSetTimes) s"nst://$dir" else dir)
+        val f = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val lockFile = new java.io.File(dir, "_compact_lock")
+        val offset = 10L * 60 * 1000
+        def lockText(): String =
+          if (!lockFile.exists()) ""
+          else new String(java.nio.file.Files
+            .readAllBytes(lockFile.toPath), "UTF-8")
+        var current: Option[ShardStore.Claim] = None
+        var broken: List[ShardStore.Claim] = Nil
+        ops.forall { op =>
+          op match {
+            case TryClaim(ttl) =>
+              val existed = lockFile.exists()
+              // LIVE = age < ttl; a future mtime is a negative age
+              val live = existed &&
+                System.currentTimeMillis() - lockFile.lastModified() < ttl
+              try {
+                val c = ShardStore.claimCompactor(f, rootP, ttl)
+                assert(!live, "claim succeeded over a LIVE lock")
+                if (existed) breaks.incrementAndGet() // stale break-and-reclaim
+                current.foreach(c0 => broken ::= c0)  // its lock changed hands
+                current = Some(c)
+              } catch { case e: java.io.IOException =>
+                assert(live, s"claim refused with no live lock: ${e.getMessage}")
+                assert(e.getMessage.contains("another compactor"), e.getMessage)
+              }
+            case Backdate =>
+              if (lockFile.exists())
+                assert(lockFile.setLastModified(
+                  System.currentTimeMillis() - offset))
+            case SkewFuture =>
+              if (lockFile.exists())
+                assert(lockFile.setLastModified(
+                  System.currentTimeMillis() + offset))
+            case HeartbeatTouch =>
+              current.foreach { c =>
+                val before = lockFile.lastModified()
+                // exactly what the heartbeat task does: best-effort touch
+                try f.setTimes(c.lock, System.currentTimeMillis(), -1L)
+                catch { case _: Exception => () }
+                if (noSetTimes)
+                  assert(lockFile.lastModified() == before,
+                    "no-setTimes store mutated an mtime")
+                else
+                  assert(System.currentTimeMillis() -
+                    lockFile.lastModified() < 2000L, "touch did not refresh")
+              }
+            case Release =>
+              current.foreach { c =>
+                ShardStore.releaseCompactor(f, c)
+                // the lock always carries the current holder's nonce →
+                // a current-holder release always frees the root
+                assert(!lockFile.exists(), "own-nonce release left the lock")
+                current = None
+              }
+            case CrashHolder =>
+              current.foreach { c => broken ::= c; current = None }
+            case ReleaseBroken =>
+              broken.headOption.foreach { c =>
+                val stillOurs = lockText().contains(s"nonce=${c.nonce}")
+                val existed = lockFile.exists()
+                ShardStore.releaseCompactor(f, c)
+                // deleted iff the lock was still the ex-holder's own
+                // (nobody re-claimed it since) — never a successor's
+                assert(lockFile.exists() == (existed && !stillOurs),
+                  s"broken-release wrong: existed=$existed ours=$stillOurs")
+                broken = broken.tail // a release attempt is once-only
+              }
+          }
+          // standing invariant: a believed-live claim is always backed
+          // by a lock carrying its nonce
+          current.forall(c => lockText().contains(s"nonce=${c.nonce}"))
+        }
+      }
+      val r = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(50), p)
+      assert(r.passed, r.status.toString)
+      assert(breaks.get() > 0,
+        "no schedule exercised a break-and-reclaim — generator drifted")
     }
   }
 
