@@ -46,6 +46,48 @@ object Bench {
     * x_unpivot re-measure escaped arbitration through the 0.5 s gap).
     */
   val FlagAbsSeconds = 0.25
+
+  /** Window-quality canary queries and their degraded thresholds in
+    * seconds (r14 VERDICT #1): three straight rounds burned effort
+    * re-attributing ambient host windows after the fact (r14: 12
+    * spurious flags at 191.64 s vs the 137.87 s zero-flag idle
+    * reference at the SAME HEAD). The t2/t3 streaming drains are the
+    * sharpest window probe this registry has (SCALE.md bench-window
+    * logs): clean windows read ~1.7-2.6 / 1.1-1.2 s, degraded
+    * (hypervisor-contention) windows 5-25 s — nothing in between has
+    * ever been observed. Thresholds sit in that dead band with ~1.5x
+    * margin to the clean ceiling.
+    */
+  val CanaryThresholds: Seq[(String, Double)] = Seq(
+    "t2_streaming_merge" -> 4.0,
+    "t3_streaming_dedup" -> 2.0)
+
+  /** Classify a bench window from canary samples: `degraded` when any
+    * sample is at/over its threshold, `clean` when all are under,
+    * `unknown` when no sample exists (canary disabled or queries
+    * missing). Pre- AND post-suite samples feed this, so degradation
+    * that starts mid-suite is still caught.
+    */
+  def windowQuality(canary: Seq[(String, Double)]): String = {
+    val thresholds = CanaryThresholds.toMap
+    if (canary.isEmpty) "unknown"
+    else if (canary.exists { case (q, s) => thresholds.get(q).exists(s >= _) })
+      "degraded"
+    else "clean"
+  }
+
+  /** Whether a full-suite run may REPLACE the committed BENCH_LOCAL.json
+    * reference (r14 VERDICT #5: the driver's round-close run overwrote
+    * it with a busy-host copy three rounds running). The committed-
+    * reference protocol is "cleanest full idle run", so a snapshot only
+    * earns the slot by being FASTER than the standing reference;
+    * anything slower goes to a timestamped side file unless forced
+    * (`SPARK_GRAFT_BENCH_COMMIT_REF=1` — e.g. after a registry change
+    * that legitimately raises the total).
+    */
+  def mayOverwriteReference(existingTotal: Option[Double], newTotal: Double,
+                            force: Boolean): Boolean =
+    force || existingTotal.forall(_ > newTotal)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's actual width: every scale probe runs at 32
@@ -171,6 +213,25 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
+    // WINDOW-QUALITY CANARY (r14 VERDICT #1): min-of-2 reps of each
+    // canary query before and after the suite; the JSON then carries
+    // its own window arbitration (thresholds documented on
+    // [[CanaryThresholds]] and in SCALE.md). Min-of-2, not one shot:
+    // the pre-suite rep is the query's first execution and a cold-JIT
+    // first shot measured 4.2 s on a host whose second rep read 1.7 s —
+    // a single cold sample would misclassify clean windows, while real
+    // degradation (hypervisor contention) inflates EVERY rep. ~8 s per
+    // side clean; SPARK_GRAFT_BENCH_CANARY=0 disables (profiling loops).
+    val canaryOn = !sys.env.get("SPARK_GRAFT_BENCH_CANARY").contains("0")
+    def runCanary(tag: String): Seq[(String, Double)] =
+      if (!canaryOn) Nil
+      else CanaryThresholds.map(_._1).flatMap { q =>
+        SparkEntry.queries.get(q).flatMap { fn =>
+          (1 to 2).flatMap(_ => measureOnce(s"canary_$tag:$q", fn))
+            .minOption.map(q -> _)
+        }
+      }
+    val canaryPre = runCanary("pre")
     // per-query record: (min seconds, wall-clock start/end epoch ms
     // spanning ALL reps) — the stamps are the burst-window evidence
     val results = selected.map { case (name, fn) =>
@@ -245,6 +306,13 @@ object Bench {
         name -> (re, w0, System.currentTimeMillis())
       }
     }.toMap
+    // the post-suite canary catches degradation that BEGAN mid-suite
+    // (the pre-suite sample alone would read clean over an r14-style
+    // window that decayed after launch)
+    val canaryPost = runCanary("post")
+    val quality = windowQuality(canaryPre ++ canaryPost)
+    def canarySide(s: Seq[(String, Double)]): String =
+      s.map { case (q, v) => "\"" + q + "\":" + fmt(v) }.mkString("{", ",", "}")
     val suiteT1 = System.currentTimeMillis()
     def offs(ms: Long): Long = (ms - suiteT0) / 1000
     // flagged-block JSON: ref = committed time, min = this suite's
@@ -257,12 +325,51 @@ object Bench {
       "\"" + name + s"""\":{"ref":${fmt(ref)},"min":${fmt(now)},"w":[${offs(q0)},${offs(q1)}],"re":${re.fold("null")(fmt)},"rw":[${offs(r0)},${offs(r1)}]}"""
     }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canaryJson =
+      s"""{"pre":${canarySide(canaryPre)},"post":${canarySide(canaryPost)}}"""
+    // a BENCH_ONLY-filtered run must not clobber the committed full
+    // snapshot (BenchRegressionSpec reads it; a 2-query file canceled
+    // the latch and cost a full re-run this round) — sidecar it. A FULL
+    // run earns the reference slot only by beating the standing total
+    // at the same sf (r14 VERDICT #5: three driver round-close runs
+    // overwrote the idle reference with busy-host copies); slower runs
+    // land in a timestamped side file, SPARK_GRAFT_BENCH_COMMIT_REF=1
+    // forces the slot (legitimate registry/protocol changes).
+    val snapshotName =
+      if (only.isDefined) "BENCH_LOCAL_partial.json"
+      else {
+        val force = sys.env.get("SPARK_GRAFT_BENCH_COMMIT_REF").contains("1")
+        val refPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
+        val existingTotal: Option[Double] =
+          if (!java.nio.file.Files.exists(refPath)) None
+          else try {
+            val s = java.nio.file.Files.readString(refPath)
+            // a reference at a DIFFERENT sf is stale, not standing —
+            // it never blocks this run's snapshot
+            val sameSf = """"sf":\s*"?(?:sf)?([0-9.]+)""".r
+              .findFirstMatchIn(s)
+              .exists(_.group(1) == sfLabel.stripPrefix("sf"))
+            if (!sameSf) None
+            else """"total":\s*([0-9][0-9.eE+-]*)""".r
+              .findFirstMatchIn(s).map(_.group(1).toDouble)
+          } catch { case _: Exception => None }
+        if (mayOverwriteReference(existingTotal, total, force))
+          "BENCH_LOCAL.json"
+        else {
+          val side = s"BENCH_LOCAL.$suiteT0.json"
+          System.err.println(f"WARN Bench: standing BENCH_LOCAL.json " +
+            f"(${existingTotal.get}%.2f s) beats this run (${total}%.2f s) " +
+            s"— reference kept, snapshot -> $side " +
+            "(SPARK_GRAFT_BENCH_COMMIT_REF=1 to force)")
+          side
+        }
+      }
     def render(es: Seq[(String, Option[Double])], omitted: Int): String = {
       val qs = es.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val fl = if (flagged.nonEmpty) s""","flagged":$flaggedJson""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$fl,"errors":$errs,"sf":"$sfLabel","t0":$suiteT0,"t1":$suiteT1}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$fl,"errors":$errs,"canary":$canaryJson,"window_quality":"$quality","snapshot":"$snapshotName","sf":"$sfLabel","t0":$suiteT0,"t1":$suiteT1}"""
     }
     // full-precision sidecar: the complete per-query record lives in the
     // repo regardless of what fits on the stdout line
@@ -272,14 +379,9 @@ object Bench {
     val stampsJson = results
       .map { case (k, _, w0, w1) => "\"" + k + s"""\":[$w0,$w1]""" }
       .mkString("{", ",", "}")
-    // a BENCH_ONLY-filtered run must not clobber the committed full
-    // snapshot (BenchRegressionSpec reads it; a 2-query file canceled
-    // the latch and cost a full re-run this round) — sidecar it
-    val snapshotName =
-      if (only.isDefined) "BENCH_LOCAL_partial.json" else "BENCH_LOCAL.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(snapshotName),
       results.map { case (k, v, _, _) => "\"" + k + "\":" + v.fold("null")(_.toString) }
-        .mkString(s"""{"total":$total,"sf":"$sfLabel","t0":$suiteT0,"t1":$suiteT1,"queries":{""", ",",
+        .mkString(s"""{"total":$total,"sf":"$sfLabel","t0":$suiteT0,"t1":$suiteT1,"canary":$canaryJson,"window_quality":"$quality","queries":{""", ",",
           s"""},"stamps":$stampsJson,"flagged":$flaggedJson,"stored_splits":$splitJson}\n""")
         .getBytes("UTF-8"))
     // if the line would overflow the tail window, shed the CHEAPEST

@@ -119,4 +119,32 @@ class BenchRegressionSpec extends AnyFunSuite {
         "(QueryMetrics the offender at the same sf) before shipping:\n  " +
         offenders.map(_._5).mkString("\n  "))
   }
+
+  test("window-quality canary and reference-guard helpers classify as documented") {
+    // canary classification (thresholds sit in the measured dead band:
+    // clean 1.1-2.6 s, degraded 5-25 s — SCALE.md bench-window logs)
+    assert(Bench.windowQuality(Nil) == "unknown")
+    assert(Bench.windowQuality(Seq(
+      "t2_streaming_merge" -> 2.58, "t3_streaming_dedup" -> 1.21)) == "clean")
+    assert(Bench.windowQuality(Seq(
+      "t2_streaming_merge" -> 25.7, "t3_streaming_dedup" -> 6.1)) == "degraded")
+    // one degraded sample marks the window — including a clean-pre /
+    // degraded-post pair (degradation that began mid-suite)
+    assert(Bench.windowQuality(Seq(
+      "t2_streaming_merge" -> 2.1, "t3_streaming_dedup" -> 1.1,
+      "t2_streaming_merge" -> 9.9, "t3_streaming_dedup" -> 1.2)) == "degraded")
+    // exactly at a threshold is degraded (>=), just under is clean
+    assert(Bench.windowQuality(Seq("t2_streaming_merge" -> 4.0)) == "degraded")
+    assert(Bench.windowQuality(Seq("t2_streaming_merge" -> 3.99)) == "clean")
+
+    // reference guard: a slower full run never evicts the standing
+    // reference (the r12-r14 driver-clobber shape) ...
+    assert(!Bench.mayOverwriteReference(Some(137.87), 191.64, force = false))
+    // ... a faster (cleaner) run earns the slot per the committed-
+    // reference protocol; no/foreign/unparseable reference yields; and
+    // SPARK_GRAFT_BENCH_COMMIT_REF=1 forces (registry changes)
+    assert(Bench.mayOverwriteReference(Some(137.87), 120.0, force = false))
+    assert(Bench.mayOverwriteReference(None, 500.0, force = false))
+    assert(Bench.mayOverwriteReference(Some(137.87), 191.64, force = true))
+  }
 }
