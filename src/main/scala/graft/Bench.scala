@@ -88,6 +88,30 @@ object Bench {
   def mayOverwriteReference(existingTotal: Option[Double], newTotal: Double,
                             force: Boolean): Boolean =
     force || existingTotal.forall(_ > newTotal)
+
+  /** Median of per-query fresh/committed ratios — the arbitration
+    * signal for the SECOND ambient mode (r15, graph-family
+    * arbitration): uniform instance-speed scaling. The t2/t3 canary
+    * catches contention BURSTS (wall-clock-sensitive drains inflate
+    * 2.5-5x), but a host instance that is simply ~1.3x slower across
+    * the board (different hypervisor placement after a reboot) reads
+    * `clean` on the canary while every query — and therefore a handful
+    * of >1.5x flags — drifts up together. The median over the whole
+    * registry names that mode from the artifact alone: flags whose
+    * ratios sit AT the suite median are the uniform ambient, not code
+    * (r15 full-suite evidence: median 1.29, flagged graph family
+    * 1.30-1.43, twelve flags on a DIFFERENT query set than r14's).
+    * A code regression moves its own queries' ratios off the median;
+    * it cannot move the median of 198.
+    */
+  def medianRatio(ratios: Seq[Double]): Option[Double] = {
+    if (ratios.isEmpty) None
+    else {
+      val s = ratios.sorted
+      val n = s.size
+      Some(if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2)
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's actual width: every scale probe runs at 32
@@ -311,6 +335,15 @@ object Bench {
     // window that decayed after launch)
     val canaryPost = runCanary("post")
     val quality = windowQuality(canaryPre ++ canaryPost)
+    // uniform-slowdown arbitration (see [[medianRatio]]): only
+    // meaningful on a full run — an ONLY-filtered handful is exactly
+    // the sample a regression CAN move, so partial runs omit the field
+    val medianVsRef: Option[Double] =
+      if (only.isDefined) None
+      else medianRatio(results.collect {
+        case (name, Some(now), _, _) if refTimes.get(name).exists(_ > 0) =>
+          now / refTimes(name)
+      })
     def canarySide(s: Seq[(String, Double)]): String =
       s.map { case (q, v) => "\"" + q + "\":" + fmt(v) }.mkString("{", ",", "}")
     val suiteT1 = System.currentTimeMillis()
@@ -369,7 +402,8 @@ object Bench {
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val fl = if (flagged.nonEmpty) s""","flagged":$flaggedJson""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$fl,"errors":$errs,"canary":$canaryJson,"window_quality":"$quality","snapshot":"$snapshotName","sf":"$sfLabel","t0":$suiteT0,"t1":$suiteT1}"""
+      val mr = medianVsRef.fold("")(v => s""","median_vs_ref":${fmt(v)}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$fl,"errors":$errs,"canary":$canaryJson,"window_quality":"$quality"$mr,"snapshot":"$snapshotName","sf":"$sfLabel","t0":$suiteT0,"t1":$suiteT1}"""
     }
     // full-precision sidecar: the complete per-query record lives in the
     // repo regardless of what fits on the stdout line
@@ -381,7 +415,7 @@ object Bench {
       .mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(snapshotName),
       results.map { case (k, v, _, _) => "\"" + k + "\":" + v.fold("null")(_.toString) }
-        .mkString(s"""{"total":$total,"sf":"$sfLabel","t0":$suiteT0,"t1":$suiteT1,"canary":$canaryJson,"window_quality":"$quality","queries":{""", ",",
+        .mkString(s"""{"total":$total,"sf":"$sfLabel","t0":$suiteT0,"t1":$suiteT1,"canary":$canaryJson,"window_quality":"$quality"${medianVsRef.fold("")(v => s""","median_vs_ref":$v""")},"queries":{""", ",",
           s"""},"stamps":$stampsJson,"flagged":$flaggedJson,"stored_splits":$splitJson}\n""")
         .getBytes("UTF-8"))
     // if the line would overflow the tail window, shed the CHEAPEST

@@ -146,5 +146,18 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(Bench.mayOverwriteReference(Some(137.87), 120.0, force = false))
     assert(Bench.mayOverwriteReference(None, 500.0, force = false))
     assert(Bench.mayOverwriteReference(Some(137.87), 191.64, force = true))
+
+    // median_vs_ref (r15): the uniform-slowdown arbitration signal —
+    // a handful of >1.5x flags whose ratios sit AT the suite median is
+    // the whole-host ambient mode, not code (the canary only catches
+    // burst contention). Odd/even/empty medians behave as documented.
+    assert(Bench.medianRatio(Nil).isEmpty)
+    assert(Bench.medianRatio(Seq(1.3)).contains(1.3))
+    assert(Bench.medianRatio(Seq(1.1, 1.5)).contains(1.3))
+    assert(Bench.medianRatio(Seq(0.9, 1.29, 5.0)).contains(1.29))
+    // the median of a large registry is insensitive to one query's
+    // genuine regression — the property that makes it an arbiter
+    val uniform = Seq.fill(197)(1.3)
+    assert(Bench.medianRatio(uniform :+ 40.0).contains(1.3))
   }
 }
