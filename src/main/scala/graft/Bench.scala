@@ -84,10 +84,19 @@ object Bench {
     * anything slower goes to a timestamped side file unless forced
     * (`SPARK_GRAFT_BENCH_COMMIT_REF=1` — e.g. after a registry change
     * that legitimately raises the total).
+    *
+    * A reference at a DIFFERENT sf also blocks (r15 found-and-fixed:
+    * the first guard spelled it "stale, not standing" → `None`, which
+    * let an sf1 scaling sweep launched from the repo root CLOBBER the
+    * committed sf0.1 reference — and a clobbered-to-foreign-sf local
+    * file silently CANCELS the BenchRegressionSpec latch, which skips
+    * on sf mismatch. Totals at different sf aren't comparable, so the
+    * faster-total rule can't arbitrate; only the explicit force flag
+    * — a deliberate sf migration — takes the slot.)
     */
   def mayOverwriteReference(existingTotal: Option[Double], newTotal: Double,
-                            force: Boolean): Boolean =
-    force || existingTotal.forall(_ > newTotal)
+                            force: Boolean, sameSf: Boolean = true): Boolean =
+    force || (sameSf && existingTotal.forall(_ > newTotal))
 
   /** Median of per-query fresh/committed ratios — the arbitration
     * signal for the SECOND ambient mode (r15, graph-family
@@ -373,25 +382,31 @@ object Bench {
       else {
         val force = sys.env.get("SPARK_GRAFT_BENCH_COMMIT_REF").contains("1")
         val refPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
-        val existingTotal: Option[Double] =
-          if (!java.nio.file.Files.exists(refPath)) None
+        // (sameSf, total) of the standing reference; a missing or
+        // unparseable file yields (true, None) — nothing stands, the
+        // run takes the slot. A reference at a DIFFERENT sf blocks
+        // unforced (totals aren't comparable across sf — see
+        // [[mayOverwriteReference]]; the first spelling let an sf1
+        // sweep clobber the committed sf0.1 reference).
+        val (refSameSf, existingTotal): (Boolean, Option[Double]) =
+          if (!java.nio.file.Files.exists(refPath)) (true, None)
           else try {
             val s = java.nio.file.Files.readString(refPath)
-            // a reference at a DIFFERENT sf is stale, not standing —
-            // it never blocks this run's snapshot
             val sameSf = """"sf":\s*"?(?:sf)?([0-9.]+)""".r
               .findFirstMatchIn(s)
               .exists(_.group(1) == sfLabel.stripPrefix("sf"))
-            if (!sameSf) None
-            else """"total":\s*([0-9][0-9.eE+-]*)""".r
-              .findFirstMatchIn(s).map(_.group(1).toDouble)
-          } catch { case _: Exception => None }
-        if (mayOverwriteReference(existingTotal, total, force))
+            (sameSf, if (!sameSf) None
+             else """"total":\s*([0-9][0-9.eE+-]*)""".r
+               .findFirstMatchIn(s).map(_.group(1).toDouble))
+          } catch { case _: Exception => (true, None) }
+        if (mayOverwriteReference(existingTotal, total, force, refSameSf))
           "BENCH_LOCAL.json"
         else {
           val side = s"BENCH_LOCAL.$suiteT0.json"
-          System.err.println(f"WARN Bench: standing BENCH_LOCAL.json " +
-            f"(${existingTotal.get}%.2f s) beats this run (${total}%.2f s) " +
+          val why =
+            if (!refSameSf) s"is at a different sf than this run ($sfLabel)"
+            else f"(${existingTotal.get}%.2f s) beats this run (${total}%.2f s)"
+          System.err.println(s"WARN Bench: standing BENCH_LOCAL.json $why " +
             s"— reference kept, snapshot -> $side " +
             "(SPARK_GRAFT_BENCH_COMMIT_REF=1 to force)")
           side

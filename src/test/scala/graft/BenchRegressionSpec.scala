@@ -146,6 +146,14 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(Bench.mayOverwriteReference(Some(137.87), 120.0, force = false))
     assert(Bench.mayOverwriteReference(None, 500.0, force = false))
     assert(Bench.mayOverwriteReference(Some(137.87), 191.64, force = true))
+    // a reference at a DIFFERENT sf blocks unforced (r15 found-and-
+    // fixed: "stale, not standing" let an sf1 scaling sweep clobber the
+    // committed sf0.1 reference, which silently cancels this spec's
+    // latch on the next run) — only a deliberate force migrates the sf
+    assert(!Bench.mayOverwriteReference(None, 500.0, force = false,
+      sameSf = false))
+    assert(Bench.mayOverwriteReference(None, 500.0, force = true,
+      sameSf = false))
 
     // median_vs_ref (r15): the uniform-slowdown arbitration signal —
     // a handful of >1.5x flags whose ratios sit AT the suite median is
