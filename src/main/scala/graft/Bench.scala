@@ -62,6 +62,16 @@ object Bench {
     "t2_streaming_merge" -> 4.0,
     "t3_streaming_dedup" -> 2.0)
 
+  /** The sf the canary thresholds were measured at. The canary queries
+    * run against SPARK_GRAFT_SF_DIR, so at any other scale their
+    * latencies move with the DATA, not the window — the r15 sf1
+    * scaling sweep read a healthy post-suite t3 at 2.78 s and
+    * classified a working window `degraded`. At foreign sf the canary
+    * still RUNS (its raw seconds are scaling evidence) but
+    * classification reports `unknown`, never a false verdict either way.
+    */
+  val CanaryCalibratedSf = "sf0.1"
+
   /** Classify a bench window from canary samples: `degraded` when any
     * sample is at/over its threshold, `clean` when all are under,
     * `unknown` when no sample exists (canary disabled or queries
@@ -75,6 +85,12 @@ object Bench {
       "degraded"
     else "clean"
   }
+
+  /** [[windowQuality]] gated on the calibrated sf — the spelling main
+    * uses (latch-spec-pinned with the sf1 misclassification shape).
+    */
+  def classifyWindow(sfLabel: String, canary: Seq[(String, Double)]): String =
+    if (sfLabel == CanaryCalibratedSf) windowQuality(canary) else "unknown"
 
   /** Whether a full-suite run may REPLACE the committed BENCH_LOCAL.json
     * reference (r14 VERDICT #5: the driver's round-close run overwrote
@@ -343,7 +359,9 @@ object Bench {
     // (the pre-suite sample alone would read clean over an r14-style
     // window that decayed after launch)
     val canaryPost = runCanary("post")
-    val quality = windowQuality(canaryPre ++ canaryPost)
+    // thresholds are calibrated at one sf; elsewhere the canary's raw
+    // seconds are still emitted but never classified (CanaryCalibratedSf)
+    val quality = classifyWindow(sfLabel, canaryPre ++ canaryPost)
     // uniform-slowdown arbitration (see [[medianRatio]]): only
     // meaningful on a full run — an ONLY-filtered handful is exactly
     // the sample a regression CAN move, so partial runs omit the field

@@ -136,6 +136,15 @@ class BenchRegressionSpec extends AnyFunSuite {
     // exactly at a threshold is degraded (>=), just under is clean
     assert(Bench.windowQuality(Seq("t2_streaming_merge" -> 4.0)) == "degraded")
     assert(Bench.windowQuality(Seq("t2_streaming_merge" -> 3.99)) == "clean")
+    // thresholds are calibrated at sf0.1 — at any other sf the canary
+    // latencies move with the data, not the window (the r15 sf1 sweep
+    // read a healthy t3 at 2.78 s), so classification is withheld
+    assert(Bench.classifyWindow("sf0.1",
+      Seq("t3_streaming_dedup" -> 2.78)) == "degraded")
+    assert(Bench.classifyWindow("graft_sf1",
+      Seq("t3_streaming_dedup" -> 2.78)) == "unknown")
+    assert(Bench.classifyWindow("sf0.1",
+      Seq("t2_streaming_merge" -> 2.1)) == "clean")
 
     // reference guard: a slower full run never evicts the standing
     // reference (the r12-r14 driver-clobber shape) ...
