@@ -26,16 +26,29 @@ object NearDupScaleProbe {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // configs: the registry's demo bands (16 planes, r=4 → 16 buckets
-    // per band) vs the corpus-sized spelling the cosineNearDupLsh
-    // scaladoc prescribes (r ≳ log₂(n) − log₂(bucket): 32 planes, r=8 →
-    // 256 buckets) — same τ, so the pair-set delta IS the recall cost
+    // per band) vs the corpus-sized spelling
+    // ([[ext.Similarity.sizedRowsPerBand]], the scaladoc rule as API) —
+    // same τ, so the pair-set delta IS the recall cost
     dirs.foreach { d =>
       val emb = Tables.embeddings(spark, d)
       val rows = emb.count()
-      Seq(("demo_r4", 16, 4), ("scaled_r8", 32, 8)).foreach {
-        case (tag, nPlanes, r) =>
+      val r = ext.Similarity.sizedRowsPerBand(rows)
+      Seq(("demo_r4", 16, 4), (s"sized_r$r", 4 * r, r)).foreach {
+        case (tag, nPlanes, rpb)
+          // expected candidates b·n²/2^r (uniform-bucket floor): above
+          // the budget the config IS the finding — print the prediction
+          // instead of grinding the disk (no silent skip). The formula
+          // is validated where both configs ran: sf0.1→sf1 demo bands
+          // measured 100× candidate growth for 10× rows.
+          if (nPlanes / rpb).toDouble * rows * rows /
+             math.pow(2, rpb) / 2 > 2e8 =>
+          println(s"""{"probe":"neardup_scale","dir":"$d","cfg":"$tag",""" +
+            s""""rows":$rows,"skipped":"predicted ~${
+              f"${(nPlanes / rpb).toDouble * rows * rows / math.pow(2, rpb) / 2}%.2e"
+            } band candidates exceeds the 2e8 probe budget"}""")
+        case (tag, nPlanes, rpb) =>
           val bands = ext.Similarity.signBitBands(emb, "vec_id", "embedding",
-            ext.Similarity.hyperplanes(nPlanes, 64), r)
+            ext.Similarity.hyperplanes(nPlanes, 64), rpb)
           val cands = bands.as("a").join(bands.as("b"),
               org.apache.spark.sql.functions.expr(
                 "a.band_idx = b.band_idx AND a.band_key = b.band_key " +
@@ -44,7 +57,7 @@ object NearDupScaleProbe {
             .distinct().count()
           val t0 = System.nanoTime()
           val pairs = ext.Similarity.cosineNearDupLsh(
-            emb, "vec_id", "embedding", 0.4, nPlanes, r, 64).count()
+            emb, "vec_id", "embedding", 0.4, nPlanes, rpb, 64).count()
           val secs = (System.nanoTime() - t0) / 1e9
           println(s"""{"probe":"neardup_scale","dir":"$d","cfg":"$tag",""" +
             s""""rows":$rows,"band_candidates":$cands,"tau_pairs":$pairs,""" +

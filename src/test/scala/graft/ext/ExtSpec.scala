@@ -241,6 +241,30 @@ class ExtSpec extends SparkSuite {
     assert(lsh == exact) // identical vectors-modulo-epsilon collide in every band
   }
 
+  test("sizedRowsPerBand follows the corpus and the sized LSH keeps true dups") {
+    // ceil(log2(n/bucket)) clamped to [4, 24]: the sizing rule measured
+    // in NearDupScaleProbe (SCALE.md r15) as a function
+    assert(Similarity.sizedRowsPerBand(0L) == 4)            // degenerate
+    assert(Similarity.sizedRowsPerBand(1000L) == 4)         // 15 buckets
+    assert(Similarity.sizedRowsPerBand(2000L) == 5)         // 31 buckets
+    assert(Similarity.sizedRowsPerBand(20000L) == 9)        // 312 buckets
+    assert(Similarity.sizedRowsPerBand(1L << 40) == 24)     // clamp high
+    assert(Similarity.sizedRowsPerBand(4096L, 64L) == 6)    // exact power
+    // larger target bucket → fewer buckets → narrower bands
+    assert(Similarity.sizedRowsPerBand(20000L, 1024L) <
+      Similarity.sizedRowsPerBand(20000L, 64L))
+    // end-to-end: sized bands still collide the epsilon-near pair and
+    // stay a subset of the exact result (same contract as the demo r)
+    val base = Array.tabulate(32)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(32)(i => (math.cos(3 * i + 2) * 0.5).toFloat)
+    val emb = Seq((0L, base), (1L, near), (2L, far)).toDF("vec_id", "embedding")
+    val sized = Similarity.cosineNearDupLshSized(emb, "vec_id", "embedding",
+        threshold = 0.9, corpusRows = 3L, dims = 32)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(sized == Set((0L, 1L)))
+  }
+
   test("signBitBands fails fast on embedding/hyperplane width mismatch") {
     val emb = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
