@@ -158,6 +158,47 @@ object Similarity {
     cents
   }
 
+  /** Corpus-sized IVF cluster count — the classic ~√n rule (balances
+    * probe cost n/k·nProbe against centroid-table scan cost k), clamped
+    * to [4, 65536]. At 10⁹ rows that is ~32k cells of ~32k vectors; the
+    * registry's fixed `nClusters = 4` is the demo spelling, same status
+    * as the LSH demo bands ([[sizedRowsPerBand]]).
+    */
+  def sizedNClusters(corpusRows: Long): Int =
+    math.min(1 << 16,
+      math.max(4, math.ceil(math.sqrt(math.max(0L, corpusRows).toDouble)).toInt))
+
+  /** Centroid training on a bounded deterministic sample — the
+    * corpus-scale spelling of [[ivfCentroids]]. Full Lloyd assignment
+    * costs n·k dot products PER ITERATION — with the √n cluster rule
+    * that is n^1.5 per round, the one superlinear term in the IVF
+    * build — so production trainers fit centroids on ~`trainPerCluster`
+    * vectors per cell and pay the full corpus only the single
+    * assignment pass that writes the inverted lists ([[ivfBuild]]).
+    * The sample is md5-bottom-k over the id (deterministic,
+    * engine-neutral, one scan + TakeOrdered — no shuffle of the
+    * corpus), so the centroids stay a pure function of the data like
+    * the full-Lloyd path. Measured (IvfSampledProbe, SCALE.md r15):
+    * training cost goes flat in corpus size while recall@k against the
+    * full-corpus trainer's index is statistically indistinguishable.
+    */
+  def ivfCentroidsSampled(corpus: DataFrame, idCol: String, vecCol: String,
+                          nClusters: Int, iterations: Int,
+                          trainPerCluster: Int = 64): DataFrame = {
+    val sampleN = math.max(nClusters * trainPerCluster, nClusters * 2)
+    // stats-carrying checkpoint: every Lloyd iteration reads the sample,
+    // and an unmaterialized TakeOrdered would re-scan the CORPUS per
+    // round — exactly the cost sampling exists to avoid (measured: the
+    // sampled trainer read SLOWER than full Lloyd at 20k rows before
+    // this). The sample is bounded (≤ trainPerCluster·k vectors), so
+    // the checkpoint is small by construction.
+    val sample = shims.checkpointWithStats(
+      corpus.select(col(idCol), col(vecCol))
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))
+        .limit(sampleN))
+    ivfCentroids(sample, idCol, vecCol, nClusters, iterations)
+  }
+
   /** IVF search: assign the corpus to its learned cells (the inverted
     * lists), probe each query's `nProbe` nearest cells, exact-score only
     * the listed vectors, take cosine top-k. The candidate join is an
@@ -174,6 +215,21 @@ object Similarity {
     // instead of a stats-less scan — no broadcast hints needed downstream
     val cents = shims.checkpointWithStats(
       ivfCentroids(corpus, idCol, vecCol, nClusters, iterations))
+    val lists = ivfAssign(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col("cluster_id"), norm2Scaled(col(vecCol)).as("c_n2"))
+    ivfSearch(lists, cents, queries, idCol, vecCol, nProbe, k)
+  }
+
+  /** [[ivfTopK]] with caller-supplied centroids — the entry point for
+    * sampled training ([[ivfCentroidsSampled]]) or an externally-fit
+    * model: one full-corpus assignment pass builds the lists, then the
+    * standard probe-and-score. Same plan shape as ivfTopK.
+    */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, centroids: DataFrame,
+                           nProbe: Int, k: Int): DataFrame = {
+    val cents = shims.checkpointWithStats(centroids)
     val lists = ivfAssign(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         col("cluster_id"), norm2Scaled(col(vecCol)).as("c_n2"))

@@ -265,6 +265,27 @@ class ExtSpec extends SparkSuite {
     assert(sized == Set((0L, 1L)))
   }
 
+  test("sizedNClusters follows the sqrt rule; sampled IVF training searches correctly") {
+    assert(Similarity.sizedNClusters(0L) == 4)
+    assert(Similarity.sizedNClusters(16L) == 4)          // clamp low
+    assert(Similarity.sizedNClusters(2000L) == 45)       // ceil(sqrt)
+    assert(Similarity.sizedNClusters(200000L) == 448)
+    assert(Similarity.sizedNClusters(Long.MaxValue) == (1 << 16)) // clamp high
+    // sampled centroids drive the same search contract as full Lloyd:
+    // the near pair is each other's top neighbor, the far one is not
+    val base = Array.tabulate(32)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(32)(i => (math.cos(3 * i + 2) * 0.5).toFloat)
+    val emb = Seq((0L, base), (1L, near), (2L, far)).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroidsSampled(emb, "vec_id", "embedding",
+      nClusters = 2, iterations = 2)
+    assert(cents.count() == 2)
+    val res = Similarity.ivfTopKWithCentroids(emb, emb, "vec_id", "embedding",
+        cents, nProbe = 2, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(res(0L) == 1L && res(1L) == 0L)
+  }
+
   test("signBitBands fails fast on embedding/hyperplane width mismatch") {
     val emb = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
