@@ -70,6 +70,30 @@ object IvfSampledProbe {
         s""""sampled_train_s":${f"$sampTrainS%.2f"},""" +
         s""""full_recall":${f"$fullRecall%.3f"},""" +
         s""""sampled_recall":${f"$sampRecall%.3f"}}""")
+      // PQ twin: same question for the quantizer trainer (m=4 subspaces,
+      // ks=16 codes — richer than the registry demo's ks=4 so recall has
+      // room to differ; training is corpus-bound per Lloyd round)
+      val (pqM, pqSub, pqKs) = (4, 16, 16)
+      val (fullBooks, pqFullS) = timed {
+        val b = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          pqM, pqSub, pqKs, iters)
+        b.count(); b
+      }
+      val pqFullRecall = recallOf(Similarity.pqTopKWithCodebooks(
+        emb, queries, "vec_id", "embedding", fullBooks, pqM, pqSub, k))
+      val (sampBooks, pqSampS) = timed {
+        val b = Similarity.pqCodebooksSampled(emb, "vec_id", "embedding",
+          pqM, pqSub, pqKs, iters)
+        b.count(); b
+      }
+      val pqSampRecall = recallOf(Similarity.pqTopKWithCodebooks(
+        emb, queries, "vec_id", "embedding", sampBooks, pqM, pqSub, k))
+      println(s"""{"probe":"pq_sampled","dir":"$d","rows":$n,""" +
+        s""""m":$pqM,"ks":$pqKs,"k":$k,""" +
+        s""""full_train_s":${f"$pqFullS%.2f"},""" +
+        s""""sampled_train_s":${f"$pqSampS%.2f"},""" +
+        s""""full_recall":${f"$pqFullRecall%.3f"},""" +
+        s""""sampled_recall":${f"$pqSampRecall%.3f"}}""")
       truth.unpersist(); queries.unpersist(); emb.unpersist()
     }
     spark.stop()

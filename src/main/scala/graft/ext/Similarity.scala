@@ -543,6 +543,29 @@ object Similarity {
     books
   }
 
+  /** PQ codebook training on a bounded deterministic sample — the
+    * corpus-scale twin of [[ivfCentroidsSampled]]. Full training costs
+    * n·ks sub-distance evaluations per iteration (ks is fixed, so the
+    * term is linear — but corpus-bound: every Lloyd round re-scans all
+    * n). The sample bounds training to ~`trainPerCode`·ks vectors
+    * REGARDLESS of corpus size (ks=256 → 16k rows at any n); the full
+    * corpus is paid only by the one [[pqEncode]] pass that produces the
+    * codes — which is the index build's irreducible scan. Same
+    * md5-bottom-k sample and stats-checkpoint discipline as the IVF
+    * trainer (every round reads the sample). Measured: IvfSampledProbe
+    * PQ rows, SCALE.md r15.
+    */
+  def pqCodebooksSampled(corpus: DataFrame, idCol: String, vecCol: String,
+                         m: Int, subDim: Int, ks: Int, iterations: Int,
+                         trainPerCode: Int = 64): DataFrame = {
+    val sampleN = math.max(ks * trainPerCode, ks * 2)
+    val sample = shims.checkpointWithStats(
+      corpus.select(col(idCol), col(vecCol))
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))
+        .limit(sampleN))
+    pqCodebooks(sample, idCol, vecCol, m, subDim, ks, iterations)
+  }
+
   /** Encode the corpus against trained codebooks: (id, sub, code) — the
     * compressed representation ADC search scans. At 64 dims / m=4 this
     * is ~4 small ints per vector vs 256 bytes of float32: the scan-size
@@ -600,6 +623,18 @@ object Similarity {
              iterations: Int = 2, k: Int = 3): DataFrame = {
     val books = shims.checkpointWithStats(
       pqCodebooks(corpus, idCol, vecCol, m, subDim, ks, iterations))
+    pqSearch(pqEncode(corpus, books, idCol, vecCol, m, subDim), books,
+      queries, idCol, vecCol, m, subDim, k)
+  }
+
+  /** [[pqTopK]] with caller-supplied codebooks — the entry point for
+    * sampled training ([[pqCodebooksSampled]]) or an externally-fit
+    * quantizer: one full-corpus encode pass, then standard ADC search.
+    */
+  def pqTopKWithCodebooks(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, codebooks: DataFrame,
+                          m: Int, subDim: Int, k: Int): DataFrame = {
+    val books = shims.checkpointWithStats(codebooks)
     pqSearch(pqEncode(corpus, books, idCol, vecCol, m, subDim), books,
       queries, idCol, vecCol, m, subDim, k)
   }
