@@ -804,7 +804,11 @@ object ExtQueries {
     //      → connected components → one keeper per semantic cluster. The
     //      text-dedup resolution machinery applied in embedding space —
     //      pairs from sign-bit bands, min-label propagation for the
-    //      keeper assignment.
+    //      keeper assignment. The fixed demo band width here is the
+    //      ORACLE spelling (the band CTEs embed r literally); at corpus
+    //      scale callers size the bands to n via
+    //      Similarity.cosineNearDupLshSized (candidates drop from
+    //      n²/2^r to ~linear — NearDupScaleProbe, SCALE.md r15).
     "x_semantic_dedup" -> ((s, d) => {
       val pairs = Similarity.cosineNearDupLsh(Tables.embeddings(s, d),
           "vec_id", "embedding", NearDupTau, NearDupPlanes,

@@ -284,6 +284,19 @@ class ExtSpec extends SparkSuite {
         cents, nProbe = 2, k = 1)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
     assert(res(0L) == 1L && res(1L) == 0L)
+    // the PQ twin: sampled codebooks carry the same shape contract
+    // (m·ks rows) and ADC search over them ranks the epsilon-near pair
+    // first for each other
+    val books = Similarity.pqCodebooksSampled(emb, "vec_id", "embedding",
+      m = 2, subDim = 16, ks = 2, iterations = 2)
+    // m·ks is an UPPER bound: a Lloyd round drops a code that captured
+    // no vectors (3 vectors / 2 codes per subspace can collapse to 1)
+    val nBooks = books.count()
+    assert(nBooks >= 2 && nBooks <= 4)
+    val pq = Similarity.pqTopKWithCodebooks(emb, emb, "vec_id", "embedding",
+        books, m = 2, subDim = 16, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(pq(0L) == 1L && pq(1L) == 0L)
   }
 
   test("signBitBands fails fast on embedding/hyperplane width mismatch") {
