@@ -275,9 +275,16 @@ object Similarity {
     * touches raw vectors it doesn't score.
     */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    nClusters: Int, iterations: Int, path: String): Unit = {
+                    nClusters: Int, iterations: Int, path: String,
+                    sampledTraining: Boolean = false): Unit = {
+    // sampledTraining = the corpus-scale build ([[ivfCentroidsSampled]]):
+    // training cost goes flat in n, the full corpus pays only the one
+    // list-assignment pass below. Default off — the oracle-checked demo
+    // builds stay bit-identical.
     val cents = shims.checkpointWithStats(
-      ivfCentroids(corpus, idCol, vecCol, nClusters, iterations))
+      if (sampledTraining)
+        ivfCentroidsSampled(corpus, idCol, vecCol, nClusters, iterations)
+      else ivfCentroids(corpus, idCol, vecCol, nClusters, iterations))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     ivfAssign(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
@@ -329,8 +336,11 @@ object Similarity {
     * stream in continuously against the standing cells.
     */
   def writeIvfModel(corpus: DataFrame, idCol: String, vecCol: String,
-                    nClusters: Int, iterations: Int, path: String): Unit =
-    ivfCentroids(corpus, idCol, vecCol, nClusters, iterations)
+                    nClusters: Int, iterations: Int, path: String,
+                    sampledTraining: Boolean = false): Unit =
+    (if (sampledTraining)
+       ivfCentroidsSampled(corpus, idCol, vecCol, nClusters, iterations)
+     else ivfCentroids(corpus, idCol, vecCol, nClusters, iterations))
       .write.mode("overwrite").parquet(s"$path/centroids")
 
   /** STREAMING inverted-list maintenance — IVM for ANN, closing the one
@@ -646,9 +656,11 @@ object Similarity {
     */
   def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                    m: Int, subDim: Int, ks: Int, iterations: Int,
-                   path: String): Unit = {
+                   path: String, sampledTraining: Boolean = false): Unit = {
     val books = shims.checkpointWithStats(
-      pqCodebooks(corpus, idCol, vecCol, m, subDim, ks, iterations))
+      if (sampledTraining)
+        pqCodebooksSampled(corpus, idCol, vecCol, m, subDim, ks, iterations)
+      else pqCodebooks(corpus, idCol, vecCol, m, subDim, ks, iterations))
     books.write.mode("overwrite").parquet(s"$path/codebooks")
     pqEncode(corpus, books, idCol, vecCol, m, subDim)
       .sortWithinPartitions(col("neighbor_id"), col("sub"))
@@ -740,16 +752,35 @@ object Similarity {
 
   private def ivfPqModel(corpus: DataFrame, idCol: String, vecCol: String,
                          nCoarse: Int, coarseIters: Int, m: Int, subDim: Int,
-                         ks: Int, pqIters: Int)
+                         ks: Int, pqIters: Int,
+                         sampledTraining: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val coarse = shims.checkpointWithStats(
-      ivfCentroids(corpus, idCol, vecCol, nCoarse, coarseIters))
+      if (sampledTraining)
+        ivfCentroidsSampled(corpus, idCol, vecCol, nCoarse, coarseIters)
+      else ivfCentroids(corpus, idCol, vecCol, nCoarse, coarseIters))
     // checkpointed: the Lloyd loop below re-reads the residuals every
-    // round, and the code/cell lookup reads them twice more
+    // round, and the code/cell lookup reads them twice more. The
+    // residuals themselves are corpus-sized in BOTH modes — codes need
+    // every vector's residual, that pass is the build's irreducible
+    // scan; sampling bounds only the codebook Lloyd rounds.
     val resid = shims.checkpointWithStats(
       residuals(corpus, coarse, idCol, vecCol))
-    val books = shims.checkpointWithStats(
-      pqCodebooks(resid, idCol, "rvec", m, subDim, ks, pqIters))
+    val books =
+      if (!sampledTraining)
+        shims.checkpointWithStats(
+          pqCodebooks(resid, idCol, "rvec", m, subDim, ks, pqIters))
+      else {
+        val trainResid = shims.checkpointWithStats(
+          resid.select(col(idCol), col("rvec"))
+            .orderBy(md5(col(idCol).cast("string")), col(idCol))
+            .limit(math.max(ks * 64, ks * 2)))
+        val b = shims.checkpointWithStats(
+          pqCodebooks(trainResid, idCol, "rvec", m, subDim, ks, pqIters))
+        // the training sample is dead once the books are materialized
+        shims.unpersistLocalCheckpoint(trainResid)
+        b
+      }
     val codes = encodeResiduals(resid, books, idCol, m, subDim)
     (coarse, books, codes, resid)
   }
@@ -833,9 +864,10 @@ object Similarity {
     */
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       nCoarse: Int, coarseIters: Int, m: Int, subDim: Int,
-                      ks: Int, pqIters: Int, path: String): Unit = {
+                      ks: Int, pqIters: Int, path: String,
+                      sampledTraining: Boolean = false): Unit = {
     val (coarse, books, codes, resid) = ivfPqModel(corpus, idCol, vecCol,
-      nCoarse, coarseIters, m, subDim, ks, pqIters)
+      nCoarse, coarseIters, m, subDim, ks, pqIters, sampledTraining)
     coarse.write.mode("overwrite").parquet(s"$path/coarse")
     books.write.mode("overwrite").parquet(s"$path/codebooks")
     codes.write.mode("overwrite").partitionBy("coarse_id")
@@ -889,12 +921,13 @@ object Similarity {
     */
   def writeIvfPqModel(corpus: DataFrame, idCol: String, vecCol: String,
                       nCoarse: Int, coarseIters: Int, m: Int, subDim: Int,
-                      ks: Int, pqIters: Int, path: String): Unit = {
+                      ks: Int, pqIters: Int, path: String,
+                      sampledTraining: Boolean = false): Unit = {
     // the one training pipeline (t14 parity depends on this path and
     // writeIvfPqIndex training bit-identical models); codes is lazy, so
     // discarding it costs nothing
     val (coarse, books, _, resid) = ivfPqModel(corpus, idCol, vecCol,
-      nCoarse, coarseIters, m, subDim, ks, pqIters)
+      nCoarse, coarseIters, m, subDim, ks, pqIters, sampledTraining)
     coarse.write.mode("overwrite").parquet(s"$path/coarse")
     books.write.mode("overwrite").parquet(s"$path/codebooks")
     Seq(coarse, resid, books).foreach(shims.unpersistLocalCheckpoint)

@@ -36,4 +36,33 @@ class IvfStoredSpec extends SparkSuite {
     assert(plan.contains("dynamicpruning"),
       s"lists scan is not DPP-pruned:\n$plan")
   }
+
+  test("sampled-training stored builds keep the layout and search contract") {
+    // sampledTraining changes WHAT the trainer reads (a bounded
+    // md5-bottom-k sample), never the index layout or the search path:
+    // the stored search must still DPP-prune and return sane neighbors.
+    // (Result parity with full training is a quality question, measured
+    // in IvfSampledProbe/SCALE.md r15 — not an equality contract.)
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("ivf_sampled").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      nClusters = 4, iterations = 2, path = path, sampledTraining = true)
+    val dirs = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.getName.startsWith("cluster_id=")).map(_.getName)
+    assert(dirs.nonEmpty && dirs.length <= 4)
+    val stored = Similarity.ivfTopKStored(spark, path, queries,
+      "vec_id", "embedding", nProbe = 2, k = 3)
+    val rows = stored.collect()
+    assert(rows.nonEmpty)
+    assert(stored.queryExecution.executedPlan.toString.contains("dynamicpruning"))
+
+    val pqPath = java.nio.file.Files.createTempDirectory("ivfpq_sampled").toString
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+      nCoarse = 4, coarseIters = 2, m = 4, subDim = 16, ks = 4, pqIters = 2,
+      path = pqPath, sampledTraining = true)
+    val pqStored = Similarity.ivfPqTopKStored(spark, pqPath, queries,
+      "vec_id", "embedding", m = 4, subDim = 16, nProbe = 2, k = 3)
+    assert(pqStored.collect().nonEmpty)
+  }
 }
