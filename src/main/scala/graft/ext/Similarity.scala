@@ -191,12 +191,17 @@ object Similarity {
     // round — exactly the cost sampling exists to avoid (measured: the
     // sampled trainer read SLOWER than full Lloyd at 20k rows before
     // this). The sample is bounded (≤ trainPerCluster·k vectors), so
-    // the checkpoint is small by construction.
+    // the checkpoint is small by construction — and freed before
+    // returning: the centroids are materialized here (they are k rows;
+    // a lazy return would pin the sample's blocks for the session).
     val sample = shims.checkpointWithStats(
       corpus.select(col(idCol), col(vecCol))
         .orderBy(md5(col(idCol).cast("string")), col(idCol))
         .limit(sampleN))
-    ivfCentroids(sample, idCol, vecCol, nClusters, iterations)
+    val cents = shims.checkpointWithStats(
+      ivfCentroids(sample, idCol, vecCol, nClusters, iterations))
+    shims.unpersistLocalCheckpoint(sample)
+    cents
   }
 
   /** IVF search: assign the corpus to its learned cells (the inverted
@@ -573,7 +578,12 @@ object Similarity {
       corpus.select(col(idCol), col(vecCol))
         .orderBy(md5(col(idCol).cast("string")), col(idCol))
         .limit(sampleN))
-    pqCodebooks(sample, idCol, vecCol, m, subDim, ks, iterations)
+    // materialize-and-free, as in [[ivfCentroidsSampled]]: the books are
+    // m·ks rows; returning them lazy would pin the sample's blocks
+    val books = shims.checkpointWithStats(
+      pqCodebooks(sample, idCol, vecCol, m, subDim, ks, iterations))
+    shims.unpersistLocalCheckpoint(sample)
+    books
   }
 
   /** Encode the corpus against trained codebooks: (id, sub, code) — the
