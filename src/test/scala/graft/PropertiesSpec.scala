@@ -593,4 +593,24 @@ class PropertiesSpec extends SparkSuite {
         .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
       lsh.subsetOf(exact)
     })
+
+  check("corpus-sizing rules clamp and grow monotonically (r15 sized APIs)",
+    Prop.forAll(Gen.choose(0L, 1L << 50), Gen.choose(0L, 1L << 50),
+        Gen.choose(1L, 1L << 20)) { (n1, n2, bucket) =>
+      val (lo, hi) = (math.min(n1, n2), math.max(n1, n2))
+      val (rLo, rHi) = (graft.ext.Similarity.sizedRowsPerBand(lo, bucket),
+        graft.ext.Similarity.sizedRowsPerBand(hi, bucket))
+      val (kLo, kHi) = (graft.ext.Similarity.sizedNClusters(lo),
+        graft.ext.Similarity.sizedNClusters(hi))
+      // clamps hold at any input; more data never picks a WIDER bucket
+      // (narrower bands) or FEWER cells — the monotonicity that makes
+      // the rules safe to apply per-batch on a growing corpus
+      rLo >= 4 && rHi <= 24 && rLo <= rHi &&
+        kLo >= 4 && kHi <= (1 << 16) && kLo <= kHi &&
+        // in the unclamped region the band really holds the target
+        // bucket: buckets = 2^r covers n/bucket within one doubling
+        (rHi == 4 || rHi == 24 ||
+          (math.pow(2, rHi) >= hi.toDouble / bucket &&
+           math.pow(2, rHi - 1) < hi.toDouble / bucket))
+    })
 }
