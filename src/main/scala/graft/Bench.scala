@@ -137,6 +137,27 @@ object Bench {
       Some(if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2)
     }
   }
+
+  /** The sf label of a bench snapshot: quoted-string form first (the
+    * sidecar's `"sf":"sf0.1"` — and NON-NUMERIC labels like the sf1
+    * sweep's `"graft_sf1"`, which the previous `[0-9.]+`-only pattern
+    * could never match, so a run from a non-`sfN`-named dir was blocked
+    * as "different sf" even against its OWN reference and sidecar'd
+    * forever — r15 ADVICE), then the driver snapshot's bare-number form
+    * (`"sf": 0.1`). The driver file embeds an ESCAPED copy of the
+    * stdout line in its "tail" string, but `\"sf\":` never matches a
+    * pattern anchored on an unescaped quote, so the real field wins.
+    */
+  def sfLabelOf(json: String): Option[String] =
+    """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+      .orElse(""""sf":\s*([0-9][0-9.eE+-]*)""".r.findFirstMatchIn(json).map(_.group(1)))
+
+  /** Label equality up to the optional `sf` dir-name prefix — `sf0.1`,
+    * `0.1` and `"0.1"` all name the same scale; `graft_sf1` only
+    * matches itself.
+    */
+  def sameSfLabel(a: String, b: String): Boolean =
+    a.stripPrefix("sf") == b.stripPrefix("sf")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's actual width: every scale probe runs at 32
@@ -173,12 +194,11 @@ object Bench {
     // warning AND a ref-parse marker in the JSON errors array.
     val refWarnings = scala.collection.mutable.LinkedHashSet[String]()
     val refTimes: Map[String, Double] = try {
-      val sfWanted = sfDir.split('/').last.stripPrefix("sf")
+      val sfWanted = sfDir.split('/').last
       def parseRef(p: java.nio.file.Path): Map[String, Double] = {
         if (!java.nio.file.Files.exists(p)) return Map.empty
         val s = java.nio.file.Files.readString(p)
-        val sfOk = """"sf":\s*"?(?:sf)?([0-9.]+)""".r.findFirstMatchIn(s)
-          .exists(_.group(1) == sfWanted)
+        val sfOk = sfLabelOf(s).exists(sameSfLabel(_, sfWanted))
         if (!sfOk) return Map.empty // different sf: legitimately unusable
         // driver snapshots use json.dump spacing and embed an ESCAPED
         // copy inside their "tail" string — the (?<!\\) guard skips it
@@ -410,9 +430,7 @@ object Bench {
           if (!java.nio.file.Files.exists(refPath)) (true, None)
           else try {
             val s = java.nio.file.Files.readString(refPath)
-            val sameSf = """"sf":\s*"?(?:sf)?([0-9.]+)""".r
-              .findFirstMatchIn(s)
-              .exists(_.group(1) == sfLabel.stripPrefix("sf"))
+            val sameSf = sfLabelOf(s).exists(sameSfLabel(_, sfLabel))
             (sameSf, if (!sameSf) None
              else """"total":\s*([0-9][0-9.eE+-]*)""".r
                .findFirstMatchIn(s).map(_.group(1).toDouble))

@@ -198,11 +198,35 @@ object Similarity {
       corpus.select(col(idCol), col(vecCol))
         .orderBy(md5(col(idCol).cast("string")), col(idCol))
         .limit(sampleN))
-    val cents = shims.checkpointWithStats(
+    // finally, not sequential: a Lloyd round that throws (lost executor,
+    // cancelled job group) must not leave the sample's blocks pinned for
+    // the session — the shims contract says nothing else will free them
+    try shims.checkpointWithStats(
       ivfCentroids(sample, idCol, vecCol, nClusters, iterations))
-    shims.unpersistLocalCheckpoint(sample)
-    cents
+    finally shims.unpersistLocalCheckpoint(sample)
   }
+
+  /** Corpus-row threshold above which the STORED-index builders train
+    * on the bounded md5-bottom-k sample by default (r15 VERDICT #5:
+    * `sampledTraining` was a caller flag with a measured crossover —
+    * make the default follow the measurement). IvfSampledProbe
+    * (SCALE.md r15) brackets the crossover: at 20k rows the sample's
+    * checkpoint + scan overhead ties or loses to full Lloyd; at 200k
+    * full training is 12.7× slower at statistically-equal recall. 2^16
+    * sits inside that measured gap — below it the demo/oracle corpora
+    * (≤ tens of k) keep bit-identical full training, above it a build
+    * would otherwise pay the n^1.5 (IVF) / corpus-bound-per-round (PQ)
+    * Lloyd term the sampled trainers exist to remove. The decision
+    * input is one `corpus.count()` — metadata-cheap against a parquet
+    * source, and a build already scans the corpus many times over.
+    */
+  val AutoSampledTrainingRows = 65536L
+
+  /** The auto rule the stored builders apply when the caller does not
+    * force a mode (threshold documented on [[AutoSampledTrainingRows]]).
+    */
+  def autoSampledTraining(corpusRows: Long): Boolean =
+    corpusRows >= AutoSampledTrainingRows
 
   /** IVF search: assign the corpus to its learned cells (the inverted
     * lists), probe each query's `nProbe` nearest cells, exact-score only
@@ -231,10 +255,24 @@ object Similarity {
     * model: one full-corpus assignment pass builds the lists, then the
     * standard probe-and-score. Same plan shape as ivfTopK.
     */
+  /** Stats checkpoint unless the frame already IS one: the sampled
+    * trainers return materialized stats checkpoints, and re-wrapping a
+    * bare LogicalRDD leaf would re-materialize the model table and
+    * strand the inner blocks for the session (the r15 ADVICE
+    * double-checkpoint shape). Lazy frames (e.g. a raw [[ivfCentroids]]
+    * plan handed to [[ivfTopKWithCentroids]]) still get checkpointed —
+    * the search reads the model twice.
+    */
+  private def ensureStatsCheckpoint(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => shims.checkpointWithStats(df)
+    }
+
   def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
                            idCol: String, vecCol: String, centroids: DataFrame,
                            nProbe: Int, k: Int): DataFrame = {
-    val cents = shims.checkpointWithStats(centroids)
+    val cents = ensureStatsCheckpoint(centroids)
     val lists = ivfAssign(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         col("cluster_id"), norm2Scaled(col(vecCol)).as("c_n2"))
@@ -281,21 +319,33 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     nClusters: Int, iterations: Int, path: String,
-                    sampledTraining: Boolean = false): Unit = {
-    // sampledTraining = the corpus-scale build ([[ivfCentroidsSampled]]):
+                    sampledTraining: Option[Boolean] = None): Unit = {
+    // Some(true) = the corpus-scale build ([[ivfCentroidsSampled]]):
     // training cost goes flat in n, the full corpus pays only the one
-    // list-assignment pass below. Default off — the oracle-checked demo
-    // builds stay bit-identical.
-    val cents = shims.checkpointWithStats(
-      if (sampledTraining)
+    // list-assignment pass below. None = AUTO — sampled iff the corpus
+    // clears [[AutoSampledTrainingRows]], so the oracle-checked demo
+    // builds (small corpora) stay bit-identical with no caller change
+    // while production-sized builds stop paying the n^1.5 Lloyd term by
+    // default. The sampled trainer already RETURNS a stats checkpoint —
+    // wrapping it again would re-materialize the model table and strand
+    // the inner blocks (r15 ADVICE).
+    val sampled = sampledTraining.getOrElse(autoSampledTraining(corpus.count()))
+    val cents =
+      if (sampled)
         ivfCentroidsSampled(corpus, idCol, vecCol, nClusters, iterations)
-      else ivfCentroids(corpus, idCol, vecCol, nClusters, iterations))
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    ivfAssign(corpus, cents, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-        norm2Scaled(col(vecCol)).as("c_n2"), col("cluster_id"))
-      .write.mode("overwrite").partitionBy("cluster_id")
-      .parquet(s"$path/lists")
+      else shims.checkpointWithStats(
+        ivfCentroids(corpus, idCol, vecCol, nClusters, iterations))
+    try {
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      ivfAssign(corpus, cents, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+          norm2Scaled(col(vecCol)).as("c_n2"), col("cluster_id"))
+        .write.mode("overwrite").partitionBy("cluster_id")
+        .parquet(s"$path/lists")
+    } finally
+      // the checkpoint is dead once the index is on disk (and on a failed
+      // write there is nothing left to read it) — free its blocks now
+      shims.unpersistLocalCheckpoint(cents)
   }
 
   /** Search a stored index ([[writeIvfIndex]]): identical results to
@@ -342,11 +392,19 @@ object Similarity {
     */
   def writeIvfModel(corpus: DataFrame, idCol: String, vecCol: String,
                     nClusters: Int, iterations: Int, path: String,
-                    sampledTraining: Boolean = false): Unit =
-    (if (sampledTraining)
-       ivfCentroidsSampled(corpus, idCol, vecCol, nClusters, iterations)
-     else ivfCentroids(corpus, idCol, vecCol, nClusters, iterations))
-      .write.mode("overwrite").parquet(s"$path/centroids")
+                    sampledTraining: Option[Boolean] = None): Unit =
+    if (sampledTraining.getOrElse(autoSampledTraining(corpus.count()))) {
+      // the sampled trainer returns a stats CHECKPOINT (its Lloyd loop
+      // re-reads the sample) — free the model-table blocks once the
+      // parquet write has them (r15 ADVICE: this path leaked them)
+      val cents = ivfCentroidsSampled(corpus, idCol, vecCol, nClusters, iterations)
+      try cents.write.mode("overwrite").parquet(s"$path/centroids")
+      finally shims.unpersistLocalCheckpoint(cents)
+    } else
+      // full Lloyd yields a LAZY frame: the write is its only
+      // materialization, nothing persists past it
+      ivfCentroids(corpus, idCol, vecCol, nClusters, iterations)
+        .write.mode("overwrite").parquet(s"$path/centroids")
 
   /** STREAMING inverted-list maintenance — IVM for ANN, closing the one
     * asymmetry left in the streaming-index family (BM25 had a full
@@ -578,12 +636,12 @@ object Similarity {
       corpus.select(col(idCol), col(vecCol))
         .orderBy(md5(col(idCol).cast("string")), col(idCol))
         .limit(sampleN))
-    // materialize-and-free, as in [[ivfCentroidsSampled]]: the books are
-    // m·ks rows; returning them lazy would pin the sample's blocks
-    val books = shims.checkpointWithStats(
+    // materialize-and-free (in finally — the ivfCentroidsSampled
+    // rationale): the books are m·ks rows; returning them lazy would pin
+    // the sample's blocks
+    try shims.checkpointWithStats(
       pqCodebooks(sample, idCol, vecCol, m, subDim, ks, iterations))
-    shims.unpersistLocalCheckpoint(sample)
-    books
+    finally shims.unpersistLocalCheckpoint(sample)
   }
 
   /** Encode the corpus against trained codebooks: (id, sub, code) — the
@@ -654,7 +712,7 @@ object Similarity {
   def pqTopKWithCodebooks(corpus: DataFrame, queries: DataFrame,
                           idCol: String, vecCol: String, codebooks: DataFrame,
                           m: Int, subDim: Int, k: Int): DataFrame = {
-    val books = shims.checkpointWithStats(codebooks)
+    val books = ensureStatsCheckpoint(codebooks)
     pqSearch(pqEncode(corpus, books, idCol, vecCol, m, subDim), books,
       queries, idCol, vecCol, m, subDim, k)
   }
@@ -666,18 +724,24 @@ object Similarity {
     */
   def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                    m: Int, subDim: Int, ks: Int, iterations: Int,
-                   path: String, sampledTraining: Boolean = false): Unit = {
-    val books = shims.checkpointWithStats(
-      if (sampledTraining)
+                   path: String, sampledTraining: Option[Boolean] = None): Unit = {
+    // None = auto (see [[AutoSampledTrainingRows]]); the sampled trainer
+    // already returns a stats checkpoint — a second wrap would
+    // re-materialize and strand the inner blocks (r15 ADVICE)
+    val books =
+      if (sampledTraining.getOrElse(autoSampledTraining(corpus.count())))
         pqCodebooksSampled(corpus, idCol, vecCol, m, subDim, ks, iterations)
-      else pqCodebooks(corpus, idCol, vecCol, m, subDim, ks, iterations))
-    books.write.mode("overwrite").parquet(s"$path/codebooks")
-    pqEncode(corpus, books, idCol, vecCol, m, subDim)
-      .sortWithinPartitions(col("neighbor_id"), col("sub"))
-      .write.mode("overwrite").parquet(s"$path/codes")
-    // the checkpoint is dead once the index is on disk — free its
-    // blocks now, don't wait for GC (the bfsHops/ssspRounds discipline)
-    shims.unpersistLocalCheckpoint(books)
+      else shims.checkpointWithStats(
+        pqCodebooks(corpus, idCol, vecCol, m, subDim, ks, iterations))
+    try {
+      books.write.mode("overwrite").parquet(s"$path/codebooks")
+      pqEncode(corpus, books, idCol, vecCol, m, subDim)
+        .sortWithinPartitions(col("neighbor_id"), col("sub"))
+        .write.mode("overwrite").parquet(s"$path/codes")
+    } finally
+      // the checkpoint is dead once the index is on disk — free its
+      // blocks now, don't wait for GC (the bfsHops/ssspRounds discipline)
+      shims.unpersistLocalCheckpoint(books)
   }
 
   /** Search a stored PQ index ([[writePqIndex]]): identical results to
@@ -765,10 +829,13 @@ object Similarity {
                          ks: Int, pqIters: Int,
                          sampledTraining: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val coarse = shims.checkpointWithStats(
+    // sampled trainer output is already a stats checkpoint — no second
+    // wrap (r15 ADVICE: the double checkpoint stranded the inner blocks)
+    val coarse =
       if (sampledTraining)
         ivfCentroidsSampled(corpus, idCol, vecCol, nCoarse, coarseIters)
-      else ivfCentroids(corpus, idCol, vecCol, nCoarse, coarseIters))
+      else shims.checkpointWithStats(
+        ivfCentroids(corpus, idCol, vecCol, nCoarse, coarseIters))
     // checkpointed: the Lloyd loop below re-reads the residuals every
     // round, and the code/cell lookup reads them twice more. The
     // residuals themselves are corpus-sized in BOTH modes — codes need
@@ -785,11 +852,11 @@ object Similarity {
           resid.select(col(idCol), col("rvec"))
             .orderBy(md5(col(idCol).cast("string")), col(idCol))
             .limit(math.max(ks * 64, ks * 2)))
-        val b = shims.checkpointWithStats(
+        // the training sample is dead once the books are materialized —
+        // freed in finally so a failed Lloyd round can't strand it
+        try shims.checkpointWithStats(
           pqCodebooks(trainResid, idCol, "rvec", m, subDim, ks, pqIters))
-        // the training sample is dead once the books are materialized
-        shims.unpersistLocalCheckpoint(trainResid)
-        b
+        finally shims.unpersistLocalCheckpoint(trainResid)
       }
     val codes = encodeResiduals(resid, books, idCol, m, subDim)
     (coarse, books, codes, resid)
@@ -875,16 +942,22 @@ object Similarity {
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       nCoarse: Int, coarseIters: Int, m: Int, subDim: Int,
                       ks: Int, pqIters: Int, path: String,
-                      sampledTraining: Boolean = false): Unit = {
+                      sampledTraining: Option[Boolean] = None): Unit = {
+    // None = auto (see [[AutoSampledTrainingRows]]) — resolved ONCE here
+    // so the coarse and sub-codebook trainers can't disagree
     val (coarse, books, codes, resid) = ivfPqModel(corpus, idCol, vecCol,
-      nCoarse, coarseIters, m, subDim, ks, pqIters, sampledTraining)
-    coarse.write.mode("overwrite").parquet(s"$path/coarse")
-    books.write.mode("overwrite").parquet(s"$path/codebooks")
-    codes.write.mode("overwrite").partitionBy("coarse_id")
-      .parquet(s"$path/codes")
-    // all three model checkpoints (incl. the corpus-sized residuals) are
-    // dead once the index is on disk — free them eagerly
-    Seq(coarse, resid, books).foreach(shims.unpersistLocalCheckpoint)
+      nCoarse, coarseIters, m, subDim, ks, pqIters,
+      sampledTraining.getOrElse(autoSampledTraining(corpus.count())))
+    try {
+      coarse.write.mode("overwrite").parquet(s"$path/coarse")
+      books.write.mode("overwrite").parquet(s"$path/codebooks")
+      codes.write.mode("overwrite").partitionBy("coarse_id")
+        .parquet(s"$path/codes")
+    } finally
+      // all three model checkpoints (incl. the corpus-sized residuals)
+      // are dead once the index is on disk (or the build failed) — free
+      // them eagerly
+      Seq(coarse, resid, books).foreach(shims.unpersistLocalCheckpoint)
   }
 
   /** Search a stored IVF-PQ index ([[writeIvfPqIndex]]): identical
@@ -932,15 +1005,18 @@ object Similarity {
   def writeIvfPqModel(corpus: DataFrame, idCol: String, vecCol: String,
                       nCoarse: Int, coarseIters: Int, m: Int, subDim: Int,
                       ks: Int, pqIters: Int, path: String,
-                      sampledTraining: Boolean = false): Unit = {
+                      sampledTraining: Option[Boolean] = None): Unit = {
     // the one training pipeline (t14 parity depends on this path and
-    // writeIvfPqIndex training bit-identical models); codes is lazy, so
-    // discarding it costs nothing
+    // writeIvfPqIndex training bit-identical models — both resolve auto
+    // through the same [[autoSampledTraining]] rule on the same corpus);
+    // codes is lazy, so discarding it costs nothing
     val (coarse, books, _, resid) = ivfPqModel(corpus, idCol, vecCol,
-      nCoarse, coarseIters, m, subDim, ks, pqIters, sampledTraining)
-    coarse.write.mode("overwrite").parquet(s"$path/coarse")
-    books.write.mode("overwrite").parquet(s"$path/codebooks")
-    Seq(coarse, resid, books).foreach(shims.unpersistLocalCheckpoint)
+      nCoarse, coarseIters, m, subDim, ks, pqIters,
+      sampledTraining.getOrElse(autoSampledTraining(corpus.count())))
+    try {
+      coarse.write.mode("overwrite").parquet(s"$path/coarse")
+      books.write.mode("overwrite").parquet(s"$path/codebooks")
+    } finally Seq(coarse, resid, books).foreach(shims.unpersistLocalCheckpoint)
   }
 
   /** STREAMING code-table maintenance for the IVF-PQ index — the

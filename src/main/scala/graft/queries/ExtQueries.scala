@@ -38,6 +38,14 @@ object ExtQueries {
   private val NearDupPlanes = 16
   private val NearDupRowsPerBand = 4
   private val EmbDims = 64
+
+  /** Bucket target for `x_embed_neardup_sized`: 8, not the API default
+    * 64, so [[Similarity.sizedRowsPerBand]] leaves its lower clamp even
+    * at the 500-vector verify corpus (r = 6 there; a 64-row bucket
+    * would clamp to the demo r = 4 and the sized path would be
+    * degenerate-equal to the demo banding).
+    */
+  private val SizedNearDupBucketRows = 8L
   // centroid-outlier threshold: flags vectors not positively aligned
   // with their label centroid (~10% of the synthetic corpus)
   private val OutlierTau = 0.0
@@ -311,6 +319,32 @@ object ExtQueries {
         "vec_id", "embedding", m = 4, subDim = 16, nProbe = 2, k = 3)
     }),
 
+    // ---- the r15 corpus-scale trainers, oracle-checked (r15 VERDICT
+    //      #2): centroids/codebooks fit on the bounded md5-bottom-k
+    //      sample (deterministic + engine-neutral, so the LEARNED
+    //      sampled model hash-matches a DuckDB re-derivation), the full
+    //      corpus pays only the one assignment/encode pass.
+    //      trainPerCluster/trainPerCode are 16 → the 64-row sample is a
+    //      STRICT subset of even the 500-vector verify corpus — the
+    //      sampled path is genuinely exercised, not degenerate-equal to
+    //      full training.
+    "x_ann_ivf_sampled" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroidsSampled(emb, "vec_id", "embedding",
+        nClusters = 4, iterations = 2, trainPerCluster = 16)
+      Similarity.ivfTopKWithCentroids(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", cents, nProbe = 2, k = 3)
+        .withColumn("cluster_id", col("cluster_id").cast("bigint"))
+    }),
+
+    "x_ann_pq_sampled" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val books = Similarity.pqCodebooksSampled(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, ks = 4, iterations = 2, trainPerCode = 16)
+      Similarity.pqTopKWithCodebooks(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", books, m = 4, subDim = 16, k = 3)
+    }),
+
     // ---- bucket-pruned cosine top-3 within the query's label bucket
     "x_ann_bucketed" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -371,6 +405,19 @@ object ExtQueries {
         Tables.embeddings(s, d).filter(
           substring(md5(col("vec_id").cast("string")), 1, 1) < lit("8")),
         "vec_id", "embedding", NearDupTau, NearDupPlanes, NearDupRowsPerBand, EmbDims)),
+
+    // ---- the corpus-SIZED banding (r15's sizedRowsPerBand rule as a
+    //      first-class oracle-checked query, r15 VERDICT #2): r follows
+    //      the corpus row count — a metadata-only parquet count — so
+    //      candidate volume stays ~b·n·bucket/2 (linear) at any scale;
+    //      bucket target 8 keeps the rule off its clamp at the verify
+    //      corpus (see [[SizedNearDupBucketRows]])
+    "x_embed_neardup_sized" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.cosineNearDupLshSized(emb, "vec_id", "embedding", NearDupTau,
+        corpusRows = emb.count(), nBands = 4, dims = EmbDims,
+        targetBucketRows = SizedNearDupBucketRows)
+    }),
 
     // ---- REAL image decode, oracle-checked end-to-end: synthesize
     //      PNGs from closed-form parameters (Multimodal.synthImage),
@@ -982,6 +1029,46 @@ object ExtQueries {
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id)""".stripMargin
   }
 
+  /** Corpus-SIZED sign-bit banding as DuckDB CTEs — the oracle twin of
+    * [[Similarity.cosineNearDupLshSized]], sf-GENERIC like the Spark
+    * side: `r` is computed from the table's own row count inside the
+    * SQL (same floor-division + ceil-log2 + [4,24] clamp as
+    * [[Similarity.sizedRowsPerBand]]), the full `nBands·24` plane
+    * prefix is embedded (plane j's literal depends only on j, so the
+    * hyperplane matrix for ANY r is a prefix of the max-r matrix), and
+    * band j's key is `substr` j·r+1..j·r+r of the full bit string —
+    * exactly the planes Spark's `hyperplanes(nBands·r, dims)` gives
+    * band j. ceil-log2 via floor(log2(n−1))+1: exact for our
+    * magnitudes (log2 of exact powers is exact IEEE; the nearest
+    * non-power is > 2⁻²⁰ away at n ≤ 2²⁰).
+    */
+  private def sizedBandCtesSql(nBands: Int, targetBucketRows: Long): String = {
+    val maxR = 24 // sizedRowsPerBand's upper clamp
+    val planes = Similarity.hyperplanes(nBands * maxR, EmbDims)
+    val bitStr = planes.map { p =>
+      val lst = p.mkString("[", ",", "]")
+      s"CASE WHEN list_sum(list_transform(generate_series(1, $EmbDims), " +
+        s"i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * (($lst)[i]) * ${Similarity.BitScale}.0 + 0.5) AS BIGINT))) >= 0 " +
+        "THEN '1' ELSE '0' END"
+    }.mkString(" ||\n    ")
+    s"""p AS (
+       |  SELECT CAST(least(24, greatest(4,
+       |      CASE WHEN n <= 1 THEN 0
+       |           ELSE CAST(floor(log2(CAST(n - 1 AS DOUBLE))) AS INTEGER) + 1 END
+       |    )) AS INTEGER) AS r
+       |  FROM (SELECT greatest(1, count(*) // $targetBucketRows) AS n FROM embeddings)),
+       |bits AS (SELECT vec_id,
+       |    $bitStr AS bs
+       |  FROM embeddings),
+       |bands AS (
+       |  SELECT b.vec_id, g.band_idx, substr(b.bs, g.band_idx * p.r + 1, p.r) AS band_key
+       |  FROM bits b, p, (SELECT unnest(generate_series(0, ${nBands - 1})) AS band_idx) g),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id)""".stripMargin
+  }
+
   /** The LEARNED-IVF chain as DuckDB CTEs: fixed-iteration Lloyd k-means
     * (seed = vectors of the k smallest ids; scaled-integer distances and
     * scaled-average centroid updates — every step order-independent, so
@@ -989,7 +1076,16 @@ object ExtQueries {
     * search. Iterations are UNROLLED (c0 → asg1 → c1 → asg2 → c2): a
     * fixed count is part of the operator's determinism contract.
     */
-  private def ivfCtesSql(nClusters: Int, iterations: Int, nProbe: Int, topK: Int): String = {
+  /** `trainFrom` (r16, the sampled-trainer oracles): the relation the
+    * Lloyd rounds READ — seed + per-iteration assignments. The final
+    * list assignment (`ld`), the probe (`qd`), and the centroid-average
+    * update all stay on the FULL corpus / key-joined `embeddings`, so
+    * `trainFrom = "train"` reproduces [[Similarity.ivfCentroidsSampled]]
+    * + [[Similarity.ivfTopKWithCentroids]] exactly: training bounded by
+    * the sample, the corpus paying only the one assignment pass.
+    */
+  private def ivfCtesSql(nClusters: Int, iterations: Int, nProbe: Int, topK: Int,
+                         trainFrom: String = "embeddings"): String = {
     val f = math.pow(10, Similarity.IvfScale.toDouble).toLong
     // dist_s(e, c) = Σ floor(c_i²·S + .5) − 2·Σ floor(e_i·c_i·S + .5)
     def distCte(name: String, fromCents: String, vecs: String, vecFilter: String) =
@@ -1015,14 +1111,14 @@ object ExtQueries {
          |    GROUP BY a.cluster_id, i)
          |  GROUP BY cluster_id)""".stripMargin
     val iterCtes = (1 to iterations).map { it =>
-      s"""${distCte(s"d$it", s"c${it - 1}", "embeddings", "")},
+      s"""${distCte(s"d$it", s"c${it - 1}", trainFrom, "")},
          |${asgCte(s"asg$it", s"d$it")},
          |${updCte(s"c$it", s"asg$it")}""".stripMargin
     }.mkString(",\n")
     val fin = s"c$iterations"
     s"""c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, embedding AS cvec
-       |  FROM embeddings ORDER BY vec_id LIMIT $nClusters),
+       |  FROM $trainFrom ORDER BY vec_id LIMIT $nClusters),
        |$iterCtes,
        |${distCte("qd", fin, "embeddings", "WHERE e.vec_id < 10")},
        |probe AS (SELECT vec_id AS query_id, cluster_id FROM qd
@@ -1043,8 +1139,9 @@ object ExtQueries {
     * are bit-identical cross-engine.
     */
   private def pqOracleSql(m: Int, subDim: Int, ks: Int, iterations: Int,
-                          topK: Int): String =
-    s"""${pqChainSql(m, subDim, ks, iterations)}
+                          topK: Int, trainSv: String = "sv",
+                          preCtes: String = ""): String =
+    s"""${pqChainSql(m, subDim, ks, iterations, trainSv, preCtes)}
        |SELECT query_id, neighbor_id, adist_s FROM scored
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_s, neighbor_id) <= $topK""".stripMargin
 
@@ -1076,14 +1173,23 @@ object ExtQueries {
   /** The PQ chain ending at `scored(query_id, neighbor_id, adist_s)` —
     * shared by the plain ADC oracle and the refine oracle.
     */
-  private def pqChainSql(m: Int, subDim: Int, ks: Int, iterations: Int): String = {
+  /** `trainSv`/`preCtes` (r16, the sampled-trainer oracle): the
+    * subvector relation the per-subspace Lloyd rounds read (seed +
+    * iteration assignments). Encode (`cd`) and query (`qd`) stay on the
+    * full `sv`, and the codebook-average update key-joins `sv`, so
+    * `trainSv = "tsv"` (sample subvectors) reproduces
+    * [[Similarity.pqCodebooksSampled]] + [[Similarity.pqTopKWithCodebooks]]:
+    * training bounded by the sample, the corpus paying only the encode.
+    */
+  private def pqChainSql(m: Int, subDim: Int, ks: Int, iterations: Int,
+                         trainSv: String = "sv", preCtes: String = ""): String = {
     val f = math.pow(10, Similarity.IvfScale.toDouble).toLong
-    def distCte(name: String, books: String, vecFilter: String) =
+    def distCte(name: String, books: String, vecFilter: String, src: String = "sv") =
       s"""$name AS (
          |  SELECT v.vec_id, v.sub, c.cluster_id,
          |    sum(CAST(floor(CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)
          |      - 2 * CAST(floor(CAST(v.svec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dist_s
-         |  FROM sv v JOIN $books c ON c.sub = v.sub,
+         |  FROM $src v JOIN $books c ON c.sub = v.sub,
          |    LATERAL (SELECT unnest(generate_series(1, $subDim)) AS i) t
          |  $vecFilter
          |  GROUP BY v.vec_id, v.sub, c.cluster_id)""".stripMargin
@@ -1101,7 +1207,7 @@ object ExtQueries {
          |    GROUP BY a.sub, a.cluster_id, i)
          |  GROUP BY sub, cluster_id)""".stripMargin
     val iterCtes = (1 to iterations).map { it =>
-      s"""${distCte(s"d$it", s"c${it - 1}", "")},
+      s"""${distCte(s"d$it", s"c${it - 1}", "", trainSv)},
          |${asgCte(s"asg$it", s"d$it")},
          |${updCte(s"c$it", s"asg$it")}""".stripMargin
     }.mkString(",\n")
@@ -1110,10 +1216,10 @@ object ExtQueries {
        |  SELECT e.vec_id, s.sub,
        |    e.embedding[(s.sub * $subDim + 1):(s.sub * $subDim + $subDim)] AS svec
        |  FROM embeddings e, (SELECT unnest(generate_series(0, ${m - 1})) AS sub) s),
-       |c0 AS (
+       |${preCtes}c0 AS (
        |  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cluster_id,
        |    svec AS cvec
-       |  FROM sv QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= $ks),
+       |  FROM $trainSv QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= $ks),
        |$iterCtes,
        |${distCte("cd", fin, "")},
        |${asgCte("codes", "cd")},
@@ -1127,6 +1233,18 @@ object ExtQueries {
   }
 
   private lazy val annPqOracleSql: String = pqOracleSql(4, 16, 4, 2, 3)
+
+  /** `x_ann_pq_sampled`: sub-codebooks fit on the subvectors of the
+    * 64-row md5-bottom-k sample (ks 4 × trainPerCode 16), encode and
+    * ADC over the full corpus — the oracle twin of
+    * [[Similarity.pqCodebooksSampled]] (r15 VERDICT #2). `tsv` is the
+    * sample's subvector slice of `sv` (a key join — identical rows to
+    * exploding the sample directly).
+    */
+  private lazy val annPqSampledOracleSql: String = pqOracleSql(4, 16, 4, 2, 3,
+    trainSv = "tsv",
+    preCtes = sampledTrainCte(64) +
+      ",\ntsv AS (SELECT v.* FROM sv v JOIN train t USING (vec_id)),\n")
   private lazy val annPqRefineOracleSql: String =
     pqRefineOracleSql(4, 16, 4, 2, 10, 3)
 
@@ -1314,9 +1432,31 @@ object ExtQueries {
        |WHERE a.bucket >= 204 AND c.bucket < 204""".stripMargin
   }
 
-  private def annIvfOracleSql: String =
-    s"""WITH $annNormCte,
-       |${ivfCtesSql(4, 2, 2, 3)},
+  /** The bounded deterministic training sample the corpus-scale
+    * trainers read ([[Similarity.ivfCentroidsSampled]] /
+    * [[Similarity.pqCodebooksSampled]]): md5-bottom-k over the id —
+    * Spark's `md5(CAST(... AS STRING))` and DuckDB's render identical
+    * lowercase hex, and the id tie-break makes the LIMIT a pure
+    * function of the data (the x_stratified_sample precedent).
+    */
+  private def sampledTrainCte(sampleN: Int): String =
+    s"""train AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN)""".stripMargin
+
+  private def annIvfOracleSql: String = annIvfOracleSqlFrom("", "embeddings")
+
+  /** `x_ann_ivf_sampled`: centroids fit on the 64-row md5-bottom-k
+    * sample (4 clusters × trainPerCluster 16), lists/probe over the
+    * full corpus — the oracle twin of the r15 corpus-scale trainer
+    * that previously had only spec+probe evidence (r15 VERDICT #2).
+    */
+  private lazy val annIvfSampledOracleSql: String =
+    annIvfOracleSqlFrom(sampledTrainCte(64) + ",\n", "train")
+
+  private def annIvfOracleSqlFrom(preCtes: String, trainFrom: String): String =
+    s"""WITH $preCtes$annNormCte,
+       |${ivfCtesSql(4, 2, 2, 3, trainFrom)},
        |scored AS (
        |  SELECT c.query_id, c.neighbor_id, c.cluster_id,
        |    sum(CAST(floor(CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE) * $AnnScale + 0.5) AS BIGINT)) AS dot_s,
@@ -2140,6 +2280,12 @@ object ExtQueries {
          |${pairCosineSql(
            "cand c JOIN nrm a ON a.vec_id = c.vec_a JOIN nrm b ON b.vec_id = c.vec_b")}""".stripMargin,
 
+    "x_embed_neardup_sized" ->
+      s"""WITH $annNormCte,
+         |${sizedBandCtesSql(4, SizedNearDupBucketRows)},
+         |${pairCosineSql(
+           "cand c JOIN nrm a ON a.vec_id = c.vec_a JOIN nrm b ON b.vec_id = c.vec_b")}""".stripMargin,
+
     "x_ann_cosine" -> annCosSql("", "", 5),
 
     // same scoring pipeline as x_ann_cosine, over the dequantized int8
@@ -2180,8 +2326,10 @@ object ExtQueries {
     // construction (same deterministic k-means, same probe/score) — one
     // oracle text serves both keys
     "x_ann_ivf_stored" -> annIvfOracleSql,
+    "x_ann_ivf_sampled" -> annIvfSampledOracleSql,
     "x_ann_pq" -> annPqOracleSql,
     "x_ann_pq_stored" -> annPqOracleSql,
+    "x_ann_pq_sampled" -> annPqSampledOracleSql,
     "x_ann_pq_refined" -> annPqRefineOracleSql,
     "x_pq_recall" -> annPqRecallOracleSql,
     "x_ann_ivfpq" -> annIvfPqOracleSql,

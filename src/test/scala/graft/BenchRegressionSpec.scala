@@ -164,6 +164,27 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(Bench.mayOverwriteReference(None, 500.0, force = true,
       sameSf = false))
 
+    // sf-label extraction (r15 ADVICE): the sidecar's quoted label —
+    // including NON-NUMERIC labels like the sf1 sweep's graft_sf1,
+    // which the previous numeric-only pattern blocked against their
+    // OWN reference forever — and the driver snapshot's bare number
+    // both parse; the driver file's ESCAPED tail copy (\"sf\":...)
+    // never shadows the real field; labels compare up to the `sf`
+    // dir-name prefix
+    assert(Bench.sfLabelOf("""{"total":1.0,"sf":"sf0.1","queries":{}}""")
+      .contains("sf0.1"))
+    assert(Bench.sfLabelOf("""{"sf":"graft_sf1","queries":{}}""")
+      .contains("graft_sf1"))
+    assert(Bench.sfLabelOf("""{"sf": 0.1, "tail": "...\"sf\":\"sf9\"..."}""")
+      .contains("0.1"))
+    assert(Bench.sfLabelOf("""{"tail": "...\"sf\":\"sf9\"...", "sf": "sf0.1"}""")
+      .contains("sf0.1"))
+    assert(Bench.sfLabelOf("""{"queries":{}}""").isEmpty)
+    assert(Bench.sameSfLabel("sf0.1", "0.1"))
+    assert(Bench.sameSfLabel("graft_sf1", "graft_sf1"))
+    assert(!Bench.sameSfLabel("graft_sf1", "sf1"))
+    assert(!Bench.sameSfLabel("sf0.1", "sf1"))
+
     // median_vs_ref (r15): the uniform-slowdown arbitration signal —
     // a handful of >1.5x flags whose ratios sit AT the suite median is
     // the whole-host ambient mode, not code (the canary only catches

@@ -608,9 +608,14 @@ class PropertiesSpec extends SparkSuite {
       rLo >= 4 && rHi <= 24 && rLo <= rHi &&
         kLo >= 4 && kHi <= (1 << 16) && kLo <= kHi &&
         // in the unclamped region the band really holds the target
-        // bucket: buckets = 2^r covers n/bucket within one doubling
+        // bucket: buckets = 2^r covers n/bucket within one doubling.
+        // Asserted against the INTEGER quotient the function floors on
+        // (n/bucket), not real division: with an exact-power-of-two
+        // quotient and a nonzero remainder the real ratio sits just
+        // past the power while the function's input does not — the
+        // real-division spelling was a latent flake (r15 ADVICE)
         (rHi == 4 || rHi == 24 ||
-          (math.pow(2, rHi) >= hi.toDouble / bucket &&
-           math.pow(2, rHi - 1) < hi.toDouble / bucket))
+          (math.pow(2, rHi) >= (hi / bucket).toDouble &&
+           math.pow(2, rHi - 1) < (hi / bucket).toDouble))
     })
 }

@@ -47,7 +47,7 @@ class IvfStoredSpec extends SparkSuite {
     val queries = emb.filter(col("vec_id") < 10)
     val path = java.nio.file.Files.createTempDirectory("ivf_sampled").toString
     Similarity.writeIvfIndex(emb, "vec_id", "embedding",
-      nClusters = 4, iterations = 2, path = path, sampledTraining = true)
+      nClusters = 4, iterations = 2, path = path, sampledTraining = Some(true))
     val dirs = new java.io.File(s"$path/lists").listFiles()
       .filter(_.getName.startsWith("cluster_id=")).map(_.getName)
     assert(dirs.nonEmpty && dirs.length <= 4)
@@ -60,9 +60,41 @@ class IvfStoredSpec extends SparkSuite {
     val pqPath = java.nio.file.Files.createTempDirectory("ivfpq_sampled").toString
     Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
       nCoarse = 4, coarseIters = 2, m = 4, subDim = 16, ks = 4, pqIters = 2,
-      path = pqPath, sampledTraining = true)
+      path = pqPath, sampledTraining = Some(true))
     val pqStored = Similarity.ivfPqTopKStored(spark, pqPath, queries,
       "vec_id", "embedding", m = 4, subDim = 16, nProbe = 2, k = 3)
     assert(pqStored.collect().nonEmpty)
+  }
+
+  test("auto training mode: full below the measured crossover, sampled above (r16)") {
+    // the decision rule itself, at the documented boundary
+    assert(!Similarity.autoSampledTraining(Similarity.AutoSampledTrainingRows - 1))
+    assert(Similarity.autoSampledTraining(Similarity.AutoSampledTrainingRows))
+    assert(!Similarity.autoSampledTraining(0L))
+
+    // below the crossover, the default (None = auto) build is
+    // BIT-IDENTICAL to a forced full-training build — the property that
+    // keeps every demo/oracle spelling unchanged with no caller edits
+    val emb = Tables.embeddings(spark, sfDir)
+    val auto = java.nio.file.Files.createTempDirectory("ivf_auto").toString
+    val full = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      nClusters = 4, iterations = 2, path = auto)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      nClusters = 4, iterations = 2, path = full, sampledTraining = Some(false))
+    def cents(p: String) = spark.read.parquet(s"$p/centroids")
+      .orderBy("cluster_id").collect().map(_.toSeq).toSeq
+    assert(cents(auto) == cents(full),
+      "auto mode below the crossover must equal forced full training")
+
+    // ...and differs from a forced SAMPLED build on this corpus (the
+    // 64-row sample is a strict subset of the 500-vector fixture), so
+    // the equality above is evidence of mode selection, not of the
+    // sample being degenerate
+    val samp = java.nio.file.Files.createTempDirectory("ivf_samp").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      nClusters = 4, iterations = 2, path = samp, sampledTraining = Some(true))
+    assert(cents(samp) != cents(full),
+      "forced sampled training should differ from full on this fixture")
   }
 }
