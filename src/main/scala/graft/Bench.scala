@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every SparkEntry query on
@@ -138,6 +140,115 @@ object Bench {
     }
   }
 
+  /** Reference-BAND flagging (r15 VERDICT #4). Root cause of the
+    * rounds-13–15 flag churn: build/training queries have the
+    * registry's widest clean-window variance, yet every flag was judged
+    * against the single cleanest window ever observed — so each round
+    * the same wall-clock-sensitive queries rotated through the flag
+    * list on ambient weather alone. The fix keeps the flag REFERENCE at
+    * the historical per-query min (detection anchor unchanged) but
+    * widens each query's ratio to its OWN measured clean-window spread:
+    *
+    *   threshold_q = clamp(spread_q · BandMargin, FlagRatio, BandCap)
+    *
+    * where spread_q = max/min of the query's times across the last
+    * ≤[[MaxBandRefs]] clean same-sf FULL snapshots (committed reference
+    * + gitignored sidecars + newest driver snapshot), TRIMMED of the
+    * single slowest run when ≥3 are available. The trim is the
+    * detection guard: a genuine regression appears in only the newest
+    * run, gets dropped from its own band, and still flags against the
+    * tight historical spread — while a query whose variance shows in
+    * MANY clean runs keeps its honest wide band. [[BandCap]] retains
+    * detection unconditionally: even the widest band still flags at 3×.
+    * With <2 observations the band degenerates to the point-reference
+    * [[FlagRatio]] (first run, fresh clone). Expected steady state on a
+    * uniformly ~1.3× ambient host: ≈0 flags, with the off-median signal
+    * (`median_vs_ref`) unchanged as the code-vs-host arbiter.
+    */
+  val BandMargin = 1.15
+  val BandCap = 3.0
+  val MaxBandRefs = 5
+
+  /** Per-query flag threshold from its observed clean-run times — see
+    * the band rationale above. Latch-spec-pinned.
+    */
+  def bandThreshold(times: Seq[Double]): Double = {
+    val t = times.filter(_ > 0).sorted
+    if (t.size < 2) FlagRatio
+    else {
+      val trimmed = if (t.size >= 3) t.dropRight(1) else t
+      math.min(BandCap, math.max(FlagRatio, trimmed.last / trimmed.head * BandMargin))
+    }
+  }
+
+  /** [[bandThreshold]] per query over a set of parsed runs. */
+  def bandThresholds(runs: Seq[Map[String, Double]]): Map[String, Double] =
+    runs.flatMap(_.keys).distinct
+      .map(k => k -> bandThreshold(runs.flatMap(_.get(k)))).toMap
+
+  /** Per-query times from a snapshot's (unescaped) "queries" block —
+    * the one parser behind reference flagging, the band, and the
+    * BenchRegressionSpec latch. Driver snapshots embed an ESCAPED copy
+    * inside their "tail" string; the (?<!\\) guard skips it.
+    */
+  def parseQueryTimes(json: String): Map[String, Double] =
+    """(?<!\\)"queries":\s*\{""".r.findFirstMatchIn(json).map { m =>
+      val start = m.end
+      val end = json.indexOf("}", start)
+      if (end < 0) "" else json.substring(start, end)
+    } match {
+      case None => Map.empty
+      case Some(body) =>
+        """"([A-Za-z0-9_]+)":\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+
+  /** Whether a snapshot may contribute to the band: same sf, and not a
+    * self-declared degraded window (a pre-canary file with no
+    * window_quality field is accepted — the committed reference
+    * predates the field on some hosts, and a degraded sidecar is the
+    * only case that would corrupt the spread). Partial (ONLY-filtered)
+    * runs never match — they write to BENCH_LOCAL_partial.json, which
+    * is not a band source.
+    */
+  def bandEligible(json: String, sfLabel: String): Boolean =
+    sfLabelOf(json).exists(sameSfLabel(_, sfLabel)) &&
+      !json.contains(""""window_quality":"degraded"""")
+
+  /** The band's snapshot set for `sfLabel`, read from `dir`: committed
+    * reference + newest driver snapshot + the ≤[[MaxBandRefs]] most
+    * recent eligible sidecars (`BENCH_LOCAL.<t0>.json` — gitignored,
+    * the host's memory of its own clean windows). ONE collector behind
+    * both the Bench flagging pass and the BenchRegressionSpec latch, so
+    * the two can never disagree about what the band saw.
+    */
+  def bandRunsIn(dir: java.nio.file.Path, sfLabel: String): Seq[Map[String, Double]] = {
+    def eligibleRun(p: java.nio.file.Path): Option[Map[String, Double]] =
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val s = java.nio.file.Files.readString(p)
+        if (bandEligible(s, sfLabel)) Some(parseQueryTimes(s)).filter(_.nonEmpty)
+        else None
+      }
+    val driverPath = (1 to 99).map(n => dir.resolve(f"BENCH_r$n%02d.json"))
+      .filter(java.nio.file.Files.exists(_)).lastOption
+    val sidecars = {
+      val rx = """BENCH_LOCAL\.(\d+)\.json""".r
+      val listed = java.nio.file.Files.list(dir)
+      val files =
+        try listed.iterator().asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case rx(t0) => Some((t0.toLong, p))
+            case _ => None
+          }
+        }.toSeq
+        finally listed.close()
+      files.sortBy(-_._1).take(MaxBandRefs).flatMap(f => eligibleRun(f._2))
+    }
+    eligibleRun(dir.resolve("BENCH_LOCAL.json")).toSeq ++
+      driverPath.flatMap(eligibleRun).toSeq ++ sidecars
+  }
+
   /** The sf label of a bench snapshot: quoted-string form first (the
     * sidecar's `"sf":"sf0.1"` — and NON-NUMERIC labels like the sf1
     * sweep's `"graft_sf1"`, which the previous `[0-9.]+`-only pattern
@@ -193,25 +304,14 @@ object Bench {
     // exists at the SAME sf but yields no query times gets a stderr
     // warning AND a ref-parse marker in the JSON errors array.
     val refWarnings = scala.collection.mutable.LinkedHashSet[String]()
-    val refTimes: Map[String, Double] = try {
+    val (refTimes: Map[String, Double], bandTh: Map[String, Double]) = try {
       val sfWanted = sfDir.split('/').last
       def parseRef(p: java.nio.file.Path): Map[String, Double] = {
         if (!java.nio.file.Files.exists(p)) return Map.empty
         val s = java.nio.file.Files.readString(p)
         val sfOk = sfLabelOf(s).exists(sameSfLabel(_, sfWanted))
         if (!sfOk) return Map.empty // different sf: legitimately unusable
-        // driver snapshots use json.dump spacing and embed an ESCAPED
-        // copy inside their "tail" string — the (?<!\\) guard skips it
-        val parsed = """(?<!\\)"queries":\s*\{""".r.findFirstMatchIn(s).map { m =>
-          val start = m.end
-          val end = s.indexOf("}", start)
-          if (end < 0) "" else s.substring(start, end)
-        } match {
-          case None => Map.empty[String, Double]
-          case Some(body) =>
-            """"([A-Za-z0-9_]+)":\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
+        val parsed = parseQueryTimes(s)
         if (parsed.isEmpty) {
           val w = s"ref-parse-empty:${p.getFileName}"
           refWarnings += w
@@ -221,19 +321,26 @@ object Bench {
         parsed
       }
       val local = parseRef(java.nio.file.Paths.get("BENCH_LOCAL.json"))
-      val driver = (1 to 99).map(n => java.nio.file.Paths.get(f"BENCH_r$n%02d.json"))
+      val driverPath = (1 to 99).map(n => java.nio.file.Paths.get(f"BENCH_r$n%02d.json"))
         .filter(java.nio.file.Files.exists(_)).lastOption
-        .map(parseRef).getOrElse(Map.empty)
-      (local.keySet ++ driver.keySet).map { k =>
+      val driver = driverPath.map(parseRef).getOrElse(Map.empty)
+      // REFERENCE-BAND sources (see [[bandThreshold]]): the committed
+      // reference + newest driver snapshot (both already parsed above)
+      // plus the ≤MaxBandRefs most recent clean same-sf full-run
+      // sidecars (BENCH_LOCAL.<t0>.json — gitignored, so the band is a
+      // per-host memory of its own clean windows)
+      val bandRuns = bandRunsIn(java.nio.file.Paths.get("."), sfWanted)
+      val ref = (local.keySet ++ driver.keySet).map { k =>
         k -> math.min(local.getOrElse(k, Double.MaxValue),
           driver.getOrElse(k, Double.MaxValue))
       }.toMap
+      (ref, bandThresholds(bandRuns))
     } catch {
       case e: Throwable =>
         refWarnings += s"ref-parse-error:${e.getClass.getSimpleName}"
         System.err.println(s"WARN Bench: reference parsing failed ($e) — " +
           "flagging disabled this run")
-        Map.empty
+        (Map.empty[String, Double], Map.empty[String, Double])
     }
 
     // warmup: touch every table once (schema + full scan) + JIT the agg path
@@ -355,16 +462,18 @@ object Bench {
         } catch { case _: Throwable => errors += s"split:$name"; None }
       }
     // END-OF-SUITE ISOLATED RE-MEASURE of flagged queries: fresh min
-    // >FlagRatio x the previously committed time AND >FlagAbsSeconds
-    // over it — the SAME constants BenchRegressionSpec latches on, so
-    // every latch-relevant drift carries its own in-artifact
+    // > the query's BAND threshold x the committed time AND
+    // >FlagAbsSeconds over it — the SAME rule BenchRegressionSpec
+    // latches on (shared [[bandThreshold]] over the same snapshot set),
+    // so every latch-relevant drift carries its own in-artifact
     // arbitration. Runs nothing when no reference exists; capped at 12
     // (worst excess first) so a systemically-slow host can't double the
     // suite.
     val flagged = results.collect {
-      case (name, Some(now), _, _) if refTimes.get(name).exists(ref =>
-        now > ref * FlagRatio && now - ref > FlagAbsSeconds) =>
-        (name, now, refTimes(name))
+      case (name, Some(now), _, _) if refTimes.get(name).exists { ref =>
+        now > ref * bandTh.getOrElse(name, FlagRatio) &&
+          now - ref > FlagAbsSeconds
+      } => (name, now, refTimes(name))
     }.sortBy { case (_, now, ref) => ref - now }.take(12)
     val remeasures = flagged.flatMap { case (name, _, _) =>
       selected.find(_._1 == name).map { case (_, fn) =>
@@ -397,12 +506,14 @@ object Bench {
     def offs(ms: Long): Long = (ms - suiteT0) / 1000
     // flagged-block JSON: ref = committed time, min = this suite's
     // min-of-reps, w = [start,end] offsets (s) of the in-suite window,
-    // re = the isolated end-of-suite re-measure (null = it errored)
+    // re = the isolated end-of-suite re-measure (null = it errored),
+    // th = the band threshold this flag cleared (1.5 = point-reference
+    // degenerate band — new query or fresh clone)
     val flaggedJson = flagged.map { case (name, now, ref) =>
       val (re, r0, r1) = remeasures.getOrElse(name, (None, suiteT1, suiteT1))
       val (q0, q1) = results.find(_._1 == name)
         .map(r => (r._3, r._4)).getOrElse((suiteT0, suiteT0))
-      "\"" + name + s"""\":{"ref":${fmt(ref)},"min":${fmt(now)},"w":[${offs(q0)},${offs(q1)}],"re":${re.fold("null")(fmt)},"rw":[${offs(r0)},${offs(r1)}]}"""
+      "\"" + name + s"""\":{"ref":${fmt(ref)},"min":${fmt(now)},"w":[${offs(q0)},${offs(q1)}],"re":${re.fold("null")(fmt)},"rw":[${offs(r0)},${offs(r1)}],"th":${fmt(bandTh.getOrElse(name, FlagRatio))}}"""
     }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson =

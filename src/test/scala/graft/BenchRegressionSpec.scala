@@ -24,22 +24,6 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchRegressionSpec extends AnyFunSuite {
 
-  private def parseFlat(json: String): Map[String, Double] =
-    """"([A-Za-z0-9_]+)":\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(json)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
-
-  private def queriesSection(json: String): Option[String] = {
-    // driver snapshots render as `"queries": {` (json.dump spacing) and
-    // the sidecar as `"queries":{`; the driver file also embeds an
-    // ESCAPED copy inside its "tail" string (`\"queries\":`), which the
-    // (?<!\\) guard skips
-    """(?<!\\)"queries":\s*\{""".r.findFirstMatchIn(json).flatMap { m =>
-      val start = m.end
-      val end = json.indexOf("}", start)
-      if (end < 0) None else Some(json.substring(start, end))
-    }
-  }
-
   private def sfOf(json: String): Option[String] =
     """"sf":\s*"?([0-9.a-z]+)"?""".r.findFirstMatchIn(json).map(_.group(1))
 
@@ -63,8 +47,11 @@ class BenchRegressionSpec extends AnyFunSuite {
     }
     assume(comparable, s"sf mismatch: local=$localSf prior=$priorSfNum")
 
-    val localQ = queriesSection(local).map(parseFlat).getOrElse(Map.empty)
-    val priorQ = queriesSection(priorJson).map(parseFlat).getOrElse(Map.empty)
+    // the one parser Bench itself flags with (escaped-tail-safe) — the
+    // band's self-exclusion below compares these maps for identity, so
+    // the spec must not parse differently than bandRunsIn does
+    val localQ = Bench.parseQueryTimes(local)
+    val priorQ = Bench.parseQueryTimes(priorJson)
     assume(localQ.nonEmpty && priorQ.nonEmpty, "unparseable bench snapshots")
     // a SPARK_GRAFT_BENCH_ONLY-filtered sidecar ran with a fraction of
     // the suite's JIT warmup — its numbers aren't comparable
@@ -84,16 +71,28 @@ class BenchRegressionSpec extends AnyFunSuite {
         .findAllMatchIn(local)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
+    // REFERENCE-BAND latch (r15 VERDICT #4): per-query threshold =
+    // max(static floor, the query's own clean-window spread across the
+    // committed reference + driver snapshot + sidecars — the same
+    // collector Bench flags with). The fresh measurement under test is
+    // excluded from its own band (a run identical to localQ would
+    // otherwise widen the latch it is being judged by); the ≥3-run trim
+    // inside bandThreshold drops a single slowest outlier so one
+    // regressed run cannot widen its own band either.
+    val bandTh = Bench.bandThresholds(
+      Bench.bandRunsIn(Paths.get("."), localSf.get).filterNot(_ == localQ))
+
     val checked = localQ.toSeq.sortBy(_._1).flatMap { case (name, now) =>
-      // Streaming DRAINS (t<N>_*) get a wider latch: their time is
-      // dominated by fixed micro-batch machinery (AvailableNow
+      // Streaming DRAINS (t<N>_*) keep their wider static floor: their
+      // time is dominated by fixed micro-batch machinery (AvailableNow
       // scheduling, state-store setup, mart IO on /tmp), not data-plane
       // work, and measures a 1.2–2.3x same-code drift band against any
       // single prior sample (r9: t2_streaming_merge spanned 2.14–4.44 s
       // across six same-binary runs vs r8's one 1.90 s sample, with the
       // code path diffed clean — see SCALE.md). 1.5x on them latches
       // weather; 2.5x still catches the r8-class 2.7–3.5x blow-ups.
-      val ratio = if (name.matches("t\\d+_.*")) 2.5 else Bench.FlagRatio
+      val floor = if (name.matches("t\\d+_.*")) 2.5 else Bench.FlagRatio
+      val ratio = math.max(floor, bandTh.getOrElse(name, Bench.FlagRatio))
       priorQ.get(name).collect {
         case was if now > was * ratio && now - was > Bench.FlagAbsSeconds =>
           // arbitrated = the isolated min-of-3 re-measure, TREATED AS
@@ -184,6 +183,42 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(Bench.sameSfLabel("graft_sf1", "graft_sf1"))
     assert(!Bench.sameSfLabel("graft_sf1", "sf1"))
     assert(!Bench.sameSfLabel("sf0.1", "sf1"))
+
+    // reference BANDS (r16): per-query threshold from the query's own
+    // clean-run spread — degenerate point reference below 2 runs, the
+    // single slowest run trimmed at >=3 (a regression in the newest run
+    // cannot widen its own band), BandCap retains detection, floor
+    // never drops below FlagRatio
+    assert(Bench.bandThreshold(Nil) == Bench.FlagRatio)
+    assert(Bench.bandThreshold(Seq(1.2)) == Bench.FlagRatio)
+    // two runs: the spread (with margin) IS the band — the bootstrap
+    // where the driver snapshot's ambient ratio informs the latch
+    assert(math.abs(Bench.bandThreshold(Seq(1.0, 1.6)) - 1.6 * Bench.BandMargin) < 1e-9)
+    // tight history keeps the tight latch
+    assert(Bench.bandThreshold(Seq(1.0, 1.05, 1.1)) == Bench.FlagRatio)
+    // >=3 runs: the slowest is trimmed — a 2.6x outlier doesn't buy a
+    // wide band when the rest of the history is tight
+    assert(Bench.bandThreshold(Seq(1.0, 1.3, 2.6)) == Bench.FlagRatio)
+    // genuinely wide clean history earns its band...
+    assert(math.abs(Bench.bandThreshold(Seq(1.0, 1.7, 9.9)) - 1.7 * Bench.BandMargin) < 1e-9)
+    // ...but never past the cap — detection is unconditional at 3x
+    assert(Bench.bandThreshold(Seq(1.0, 2.9, 3.5)) == Bench.BandCap)
+    // zero/negative times (errored refs) are ignored, not spread-makers
+    assert(Bench.bandThreshold(Seq(0.0, 1.2)) == Bench.FlagRatio)
+    // per-query map: queries union'd across runs, each with its own band
+    val th = Bench.bandThresholds(Seq(
+      Map("a" -> 1.0, "b" -> 1.0), Map("a" -> 1.6, "b" -> 1.01), Map("a" -> 1.7)))
+    assert(math.abs(th("a") - 1.6 * Bench.BandMargin) < 1e-9) // 1.7 trimmed
+    assert(th("b") == Bench.FlagRatio)
+    // band eligibility: same sf and not a self-declared degraded window;
+    // an escaped tail copy of a degraded marker does not disqualify
+    assert(Bench.bandEligible("""{"sf":"sf0.1","window_quality":"clean"}""", "sf0.1"))
+    assert(Bench.bandEligible("""{"sf":"sf0.1"}""", "sf0.1"))
+    assert(!Bench.bandEligible("""{"sf":"sf0.1","window_quality":"degraded"}""", "sf0.1"))
+    assert(!Bench.bandEligible("""{"sf":"graft_sf1"}""", "sf0.1"))
+    assert(Bench.bandEligible(
+      """{"sf":"sf0.1","window_quality":"clean","tail":"...\"window_quality\":\"degraded\"..."}""",
+      "sf0.1"))
 
     // median_vs_ref (r15): the uniform-slowdown arbitration signal —
     // a handful of >1.5x flags whose ratios sit AT the suite median is
