@@ -462,13 +462,15 @@ object Compact {
     */
   def compactPartitioned(spark: SparkSession, root: String,
                          targetBytes: Long,
-                         parallelism: Int = DefaultLeafParallelism): Seq[Report] =
+                         parallelism: Int = DefaultLeafParallelism,
+                         lockTtlMs: Long = DefaultLockTtlMs): Seq[Report] =
     compactPartitionedImpl(spark, root, targetBytes, parallelism,
-      failAtLeaf = _ => "")
+      failAtLeaf = _ => "", lockTtlMs = lockTtlMs)
 
   private[graft] def compactPartitionedImpl(spark: SparkSession, root: String,
       targetBytes: Long, parallelism: Int,
-      failAtLeaf: Path => String): Seq[Report] = {
+      failAtLeaf: Path => String,
+      lockTtlMs: Long = DefaultLockTtlMs): Seq[Report] = {
     val f = fs(spark, root)
     def leaves(dir: Path): Seq[Path] = {
       val kids = f.listStatus(dir).filter(s =>
@@ -480,7 +482,7 @@ object Compact {
     val par = math.max(1, math.min(parallelism, ls.size))
     if (par == 1)
       ls.map(p => compactDirImpl(spark, p.toString, targetBytes,
-        failAt = failAtLeaf(p)))
+        failAt = failAtLeaf(p), lockTtlMs = lockTtlMs))
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(par, { r =>
         val t = new Thread(r, "compact-partitioned-leaf")
@@ -491,7 +493,7 @@ object Compact {
           pool.submit(new java.util.concurrent.Callable[Report] {
             override def call(): Report =
               compactDirImpl(spark, p.toString, targetBytes,
-                failAt = failAtLeaf(p))
+                failAt = failAtLeaf(p), lockTtlMs = lockTtlMs)
           })
         }
         // gather EVERY leaf before surfacing any failure — a crashed

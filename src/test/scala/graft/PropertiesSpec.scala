@@ -41,8 +41,17 @@ object FlakyRenameFs {
 class NoSetTimesFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("nst:///")
   override def setTimes(p: org.apache.hadoop.fs.Path,
-                        mtime: Long, atime: Long): Unit =
+                        mtime: Long, atime: Long): Unit = {
+    NoSetTimesFs.touches.incrementAndGet()
     throw new java.io.IOException("setTimes unsupported on this store")
+  }
+}
+object NoSetTimesFs {
+  /** Refused-touch counter — lets a spec assert a heartbeat actually
+    * FIRED (and was refused) on this store, not merely that the mtime
+    * stayed put because the scheduler never ran.
+    */
+  val touches = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 /** Property-based invariants (SURVEY §5.4) — ScalaCheck generators drive

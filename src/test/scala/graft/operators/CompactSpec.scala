@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.{SparkSuite, Tables}
+import graft.{NoSetTimesFs, SparkSuite, Tables}
 
 /** Local filesystem that returns `false` (Hadoop's failure contract)
   * for renames onto `c<gen>-` compaction targets — rename-failure
@@ -886,5 +886,68 @@ class CompactSpec extends SparkSuite {
     assert(reports.length == 2 && reports.forall(_.filesAfter == 1))
     assert(rows() == want)
     assert(!new java.io.File(root, "p=0/_compact_commit").exists())
+  }
+
+  test("parallel leaves over a no-setTimes store: stale lock breaks mid-pool, " +
+       "heartbeats no-op and the TTL-beyond-pass contract is load-bearing (r15 VERDICT #6)") {
+    import spark.implicits._
+    // the r15 property pins the lock ALGEBRA under nst:// and the pool
+    // is spec-covered on the local fs separately — this case composes
+    // them: concurrent leaves through the scheme whose heartbeats are
+    // refused, with a stale-break happening inside the pool pass
+    val dir = Files.createTempDirectory("compact_par_nst").toString
+    (0 until 120).map(i => (i.toLong, i % 2)).toDF("id", "p")
+      .repartition(4).write.mode("overwrite").partitionBy("p").parquet(dir)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.nst.impl", classOf[NoSetTimesFs].getName)
+    val root = s"nst://$dir"
+    def rows() = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val want = rows()
+    // a crashed earlier compactor left a STALE claim on one leaf — the
+    // pool pass must break-and-reclaim it while the sibling compacts
+    // concurrently
+    val staleLock = new java.io.File(s"$dir/p=0", "_compact_lock")
+    assert(staleLock.createNewFile())
+    assert(staleLock.setLastModified(System.currentTimeMillis() - 10L * 60 * 1000))
+    val reports = Compact.compactPartitioned(spark, root,
+      targetBytes = 1L << 30, parallelism = 2, lockTtlMs = 60000L)
+    assert(reports.length == 2 && reports.forall(_.filesAfter == 1))
+    assert(rows() == want)
+    // both leaves released; the broken stale claim left no remnants
+    Seq("p=0", "p=1").foreach { leaf =>
+      val names = new java.io.File(dir, leaf).listFiles().map(_.getName).toSet
+      assert(!names.contains("_compact_lock"), s"$leaf: $names")
+      assert(!names.exists(_.startsWith("_compact_lock.broken.")), s"$leaf: $names")
+    }
+
+    // the REAL heartbeat scheduler against this store: it keeps firing,
+    // every touch is refused (counter), the task survives each refusal,
+    // and the mtime never moves — so a claim outliving its TTL here IS
+    // breakable, which is exactly why the contract says "size ttlMs
+    // beyond the longest pass" on stores without setTimes
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leafP = new org.apache.hadoop.fs.Path(s"$root/p=1")
+    val ttl = 900L // heartbeat period = max(100, ttl/3) = 300 ms
+    val claim = ShardStore.claimCompactor(f, leafP, ttlMs = ttl)
+    val hb = ShardStore.startHeartbeat(f, claim.lock, ttlMs = ttl)
+    val lockFile = new java.io.File(s"$dir/p=1", "_compact_lock")
+    val mtime0 = lockFile.lastModified()
+    NoSetTimesFs.touches.set(0)
+    try {
+      Thread.sleep(ttl + 400L) // several periods, past the TTL
+      assert(NoSetTimesFs.touches.get() > 0,
+        "heartbeat never attempted a touch on the nst store")
+      assert(lockFile.lastModified() == mtime0,
+        "a refused touch must not move the mtime")
+      // past the TTL with no effective heartbeat, the claim is stale to
+      // any contender: a second claim break-and-reclaims the SAME leaf
+      val c2 = ShardStore.claimCompactor(f, leafP, ttlMs = ttl)
+      ShardStore.releaseCompactor(f, c2)
+    } finally {
+      hb.cancel(false)
+      ShardStore.releaseCompactor(f, claim)
+    }
+    assert(!lockFile.exists())
   }
 }
