@@ -38,8 +38,21 @@ object Graph {
     // aggregation at many groups and measures 2.5× SLOWER at 10× data
     // (51 s vs 20 s on the 12 M-edge sf1 graph) — the extra shuffle is
     // cheaper than leaving whole-stage codegen.
-    val pairs = df.select(col(keyCol).as("k"), col(itemCol).as("i")).distinct()
-    pairs.join(pairs.withColumnRenamed("i", "j"), "k")
+    //
+    // CO-PARTITIONED derivation (r16, guide §2.4): ONE hash(k) exchange
+    // up front; the (k, i)-distinct needs only clustering by a subset of
+    // its keys, and the self-join needs clustering by k, so BOTH inherit
+    // the layout — zero further exchanges before the pair-distinct. The
+    // SHUFFLE_HASH hint pins the join away from the auto-broadcast the
+    // planner would otherwise pick for a small side, because that
+    // broadcast RE-COMPUTES the incidence distinct under its own
+    // BroadcastExchange (plans/r16/x_graph_degrees_before.txt shows the
+    // doubled subtree) and a broadcast of an incidence-scale table is
+    // exactly what dies first at 100 TB. Measured (CoEdgesAbProbe,
+    // sf0.1): degrees 1.74 s → 0.96 s, weighted backbone 1.60 → 0.84.
+    val pairs = df.select(col(keyCol).as("k"), col(itemCol).as("i"))
+      .repartition(col("k")).distinct()
+    pairs.join(pairs.withColumnRenamed("i", "j").hint("SHUFFLE_HASH"), "k")
       .where(col("i") < col("j"))
       .select(col("i").as("u"), col("j").as("v"))
       .distinct()
@@ -62,14 +75,17 @@ object Graph {
     */
   def coOccurrenceEdgesCapped(df: DataFrame, keyCol: String, itemCol: String,
                               maxItemsPerKey: Long): DataFrame = {
-    val pairs = df.select(col(keyCol).as("k"), col(itemCol).as("i")).distinct()
-    // distinct (k, i) → count per k = the key's fan-out base; one
-    // map-side-combined aggregation + a semi-join, same shape as the
-    // jaccardCapped df filter
+    // co-partitioned like [[coOccurrenceEdges]] — and here the layout
+    // pays three more times: the fan-out count, the semi-join and the
+    // pair self-join are ALL keyed by k, so the one up-front exchange
+    // serves every step before the pair-distinct
+    val pairs = df.select(col(keyCol).as("k"), col(itemCol).as("i"))
+      .repartition(col("k")).distinct()
+    // distinct (k, i) → count per k = the key's fan-out base
     val bounded = pairs.groupBy(col("k")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxItemsPerKey).select(col("k"))
-    val kept = pairs.join(bounded, Seq("k"), "left_semi")
-    kept.join(kept.withColumnRenamed("i", "j"), "k")
+    val kept = pairs.join(bounded.hint("SHUFFLE_HASH"), Seq("k"), "left_semi")
+    kept.join(kept.withColumnRenamed("i", "j").hint("SHUFFLE_HASH"), "k")
       .where(col("i") < col("j"))
       .select(col("i").as("u"), col("j").as("v"))
       .distinct()
@@ -84,8 +100,10 @@ object Graph {
     */
   def coOccurrenceEdgesWeighted(df: DataFrame, keyCol: String,
                                 itemCol: String): DataFrame = {
-    val pairs = df.select(col(keyCol).as("k"), col(itemCol).as("i")).distinct()
-    pairs.join(pairs.withColumnRenamed("i", "j"), "k")
+    // co-partitioned derivation — see [[coOccurrenceEdges]]
+    val pairs = df.select(col(keyCol).as("k"), col(itemCol).as("i"))
+      .repartition(col("k")).distinct()
+    pairs.join(pairs.withColumnRenamed("i", "j").hint("SHUFFLE_HASH"), "k")
       .where(col("i") < col("j"))
       .groupBy(col("i").as("u"), col("j").as("v"))
       .agg(count(lit(1)).as("w"))

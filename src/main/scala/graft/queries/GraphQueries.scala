@@ -47,8 +47,13 @@ object GraphQueries {
       Graph.triangleSample(coEdges(s, d), sampleBuckets = 4)),
 
     // 3 rounds of damped PageRank in scaled-integer arithmetic; each
-    // round = one keyed shuffle + a stats-driven broadcast rank join
-    "x_pagerank" -> ((s, d) => Graph.pageRankScaled(coEdges(s, d), iters = 3)),
+    // round = one keyed shuffle + a stats-driven broadcast rank join.
+    // (edges stats-checkpointed once — r16: the loop materializes deg
+    // and withDeg in SEPARATE jobs, each of which re-ran the whole
+    // co-occurrence self-join; the x_bfs_hops fix applied here)
+    "x_pagerank" -> ((s, d) => Graph.pageRankScaled(
+      org.apache.spark.sql.graft.shims.checkpointWithStats(coEdges(s, d)),
+      iters = 3)),
 
     // warm-start refresh: 3 rounds computed, persisted via writeRanks,
     // then 2 MORE rounds resumed from the stored table — bit-identical
@@ -71,7 +76,12 @@ object GraphQueries {
     // to the in-memory loop, so the oracle is the same unrolled rounds
     "x_pagerank_bucketed" -> ((s, d) => {
       val tmp = graft.streaming.DrainWork.stableDir("graft_walk_table")
-      Graph.writeWalkTable(coEdges(s, d), "graft_walk", s"$tmp/walk", buckets = 32)
+      // edges checkpointed once (r16): writeWalkTable materializes den
+      // and the bucketed table in separate jobs — each re-derived the
+      // co-occurrence self-join
+      Graph.writeWalkTable(
+        org.apache.spark.sql.graft.shims.checkpointWithStats(coEdges(s, d)),
+        "graft_walk", s"$tmp/walk", buckets = 32)
       Graph.pageRankOnWalkTable(s, "graft_walk", buckets = 32, iters = 3)
     }),
 
@@ -79,7 +89,10 @@ object GraphQueries {
     // backbone's weighted walk (src, dst, w, den=strength)
     "x_pagerank_weighted_bucketed" -> ((s, d) => {
       val tmp = graft.streaming.DrainWork.stableDir("graft_wwalk_table")
-      Graph.writeWalkTableWeighted(weightedBackbone(s, d), "graft_wwalk",
+      // backbone checkpointed once — same fix as x_pagerank_bucketed
+      Graph.writeWalkTableWeighted(
+        org.apache.spark.sql.graft.shims.checkpointWithStats(
+          weightedBackbone(s, d)), "graft_wwalk",
         s"$tmp/walk", buckets = 32)
       Graph.pageRankWeightedOnWalkTable(s, "graft_wwalk", buckets = 32, iters = 3)
     }),
@@ -104,7 +117,10 @@ object GraphQueries {
     // components to their labels, solve the delta-touched contraction,
     // compose). Must land on the from-scratch oracle exactly.
     "x_components_incremental" -> ((s, d) => {
-      val edges = backbone(s, d)
+      // backbone checkpointed once (r16): the cold even-half solve and
+      // the delta fold otherwise each re-run the co-occurrence self-join
+      val edges = org.apache.spark.sql.graft.shims.checkpointWithStats(
+        backbone(s, d))
       val even = edges.filter((col("u") + col("v")) % 2 === 0)
       val odd = edges.filter((col("u") + col("v")) % 2 =!= 0)
       Graph.componentsIncremental(Graph.connectedComponents(even), odd)
@@ -120,8 +136,12 @@ object GraphQueries {
 
     // weighted PageRank on the w>=2 backbone: rank splits by edge
     // weight ((rank*w) div strength), exact integers end to end
+    // (backbone checkpointed once — same double-derivation fix as
+    // x_pagerank)
     "x_pagerank_weighted" -> ((s, d) =>
-      Graph.pageRankScaledWeighted(weightedBackbone(s, d), iters = 3)),
+      Graph.pageRankScaledWeighted(
+        org.apache.spark.sql.graft.shims.checkpointWithStats(
+          weightedBackbone(s, d)), iters = 3)),
 
     // 3 peeling rounds toward the 3-core of the w>=2 backbone: per
     // round, one degree agg + two semi-joins against the node-sized
