@@ -540,19 +540,31 @@ object DedupOps {
       // pointer jump: follow the adopted label to ITS label this round —
       // labels are always node ids, so the lookup is a self-join; the
       // left join + coalesce covers the component-min node, whose label
-      // (itself) is its own fixed point
-      val jumped = stepped.as("s")
-        .join(stepped.select(col("doc_id").as("label"), col("label").as("jmp")).as("j"),
-          Seq("label"), "left")
-        .select(col("doc_id"), col("prev_label"),
-          least(col("label"), coalesce(col("jmp"), col("label"))).as("label"))
-        .transform(ckpt)
-      converged = jumped.filter(col("label") < col("prev_label")).isEmpty
+      // (itself) is its own fixed point.
+      // Convergence is OBSERVED during the checkpoint's own
+      // materialization (r16): the old `jumped.filter(label <
+      // prev_label).isEmpty` was a second action per round over the
+      // just-written blocks — the observe fuses that scalar into the
+      // materialization job, and prev_label no longer needs to be
+      // materialized into the round's blocks at all (the projection
+      // above the CollectMetrics drops it).
+      val obsName = s"__cc_changed_$round"
+      val (jumped, obs) = shims.checkpointWithStatsObservedEager(
+        stepped.as("s")
+          .join(stepped.select(col("doc_id").as("label"), col("label").as("jmp")).as("j"),
+            Seq("label"), "left")
+          .select(col("doc_id"), col("prev_label"),
+            least(col("label"), coalesce(col("jmp"), col("label"))).as("label"))
+          .observe(obsName, sum(when(col("label") < col("prev_label"), 1L)
+            .otherwise(0L)).as("changed"))
+          .select(col("doc_id"), col("label")))
+      converged = obs.get(obsName)
+        .forall(r => r.isNullAt(0) || r.getLong(0) == 0L)
       // `jumped` is materialized and lineage-free: the prior round's
       // blocks are now dead
       shims.unpersistLocalCheckpoint(prevCheckpoint)
       prevCheckpoint = jumped
-      labels = jumped.select(col("doc_id"), col("label"))
+      labels = jumped
       round += 1
     }
     shims.unpersistLocalCheckpoint(edges) // result carries labels only

@@ -141,6 +141,20 @@ object shims {
   def checkpointWithStatsEager(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     checkpointVariantImpl(df, keepStats = true, keepLayout = false)
 
+  /** [[checkpointWithStatsObserved]]'s eager twin — runs even in
+    * [[planOnly]] mode, for observe-carrying frames inside inherently
+    * eager loops (the components fixed point, which needs BOTH the
+    * planOnly-proof checkpoint of [[checkpointWithStatsEager]] AND the
+    * free convergence scalar of the observed variant: fusing the
+    * per-round "did any label change" probe into the checkpoint's own
+    * materialization job removes one action per round — r16).
+    */
+  def checkpointWithStatsObservedEager(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.Row]) = {
+    val out = checkpointVariantImpl(df, keepStats = true, keepLayout = false)
+    (out, df.queryExecution.observedMetrics)
+  }
+
   /** [[checkpointWithStats]] that ALSO preserves the materialized
     * output partitioning/ordering. Use ONLY where the layout is
     * exploited by a downstream operator that consumes the frame ONCE

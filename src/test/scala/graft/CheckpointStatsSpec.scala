@@ -26,6 +26,29 @@ class CheckpointStatsSpec extends SparkSuite {
     } finally shims.unpersistLocalCheckpoint(cp)
   }
 
+  test("observed-eager variant: metrics collected during the one materialization job") {
+    // the r16 components-loop fusion: convergence ("did any label
+    // change") rides the checkpoint's own materialization as an
+    // observe metric instead of a second action over the blocks —
+    // pin that the metric arrives, matches an explicit recount, and
+    // that the checkpoint still carries measured stats
+    val df = spark.range(100)
+      .selectExpr("id as doc_id", "id - (id % 10) as label", "id as prev_label")
+    val (cp, obs) = shims.checkpointWithStatsObservedEager(
+      df.observe("__chg", sum(when(col("label") < col("prev_label"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("doc_id"), col("label")))
+    try {
+      val expected = df.filter(col("label") < col("prev_label")).count()
+      assert(obs.contains("__chg"), s"metric missing: ${obs.keys}")
+      assert(obs("__chg").getLong(0) == expected,
+        s"observed ${obs("__chg")} vs recount $expected")
+      // projection above the observe drops prev_label from the blocks
+      assert(cp.columns.toSeq == Seq("doc_id", "label"))
+      assert(shims.statsRowCount(cp).contains(100L))
+    } finally shims.unpersistLocalCheckpoint(cp)
+  }
+
   test("a checkpointed node-sized table auto-broadcasts — no hand hint") {
     val big = spark.range(200000).selectExpr("id % 1000 as k", "id as payload")
     val dim = shims.checkpointWithStats(
