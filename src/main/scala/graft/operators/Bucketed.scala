@@ -35,7 +35,17 @@ object Bucketed {
       numBuckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    df.write.format("parquet")
+    // Cluster to the bucket layout BEFORE the write (r16, guide §6):
+    // a bucketed write from arbitrary input partitioning makes EVERY
+    // task hold a writer+sorter per bucket it sees and emit its own
+    // file per bucket — input_tasks × numBuckets files (at warehouse
+    // scale, thousands of tasks × buckets = the classic small-file
+    // explosion). `repartition(numBuckets, key)` uses the same
+    // pmod(murmur3(key), n) as the bucket spec, so each task holds
+    // exactly one bucket and writes exactly one file — file count ==
+    // bucket count at any input size, and each task runs one sorter.
+    df.repartition(numBuckets, df(key))
+      .write.format("parquet")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .option("path", path)
