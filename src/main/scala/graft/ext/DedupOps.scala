@@ -489,14 +489,57 @@ object DedupOps {
   def resolveComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame =
     resolveComponentsCounted(pairs, maxIterations)._1
 
+  /** Driver union-find over a collected broadcast-small symmetrized
+    * edge list — the [[graft.ext.Graph.componentsIncremental]]
+    * broadcast-small move (r9 VERDICT #5) applied to the COLD solve
+    * (r16): when the measured edge footprint is within the session's
+    * broadcast threshold, the distributed fixed point's per-round
+    * machinery (2 joins + a checkpoint + ~log(diameter) rounds of jobs)
+    * buys nothing — the same bytes a broadcast hash join would collect
+    * to the driver solve the labeling in one pass. Min-tracking
+    * union-find (always hang the larger root under the smaller)
+    * reproduces the loop's exact labeling: component = min node id.
+    * Returns (doc_id, label) rows for every node appearing in an edge.
+    */
+  private def resolveComponentsSmall(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rows = edges.collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    val nodes = new java.util.LinkedHashSet[java.lang.Long]()
+    rows.foreach { row =>
+      val (u, v) = (row.getLong(0), row.getLong(1))
+      nodes.add(u); nodes.add(v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+    nodes.forEach(n => out += ((n.longValue, find(n.longValue))))
+    out.toSeq.toDF("doc_id", "label")
+  }
+
   /** [[resolveComponents]] plus the convergence telemetry a scale run
     * needs: returns (labels, rounds actually executed). Rounds should
     * grow ~log(component diameter); a super-logarithmic round count on a
     * scale-up is the early-warning signal (asserted in ResolveSpec,
     * logged by ScaleSmoke).
     */
+  /** @param smallSolveBytes broadcast-small fast-path bound in BYTES for
+    *   the symmetrized edge checkpoint (-1 = the session's
+    *   `spark.sql.autoBroadcastJoinThreshold`; 0 disables — ResolveSpec
+    *   uses 0 where it pins the distributed loop's round counts).
+    *   Rounds = 0 signals the driver solve took the query.
+    */
   def resolveComponentsCounted(pairs: DataFrame,
-                               maxIterations: Int = 50): (DataFrame, Int) = {
+                               maxIterations: Int = 50,
+                               smallSolveBytes: Long = -1L): (DataFrame, Int) = {
     // Per-round checkpoints MUST reinject measured stats, not snapshot
     // the origin plan's estimate: a plain localCheckpoint(eager) copies
     // the SizeInBytesOnly join-PRODUCT estimate into the LogicalRDD, and
@@ -520,6 +563,23 @@ object DedupOps {
     // dozens of times
     val edges = ckpt(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // BROADCAST-SMALL COLD SOLVE (r16 — see [[resolveComponentsSmall]]):
+    // the measured checkpoint footprint is the same number AQE would
+    // broadcast on, so "fits a broadcast" ⇒ the driver union-find
+    // replaces ~log(diameter) rounds of distributed jobs. Row-identical
+    // labeling (ResolveSpec differential); rounds reported as 0.
+    val smallLimit =
+      if (smallSolveBytes == 0L) 0L
+      else if (smallSolveBytes > 0L) smallSolveBytes
+      else shims.autoBroadcastThresholdBytes(pairs.sparkSession).max(0L)
+    val allLong = edges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (!shims.planOnly && smallLimit > 0L && allLong &&
+        shims.statsSizeInBytes(edges).exists(sz => sz > 0 && sz <= smallLimit)) {
+      val solved = resolveComponentsSmall(edges)
+      shims.unpersistLocalCheckpoint(edges)
+      return (solved.select(col("doc_id"), col("label").as("keep_id")), 0)
+    }
     var labels = ckpt(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")))
     var converged = false
