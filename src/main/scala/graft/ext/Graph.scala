@@ -420,12 +420,60 @@ object Graph {
     * keep side auto-broadcasts from measured stats — no hints. Prior
     * rounds' blocks are freed as soon as the next round materializes.
     */
-  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** Broadcast-small bound for the fixed-round driver solves (r16 —
+    * the [[DedupOps.resolveComponentsCounted]] cold-solve move applied
+    * to the peel/BFS/SSSP family): -1 = the session's auto-broadcast
+    * threshold, 0 disables (GraphSpec's early-exit job pins force the
+    * distributed loop with it), >0 = explicit bytes.
+    */
+  private def smallGraphLimit(df: DataFrame, smallSolveBytes: Long): Long =
+    if (smallSolveBytes == 0L) 0L
+    else if (smallSolveBytes > 0L) smallSolveBytes
+    else shims.autoBroadcastThresholdBytes(df.sparkSession).max(0L)
+
+  /** Whether a stats-checkpointed all-BIGINT frame fits the driver-solve
+    * bound — the same measured footprint AQE would broadcast on.
+    */
+  private def fitsSmall(ck: DataFrame, limit: Long): Boolean =
+    !shims.planOnly && limit > 0L &&
+      ck.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType) &&
+      shims.statsSizeInBytes(ck).exists(sz => sz > 0 && sz <= limit)
+
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+                smallSolveBytes: Long = -1L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var sym = shims.checkpointWithStats(
       edges.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(edges.select(col("v").as("src"), col("u").as("dst"))))
+    // BROADCAST-SMALL DRIVER PEEL (r16): same fixed-round algebra on the
+    // collected edge list — per round, degrees per src, then an edge
+    // survives iff BOTH endpoints keep degree ≥ k; early exit when a
+    // round drops nothing (the loop's strict-shrink check). Identical
+    // rows to the distributed rounds (GraphSpec differential).
+    if (fitsSmall(sym, smallGraphLimit(sym, smallSolveBytes))) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      var cur = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      shims.unpersistLocalCheckpoint(sym)
+      var i = 1
+      var shrinking = true
+      while (i <= rounds && shrinking) {
+        val deg = new java.util.HashMap[Long, Long]()
+        cur.foreach { case (s, _) => deg.merge(s, 1L, (a, b) => a + b) }
+        val pruned = cur.filter { case (s, d) =>
+          deg.getOrDefault(s, 0L) >= k && deg.getOrDefault(d, 0L) >= k }
+        shrinking = pruned.length < cur.length
+        cur = pruned
+        i += 1
+      }
+      val outDeg = new java.util.LinkedHashMap[Long, Long]()
+      cur.foreach { case (s, _) => outDeg.merge(s, 1L, (a, b) => a + b) }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](outDeg.size)
+      outDeg.forEach((n, d) => out += ((n, d)))
+      return out.toSeq.toDF("n", "deg")
+    }
     var prev = sym
     var i = 1
     var shrinking = true
@@ -472,7 +520,8 @@ object Graph {
     * set. Rounds materialize through stats-carrying checkpoints and
     * free the previous round's blocks — the kCorePeel lifetime pattern.
     */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int,
+              smallSolveBytes: Long = -1L): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     var settled = shims.checkpointWithStats(
       seeds.select(col("n")).distinct().select(col("n"), lit(0L).as("hops")))
@@ -480,6 +529,40 @@ object Graph {
     val sym = shims.checkpointWithStats(
       edges.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(edges.select(col("v").as("src"), col("u").as("dst"))))
+    // BROADCAST-SMALL DRIVER BFS (r16): identical frontier semantics on
+    // the collected edge list — round i settles exactly the unsettled
+    // neighbors of round i−1's frontier; early exit on an empty
+    // frontier. Row-identical to the distributed rounds (GraphSpec
+    // differential).
+    if (fitsSmall(sym, smallGraphLimit(sym, smallSolveBytes)) &&
+        settled.schema("n").dataType == org.apache.spark.sql.types.LongType) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val edgesArr = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val dist = new java.util.LinkedHashMap[Long, Long]()
+      settled.collect().foreach(r => dist.put(r.getLong(0), 0L))
+      shims.unpersistLocalCheckpoint(sym)
+      shims.unpersistLocalCheckpoint(settled)
+      var frontier: Set[Long] = {
+        val b = Set.newBuilder[Long]
+        dist.forEach((n, _) => b += n)
+        b.result()
+      }
+      var i = 1
+      while (i <= rounds && frontier.nonEmpty) {
+        val next = Set.newBuilder[Long]
+        edgesArr.foreach { case (s, d) =>
+          if (frontier.contains(s) && !dist.containsKey(d)) next += d
+        }
+        val nx = next.result()
+        nx.foreach(n => dist.put(n, i.toLong))
+        frontier = nx
+        i += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](dist.size)
+      dist.forEach((n, h) => out += ((n, h)))
+      return out.toSeq.toDF("n", "hops")
+    }
     var prev = settled
     var i = 1
     var grew = true
@@ -531,7 +614,8 @@ object Graph {
     * on candidates, one min-merge + improvement filter against the
     * node-bounded distance table. kCorePeel checkpoint lifetimes.
     */
-  def ssspRounds(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def ssspRounds(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                 smallSolveBytes: Long = -1L): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     var dist = shims.checkpointWithStats(
       seeds.select(col("n")).distinct().select(col("n"), lit(0L).as("dist")))
@@ -539,6 +623,44 @@ object Graph {
     val sym = shims.checkpointWithStats(
       edges.select(col("u").as("src"), col("v").as("dst"), col("w"))
         .unionAll(edges.select(col("v").as("src"), col("u").as("dst"), col("w"))))
+    // BROADCAST-SMALL DRIVER RELAXATION (r16): identical changed-frontier
+    // Bellman-Ford on the collected edge list — round i offers
+    // d(src)+w from nodes improved in round i−1, merges by min, keeps
+    // strict improvements; early exit when nothing improves. Exact
+    // integers, row-identical to the distributed rounds (GraphSpec
+    // differential).
+    if (fitsSmall(sym, smallGraphLimit(sym, smallSolveBytes)) &&
+        dist.schema("n").dataType == org.apache.spark.sql.types.LongType) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val edgesArr = sym.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val d = new java.util.LinkedHashMap[Long, Long]()
+      dist.collect().foreach(r => d.put(r.getLong(0), 0L))
+      shims.unpersistLocalCheckpoint(sym)
+      shims.unpersistLocalCheckpoint(dist)
+      var changed: Set[Long] = {
+        val b = Set.newBuilder[Long]
+        d.forEach((n, _) => b += n)
+        b.result()
+      }
+      var i = 1
+      while (i <= rounds && changed.nonEmpty) {
+        val cand = new java.util.HashMap[Long, Long]()
+        edgesArr.foreach { case (s, t, w) =>
+          if (changed.contains(s))
+            cand.merge(t, d.get(s) + w, (a, b) => math.min(a, b))
+        }
+        val improvedB = Set.newBuilder[Long]
+        cand.forEach { (n, v) =>
+          if (!d.containsKey(n) || v < d.get(n)) { d.put(n, v); improvedB += n }
+        }
+        changed = improvedB.result()
+        i += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](d.size)
+      d.forEach((n, v) => out += ((n, v)))
+      return out.toSeq.toDF("n", "dist")
+    }
     var changed = dist // round 0: every seed just "improved" to 0
     var i = 1
     var live = true

@@ -411,23 +411,59 @@ class GraphSpec extends SparkSuite {
       val r = f
       (r, tracker.getJobIdsForGroup(null).length - before)
     }
+    // smallSolveBytes = 0 forces the DISTRIBUTED loop — this test pins
+    // ITS early exit; a tiny fixture would otherwise take the
+    // broadcast-small driver solve and trivially pass
     val (bfs50, nBfs) = jobsDuring(
-      Graph.bfsHops(fixture, seeds, rounds = 50).as[(Long, Long)].collect().toMap)
-    val bfs3 = Graph.bfsHops(fixture, seeds, rounds = 3)
+      Graph.bfsHops(fixture, seeds, rounds = 50, smallSolveBytes = 0L)
+        .as[(Long, Long)].collect().toMap)
+    val bfs3 = Graph.bfsHops(fixture, seeds, rounds = 3, smallSolveBytes = 0L)
       .as[(Long, Long)].collect().toMap
     assert(bfs50 == bfs3)
     assert(nBfs < 40, s"bfsHops(rounds=50) ran $nBfs jobs — no early exit")
 
     val unit = fixture.withColumn("w", lit(1L))
     val (sssp50, nSssp) = jobsDuring(
-      Graph.ssspRounds(unit, seeds, rounds = 50).as[(Long, Long)].collect().toMap)
+      Graph.ssspRounds(unit, seeds, rounds = 50, smallSolveBytes = 0L)
+        .as[(Long, Long)].collect().toMap)
     assert(sssp50 == bfs3)
     assert(nSssp < 60, s"ssspRounds(rounds=50) ran $nSssp jobs — no early exit")
 
     val (core50, nCore) = jobsDuring(
-      Graph.kCorePeel(fixture, k = 2, rounds = 50).as[(Long, Long)].collect().toMap)
+      Graph.kCorePeel(fixture, k = 2, rounds = 50, smallSolveBytes = 0L)
+        .as[(Long, Long)].collect().toMap)
     assert(core50 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
     assert(nCore < 40, s"kCorePeel(rounds=50) ran $nCore jobs — no early exit")
+  }
+
+  test("broadcast-small driver solves are row-identical to the distributed rounds") {
+    // randomized differential (fixed seed) over all three fixed-round
+    // operators: the r16 driver fast paths must reproduce the loops'
+    // exact results — including the round CAP (not the fixpoint) and
+    // the weighted min-merge algebra
+    val rnd = new scala.util.Random(43)
+    val raw = Seq.fill(250)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong,
+        (rnd.nextInt(5) + 1).toLong))
+      .filter { case (a, b, _) => a != b }
+      .map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+      .distinct
+    val g = raw.toDF("u", "v", "w")
+    val seeds = raw.map(_._1).distinct.take(5).toDF("n")
+    for (r <- Seq(1, 2, 3)) {
+      val bfsF = Graph.bfsHops(g, seeds, r).as[(Long, Long)].collect().sorted.toSeq
+      val bfsL = Graph.bfsHops(g, seeds, r, smallSolveBytes = 0L)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(bfsF == bfsL, s"bfs rounds=$r diverged")
+      val ssspF = Graph.ssspRounds(g, seeds, r).as[(Long, Long)].collect().sorted.toSeq
+      val ssspL = Graph.ssspRounds(g, seeds, r, smallSolveBytes = 0L)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(ssspF == ssspL, s"sssp rounds=$r diverged")
+      val coreF = Graph.kCorePeel(g, k = 3, rounds = r)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val coreL = Graph.kCorePeel(g, k = 3, rounds = r, smallSolveBytes = 0L)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(coreF == coreL, s"kcore rounds=$r diverged")
+    }
   }
 
   test("ssspRounds: unit weights reduce exactly to bfsHops") {
