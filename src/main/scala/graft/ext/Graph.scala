@@ -340,8 +340,11 @@ object Graph {
     // case the operator exists for (daily pair-stream growth) is
     // exercised by GraphSpec and priced in SCALE.md instead
     edges.repartition(3).write.parquet(src)
+    // schema = the just-written frame's, top-level-nullable like a
+    // parquet read-back — no re-inference (guide §6 metadata cost)
     val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
+      .schema(org.apache.spark.sql.types.StructType(
+        edges.schema.fields.map(_.copy(nullable = true))))
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(src)
     graft.streaming.DrainWidth.clamped(spark) {

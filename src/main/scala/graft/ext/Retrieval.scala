@@ -266,10 +266,14 @@ object Retrieval {
     val work = graft.streaming.DrainWork.tempDir("graft_stream_bm25")
     val src = s"$work/docs"
     val idx = s"$work/index"
-    graft.Tables.documents(spark, sfDir).select("doc_id", "text")
-      .repartition(3).write.parquet(src)
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    docs.repartition(3).write.parquet(src)
+    // the stream reads back what was just written from `docs` — its
+    // schema is known (top-level nullability matches a parquet
+    // read-back), no re-inference needed
     val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
+      .schema(org.apache.spark.sql.types.StructType(
+        docs.schema.fields.map(_.copy(nullable = true))))
       .option("maxFilesPerTrigger", 1)
       .parquet(src)
     graft.streaming.DrainWidth.clamped(spark) {

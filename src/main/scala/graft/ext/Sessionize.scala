@@ -132,7 +132,7 @@ object Sessionize {
     val out = s"$work/sessions"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = Tables.normalizeTs(spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .schema(graft.Tables(spark, sfDir, "events").schema)
       .parquet(s"$sfDir/{events.parquet}"))
       .select(col("user_id"), col("ts"), col("value"))
       .as[Evt]

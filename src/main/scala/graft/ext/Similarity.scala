@@ -309,6 +309,52 @@ object Similarity {
     topK(scored, k, Seq("query_id", "neighbor_id", "cluster_id", "cos_sim"))
   }
 
+  /** Declared schemas for the stored-index layouts (r17, guide §6):
+    * every piece of an index has a FIXED schema determined by the
+    * builder, so probe/sink paths pass it explicitly instead of paying
+    * driver-side footer inference per read — and zero-file layouts
+    * (empty corpus) read as empty tables instead of failing inference.
+    */
+  private val CentroidSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cluster_id",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cvec",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
+
+  private val PqBookSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sub",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cluster_id",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cvec",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
+
+  private def listsSchema(queries: DataFrame, idCol: String,
+                          vecCol: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        queries.schema(idCol).dataType),
+      org.apache.spark.sql.types.StructField("c_vec",
+        queries.schema(vecCol).dataType),
+      org.apache.spark.sql.types.StructField("c_n2",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.IntegerType)))
+
+  private def pqCodesSchema(queries: DataFrame, idCol: String,
+                            withCoarse: Boolean): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        queries.schema(idCol).dataType),
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType)) ++
+      (if (withCoarse) Seq(org.apache.spark.sql.types.StructField("coarse_id",
+        org.apache.spark.sql.types.IntegerType)) else Nil))
+
   /** Materialize the IVF index — the build-once half of the 100 TB
     * contract ivfTopK's doc describes: the tiny centroid model table
     * plus the inverted lists written `partitionBy(cluster_id)`, so every
@@ -357,27 +403,15 @@ object Similarity {
   def ivfTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
                     queries: DataFrame, idCol: String, vecCol: String,
                     nProbe: Int = 2, k: Int = 3): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
-    // partition-column inference gives cluster_id its original int type;
-    // no projection on top of it — DPP prunes on the bare attribute.
-    // An EMPTY corpus writes zero partition dirs (schema-less layout):
-    // valid state, searched as an empty index, not an error.
-    val lists =
-      try spark.read.parquet(s"$path/lists")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          val st = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("neighbor_id",
-              queries.schema(idCol).dataType),
-            org.apache.spark.sql.types.StructField("c_vec",
-              queries.schema(vecCol).dataType),
-            org.apache.spark.sql.types.StructField("c_n2",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("cluster_id",
-              org.apache.spark.sql.types.IntegerType)))
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-      }
+    val cents = spark.read.schema(CentroidSchema).parquet(s"$path/centroids")
+    // DECLARED schema, not footer inference (r17, guide §6 — the probe
+    // paths re-inferred these fixed layouts per call; the bm25TopKStored
+    // posture): cluster_id keeps its original int type so DPP prunes on
+    // the bare attribute, and an EMPTY corpus's zero partition dirs
+    // (schema-less layout) read as an empty index instead of failing
+    // inference — the declared schema covers what the old try/catch did.
+    val lists = spark.read.schema(listsSchema(queries, idCol, vecCol))
+      .parquet(s"$path/lists")
     ivfSearch(lists, cents, queries, idCol, vecCol, nProbe, k)
   }
 
@@ -426,7 +460,9 @@ object Similarity {
   def ivfSink(indexPath: String, idCol: String, vecCol: String)
              (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    // declared model schema: the standing-model read runs EVERY batch,
+    // and footer inference is per-batch driver work the fold doesn't need
+    val cents = spark.read.schema(CentroidSchema).parquet(s"$indexPath/centroids")
     ivfAssign(batch, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         norm2Scaled(col(vecCol)).as("c_n2"), col("cluster_id"))
@@ -447,7 +483,7 @@ object Similarity {
                       queries: DataFrame, idCol: String, vecCol: String,
                       nProbe: Int = 2, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.types._
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = spark.read.schema(CentroidSchema).parquet(s"$path/centroids")
     val schema = graft.operators.ShardStore.withBatch(StructType(Seq(
       StructField("neighbor_id", queries.schema(idCol).dataType),
       StructField("c_vec", queries.schema(vecCol).dataType),
@@ -493,8 +529,10 @@ object Similarity {
     val src = s"$work/vecs"
     val emb = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     emb.repartition(3).write.parquet(src)
+    // the stream reads back what was just written from `emb` — its schema
+    // IS emb's (parquet-inferred, nullable), no re-inference needed
     val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
+      .schema(emb.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(src)
     graft.streaming.DrainWidth.clamped(spark) {
@@ -752,8 +790,11 @@ object Similarity {
   def pqTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
                    queries: DataFrame, idCol: String, vecCol: String,
                    m: Int = 4, subDim: Int = 16, k: Int = 3): DataFrame =
-    pqSearch(spark.read.parquet(s"$path/codes"),
-      spark.read.parquet(s"$path/codebooks"),
+    // declared index schemas — no per-probe footer inference (guide §6)
+    pqSearch(
+      spark.read.schema(pqCodesSchema(queries, idCol, withCoarse = false))
+        .parquet(s"$path/codes"),
+      spark.read.schema(PqBookSchema).parquet(s"$path/codebooks"),
       queries, idCol, vecCol, m, subDim, k)
 
   /** Two-stage PQ serving: ADC shortlists `r` candidates per query off
@@ -969,27 +1010,16 @@ object Similarity {
                       queries: DataFrame, idCol: String, vecCol: String,
                       m: Int = 4, subDim: Int = 16, nProbe: Int = 2,
                       k: Int = 3): DataFrame = {
-    // an EMPTY corpus writes zero code partitions (schema-less layout,
-    // same as writeIvfIndex's lists): valid state, searched as an empty
-    // index, not an error
-    val codes =
-      try spark.read.parquet(s"$path/codes")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          val st = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("neighbor_id",
-              queries.schema(idCol).dataType),
-            org.apache.spark.sql.types.StructField("sub",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("code",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("coarse_id",
-              org.apache.spark.sql.types.IntegerType)))
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-      }
-    ivfPqSearch(codes, spark.read.parquet(s"$path/coarse"),
-      spark.read.parquet(s"$path/codebooks"),
+    // DECLARED schemas (guide §6 — no per-probe footer inference): an
+    // EMPTY corpus's zero code partitions (schema-less layout, same as
+    // writeIvfIndex's lists) read as an empty index under the declared
+    // schema — covers what the old inference-failure catch did.
+    val codes = spark.read
+      .schema(pqCodesSchema(queries, idCol, withCoarse = true))
+      .parquet(s"$path/codes")
+    ivfPqSearch(codes,
+      spark.read.schema(CentroidSchema).parquet(s"$path/coarse"),
+      spark.read.schema(PqBookSchema).parquet(s"$path/codebooks"),
       queries, idCol, vecCol, m, subDim, nProbe, k)
   }
 
@@ -1035,8 +1065,9 @@ object Similarity {
   def ivfPqSink(indexPath: String, idCol: String, vecCol: String,
                 m: Int, subDim: Int)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val coarse = spark.read.parquet(s"$indexPath/coarse")
-    val books = spark.read.parquet(s"$indexPath/codebooks")
+    // declared model schemas — the standing-model reads run EVERY batch
+    val coarse = spark.read.schema(CentroidSchema).parquet(s"$indexPath/coarse")
+    val books = spark.read.schema(PqBookSchema).parquet(s"$indexPath/codebooks")
     encodeResiduals(residuals(batch, coarse, idCol, vecCol), books,
         idCol, m, subDim)
       .write.mode("overwrite").partitionBy("coarse_id")
@@ -1061,8 +1092,9 @@ object Similarity {
       StructField("coarse_id", IntegerType))))
     val codes = graft.operators.ShardStore
       .read(spark, s"$path/codes", schema).drop("batch")
-    ivfPqSearch(codes, spark.read.parquet(s"$path/coarse"),
-      spark.read.parquet(s"$path/codebooks"),
+    ivfPqSearch(codes,
+      spark.read.schema(CentroidSchema).parquet(s"$path/coarse"),
+      spark.read.schema(PqBookSchema).parquet(s"$path/codebooks"),
       queries, idCol, vecCol, m, subDim, nProbe, k)
   }
 

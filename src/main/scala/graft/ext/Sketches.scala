@@ -105,7 +105,7 @@ object Sketches {
     val mart = s"$work/cells"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .schema(graft.Tables(spark, sfDir, "events").schema)
     val events = graft.Tables.normalizeTs(
       maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
         .parquet(s"$sfDir/{events.parquet}"))

@@ -411,12 +411,15 @@ object StreamingAsOf {
     val mart = s"$work/mart"
     val rstore = s"$work/clicks"
     val tol = Some(6L * 3600 * 1000000)
-    graft.Tables.events(spark, sfDir)
+    val ev = graft.Tables.events(spark, sfDir)
       .filter(col("event_type").isin("view", "click"))
       .select("event_id", "user_id", "ts", "event_type", "value")
-      .repartition(3).write.parquet(src)
+    ev.repartition(3).write.parquet(src)
+    // schema = the just-written frame's, top-level-nullable like a
+    // parquet read-back — no re-inference (guide §6 metadata cost)
     val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
+      .schema(org.apache.spark.sql.types.StructType(
+        ev.schema.fields.map(_.copy(nullable = true))))
       .option("maxFilesPerTrigger", 1)
       .parquet(src)
     def split(df: DataFrame): (DataFrame, DataFrame) = (

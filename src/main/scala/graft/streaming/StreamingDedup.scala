@@ -44,7 +44,7 @@ object StreamingDedup {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s"$sfDir/{events.parquet}"
     val events = Tables.normalizeTs(spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .schema(graft.Tables(spark, sfDir, "events").schema)
       .parquet(src))
     // bounded drain → clamp the state-store width (DrainWidth scaladoc)
     DrainWidth.clamped(spark) {

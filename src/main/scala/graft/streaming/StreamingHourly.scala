@@ -91,7 +91,7 @@ object StreamingHourly {
     // the glob handles both)
     val src = s"$sfDir/{events.parquet}"
     val reader = spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .schema(graft.Tables(spark, sfDir, "events").schema)
     // AvailableNow honors rate limits: maxFilesPerTrigger splits the
     // drain into real micro-batches (the spec uses this to prove
     // batch-split independence)

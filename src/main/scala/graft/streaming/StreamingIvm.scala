@@ -84,7 +84,7 @@ object StreamingIvm {
     val mart = s"$work/mart"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .schema(graft.Tables(spark, sfDir, "events").schema)
     val events = Tables.normalizeTs(
       maxFilesPerTrigger.fold(reader)(n =>
         reader.option("maxFilesPerTrigger", n))

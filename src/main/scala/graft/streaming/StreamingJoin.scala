@@ -69,7 +69,7 @@ object StreamingJoin {
     val work = DrainWork.tempDir("graft_stream_join")
     val out = s"$work/matches"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.Tables(spark, sfDir, "events").schema
     DrainWidth.clamped(spark) {
     def stream(): DataFrame = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(s"$sfDir/{events.parquet}"))

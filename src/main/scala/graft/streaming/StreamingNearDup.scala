@@ -135,7 +135,7 @@ object StreamingNearDup {
     import spark.implicits._
     val work = DrainWork.tempDir("graft_stream_neardup")
     val out = s"$work/pairs"
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val schema = graft.Tables(spark, sfDir, "documents").schema
     val docs = spark.readStream.schema(schema)
       .parquet(s"$sfDir/{documents.parquet}")
     val pairs = candidatePairs(

@@ -34,7 +34,7 @@ object StreamingQuantiles {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s"$sfDir/{events.parquet}"
     val reader = spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .schema(graft.Tables(spark, sfDir, "events").schema)
     val events = Tables.normalizeTs(
       maxFilesPerTrigger.fold(reader)(n =>
         reader.option("maxFilesPerTrigger", n)).parquet(src))
