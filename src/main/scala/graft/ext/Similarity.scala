@@ -139,15 +139,283 @@ object Similarity {
       .select(col("cluster_id"),
         transform(col("pairs"), p => p.getField("cv").cast("float")).as("cvec"))
 
+  // ------------------------- broadcast-small driver-solved Lloyd (r17)
+
+  /** Max rows the driver-solve gate will ever materialize to decide:
+    * [[AutoSampledTrainingRows]] — full Lloyd training is only ever
+    * auto-chosen below it, and the sampled trainers bound their samples
+    * far under it, so the probe's cost is capped at the corpus sizes
+    * full training actually runs on.
+    */
+  // def, not val: AutoSampledTrainingRows is declared later in the
+  // object and a val here would read 0 during initialization
+  private def MaxLocalTrainRows: Long = AutoSampledTrainingRows
+
+  /** Gate + collect for the driver-solved Lloyd trainers (the r16
+    * fixed-round graph-solve pattern applied to k-means): when the
+    * TRAINING SET'S measured footprint fits the session's broadcast
+    * threshold — the same bytes a broadcast join would ship to the
+    * driver — the fixed-round Lloyd algebra runs on the collected rows
+    * instead of paying ~4 jobs/round of tiny distributed stages
+    * (measured: each Lloyd trainer is 9 sequential jobs at sf0.1 for
+    * 2000 vectors ≈ 0.5 MB; wall-clock tracks job count ~120 ms/job).
+    *
+    * Honest gates, all falling through to the distributed loop:
+    *  - planOnly / smallSolveBytes == 0 (spec escape hatch);
+    *  - id must be BIGINT and the vector ARRAY<FLOAT> (the repo-wide
+    *    contract types the local twin mirrors);
+    *  - a stats-checkpointed input (the sampled trainers' case — ALWAYS
+    *    bounded, at any corpus scale) gates on its measured stats with
+    *    no extra job; any other input pays one bounded
+    *    limit(max+1)-checkpoint probe — capped at
+    *    [[MaxLocalTrainRows]]+1 rows regardless of corpus size;
+    *  - collected rows must have unique non-null ids, non-null vectors
+    *    with non-null elements, uniform length (== `requireLen` when
+    *    given): exactly the regime where the relational argmin/update
+    *    algebra is well-defined row-per-row and the local twin is
+    *    bit-identical (randomized differential in SimilaritySolveSpec;
+    *    anything else bails to the loop).
+    *
+    * At 100 TB the sampled trainers (the production default past
+    * [[AutoSampledTrainingRows]]) always satisfy the gate — their
+    * samples are bounded by construction — while a forced full training
+    * on an over-threshold corpus fails it and keeps the distributed
+    * rounds. Exact numerics: the local twin replays the same IEEE ops
+    * ([[graft.functions.DotProductScaled]]'s floor(x·y·scale + 0.5)
+    * int64 sums, [[Numeric.scaledAvg]]'s floor(sum/count + 0.5)/10^s,
+    * double→float rounding), so centroids/codebooks are bit-identical
+    * to the distributed rounds — pinned by the differential spec and
+    * the ANN oracle rows.
+    */
+  private def collectSmallTraining(corpus: DataFrame, idCol: String,
+      vecCol: String, smallSolveBytes: Long,
+      requireLen: Option[Int]): Option[Array[(Long, Array[Float])]] = {
+    if (shims.planOnly || smallSolveBytes == 0L) return None
+    val limit =
+      if (smallSolveBytes > 0L) smallSolveBytes
+      else shims.autoBroadcastThresholdBytes(corpus.sparkSession).max(0L)
+    if (limit <= 0L) return None
+    val idOk = corpus.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    val vecOk = corpus.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    if (!idOk || !vecOk) return None
+    def fits(df: DataFrame): Boolean =
+      shims.statsRowCount(df).exists(n => n >= 0 && n <= MaxLocalTrainRows) &&
+        shims.statsSizeInBytes(df).exists(sz => sz > 0 && sz <= limit)
+    val (probe, ownedCk) = corpus.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => (corpus, None)
+      case _ =>
+        val ck = shims.checkpointWithStats(
+          corpus.select(col(idCol), col(vecCol))
+            .limit(MaxLocalTrainRows.toInt + 1))
+        (ck, Some(ck))
+    }
+    try {
+      if (!fits(probe)) return None
+      val rows = probe.select(col(idCol), col(vecCol)).collect()
+      val out = new Array[(Long, Array[Float])](rows.length)
+      val seen = new java.util.HashSet[Long](rows.length * 2)
+      var i = 0
+      var len = -1
+      while (i < rows.length) {
+        val r = rows(i)
+        if (r.isNullAt(0) || r.isNullAt(1)) return None
+        val id = r.getLong(0)
+        if (!seen.add(id)) return None // duplicate id: groupBy semantics differ
+        val s = r.getSeq[Any](1)
+        val v = new Array[Float](s.length)
+        var j = 0
+        while (j < s.length) {
+          val e = s(j)
+          if (e == null) return None
+          v(j) = e.asInstanceOf[Float]
+          j += 1
+        }
+        if (len < 0) len = v.length
+        else if (len != v.length) return None // non-uniform dims: null-dist algebra
+        if (requireLen.exists(_ != v.length)) return None
+        out(i) = (id, v)
+        i += 1
+      }
+      Some(out)
+    } finally ownedCk.foreach(shims.unpersistLocalCheckpoint)
+  }
+
+  /** floor(x·y·scale + 0.5) int64 term — the exact per-element op of
+    * [[graft.functions.DotProductScaled]], replayed on the driver.
+    */
+  @inline private def dotTerm(x: Float, y: Float, scale: Long): Long =
+    math.floor(x.toDouble * y.toDouble * scale + 0.5).toLong
+
+  private def dotScaledLocal(a: Array[Float], b: Array[Float]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { acc += dotTerm(a(i), b(i), Scale); i += 1 }
+    acc
+  }
+
+  /** [[Numeric.scaledAvg]] at [[IvfScale]], replayed on the driver:
+    * floor(Σ floor(v·10^s + 0.5) / count + 0.5) / 10^s. The distributed
+    * sum is over integral doubles ≪ 2^53 — exact in any order — so a
+    * double accumulator reproduces it bit-for-bit.
+    */
+  @inline private def scaledAvgLocal(sum: Double, cnt: Long): Double = {
+    val f = 1000000L // 10^IvfScale
+    math.floor(sum / cnt + 0.5) / f
+  }
+
+  @inline private def scaledTermLocal(v: Float): Double =
+    math.floor(v.toDouble * 1000000L + 0.5)
+
+  /** One set of per-cluster [[Numeric.scaledAvg]] means — the
+    * [[ivfUpdate]] algebra on driver arrays: per (cluster, dim)
+    * scaled average, reassembled in dim order, double→float cast.
+    * Clusters with no members vanish (groupBy semantics). Returned
+    * sorted by cluster id (output order is irrelevant downstream;
+    * sorted for determinism of the LocalRelation).
+    */
+  private def lloydMeans(members: java.util.TreeMap[Int, (Array[Double], Array[Long])])
+      : Array[(Int, Array[Float])] = {
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Array[Float])](members.size)
+    members.forEach { (cid, sc) =>
+      val (sums, cnts) = sc
+      val v = new Array[Float](sums.length)
+      var d = 0
+      while (d < sums.length) {
+        v(d) = scaledAvgLocal(sums(d), cnts(d)).toFloat
+        d += 1
+      }
+      out += ((cid, v))
+    }
+    out.toArray
+  }
+
+  /** Driver twin of the [[ivfCentroids]] loop: same deterministic seed
+    * (vectors of the k smallest ids), same per-round assign
+    * (argmin of ‖c‖²ₛ − 2⟨x,c⟩ₛ, tie → smallest cluster id) and update
+    * ([[scaledAvgLocal]] per (cluster, dim)) — bit-identical by
+    * construction (differential-pinned).
+    */
+  private def localIvfCentroids(rows: Array[(Long, Array[Float])],
+      nClusters: Int, iterations: Int): Array[(Int, Array[Float])] = {
+    val sorted = rows.sortBy(_._1)
+    var cents: Array[(Int, Array[Float])] =
+      sorted.take(nClusters).zipWithIndex.map { case ((_, v), j) => (j, v) }
+    for (_ <- 1 to iterations) {
+      val n2s = cents.map { case (cid, c) => (cid, dotScaledLocal(c, c)) }
+      val members = new java.util.TreeMap[Int, (Array[Double], Array[Long])]()
+      rows.foreach { case (_, v) =>
+        var bestD = Long.MaxValue; var bestC = Int.MaxValue; var j = 0
+        while (j < cents.length) {
+          val d = n2s(j)._2 - 2L * dotScaledLocal(v, cents(j)._2)
+          if (d < bestD || (d == bestD && n2s(j)._1 < bestC)) {
+            bestD = d; bestC = n2s(j)._1
+          }
+          j += 1
+        }
+        val sc = members.computeIfAbsent(bestC,
+          _ => (new Array[Double](v.length), new Array[Long](v.length)))
+        var d = 0
+        while (d < v.length) {
+          sc._1(d) += scaledTermLocal(v(d)); sc._2(d) += 1L; d += 1
+        }
+      }
+      cents = lloydMeans(members)
+    }
+    cents
+  }
+
+  /** Driver twin of the [[pqCodebooks]] loop — m independent
+    * [[localIvfCentroids]]-shaped k-means over the subvector slices,
+    * same seed rule (slices of the ks smallest ids' vectors).
+    */
+  private def localPqCodebooks(rows: Array[(Long, Array[Float])],
+      m: Int, subDim: Int, ks: Int, iterations: Int): Array[(Int, Int, Array[Float])] = {
+    val sorted = rows.sortBy(_._1)
+    def slices(v: Array[Float]): Array[Array[Float]] =
+      Array.tabulate(m)(s => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+    // books(s) = Array[(code, cvec)] for subspace s
+    var books: Array[Array[(Int, Array[Float])]] = {
+      val seeds = sorted.take(ks).zipWithIndex
+      Array.tabulate(m)(s => seeds.map { case ((_, v), j) => (j, slices(v)(s)) })
+    }
+    for (_ <- 1 to iterations) {
+      val next = new Array[Array[(Int, Array[Float])]](m)
+      var s = 0
+      while (s < m) {
+        val bk = books(s)
+        val n2s = bk.map { case (cid, c) => (cid, dotScaledLocal(c, c)) }
+        val members = new java.util.TreeMap[Int, (Array[Double], Array[Long])]()
+        rows.foreach { case (_, v) =>
+          val sv = java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)
+          var bestD = Long.MaxValue; var bestC = Int.MaxValue; var j = 0
+          while (j < bk.length) {
+            val d = n2s(j)._2 - 2L * dotScaledLocal(sv, bk(j)._2)
+            if (d < bestD || (d == bestD && n2s(j)._1 < bestC)) {
+              bestD = d; bestC = n2s(j)._1
+            }
+            j += 1
+          }
+          val sc = members.computeIfAbsent(bestC,
+            _ => (new Array[Double](sv.length), new Array[Long](sv.length)))
+          var d = 0
+          while (d < sv.length) {
+            sc._1(d) += scaledTermLocal(sv(d)); sc._2(d) += 1L; d += 1
+          }
+        }
+        next(s) = lloydMeans(members)
+        s += 1
+      }
+      books = next
+    }
+    books.zipWithIndex.flatMap { case (bk, s) =>
+      bk.map { case (cid, v) => (s, cid, v) }
+    }
+  }
+
+  /** A driver-solved model table as a DataFrame: leading INT id columns
+    * plus the trailing ARRAY<FLOAT> vector — the exact column set and
+    * types the distributed trainers produce.
+    */
+  private def localModelFrame(spark: org.apache.spark.sql.SparkSession,
+      names: Seq[String], rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+    val fields = names.init.map(n => org.apache.spark.sql.types.StructField(
+      n, org.apache.spark.sql.types.IntegerType, nullable = false)) :+
+      org.apache.spark.sql.types.StructField(names.last,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = true)
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      org.apache.spark.sql.types.StructType(fields))
+  }
+
   /** IVF index build: `iterations` full Lloyd rounds from a deterministic
     * seed (the vectors of the `nClusters` smallest ids — expressible
     * identically in any engine, unlike random init). Fixed iteration
     * count, not convergence-tested: an ANN index needs a GOOD partition,
     * not the k-means optimum, and a fixed count keeps the result a pure
     * function of the data. Returns (cluster_id, cvec) centroids.
+    *
+    * `smallSolveBytes` gates the broadcast-small DRIVER SOLVE
+    * ([[collectSmallTraining]]): -1 = the session's auto-broadcast
+    * threshold, 0 disables (the differential spec forces the
+    * distributed loop with it), >0 explicit bytes.
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                   nClusters: Int, iterations: Int): DataFrame = {
+                   nClusters: Int, iterations: Int,
+                   smallSolveBytes: Long = -1L): DataFrame = {
+    collectSmallTraining(corpus, idCol, vecCol, smallSolveBytes,
+        requireLen = None) match {
+      case Some(rows) =>
+        val cents = localIvfCentroids(rows, nClusters, iterations)
+        return localModelFrame(corpus.sparkSession, Seq("cluster_id", "cvec"),
+          cents.toSeq.map { case (cid, v) =>
+            org.apache.spark.sql.Row(cid, v.toSeq) })
+      case None => ()
+    }
     val w = Window.orderBy(col(idCol))
     var cents = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
       .limit(nClusters)
@@ -638,7 +906,23 @@ object Similarity {
     * (sub, cluster_id, cvec).
     */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-                  m: Int, subDim: Int, ks: Int, iterations: Int): DataFrame = {
+                  m: Int, subDim: Int, ks: Int, iterations: Int,
+                  smallSolveBytes: Long = -1L): DataFrame = {
+    // broadcast-small DRIVER SOLVE (see [[collectSmallTraining]]); the
+    // uniform-length gate tightens to len == m·subDim so every slice is
+    // exactly subDim wide — the only regime where the local twin's
+    // copyOfRange mirrors slice() and the sub-codebook dots can't hit
+    // the length-mismatch NULL algebra
+    collectSmallTraining(corpus, idCol, vecCol, smallSolveBytes,
+        requireLen = Some(m * subDim)) match {
+      case Some(rows) =>
+        val books = localPqCodebooks(rows, m, subDim, ks, iterations)
+        return localModelFrame(corpus.sparkSession,
+          Seq("sub", "cluster_id", "cvec"),
+          books.toSeq.map { case (s, cid, v) =>
+            org.apache.spark.sql.Row(s, cid, v.toSeq) })
+      case None => ()
+    }
     val sv = subVectors(corpus, idCol, vecCol, m, subDim)
     val w = Window.orderBy(col(idCol))
     var books = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
