@@ -113,8 +113,13 @@ object Retrieval {
     val dl = tok.groupBy(id).agg(count(lit(1)).as("dl"))
     // band via the codegen'd md5 expression — [[tokenBand]] is its
     // driver-side twin for the probe's literal partition filter
-    tok.groupBy(id, col("token")).agg(count(lit(1)).as("tf"))
-      .withColumn("tok_band", substring(md5(col("token")), 1, 1))
+    // salted clustering before the partitioned write (r17, guide §6 —
+    // [[graft.operators.Bucketed.clusterForPartitionBy]]): bounds files
+    // per band dir and keeps a hot band parallel
+    graft.operators.Bucketed.clusterForPartitionBy(
+        tok.groupBy(id, col("token")).agg(count(lit(1)).as("tf"))
+          .withColumn("tok_band", substring(md5(col("token")), 1, 1)),
+        "tok_band", idCol)
       .write.mode("overwrite").partitionBy("tok_band")
       .parquet(s"$path/postings")
     dl.write.mode("overwrite").parquet(s"$path/doclen")
@@ -175,6 +180,8 @@ object Retrieval {
       batch.select(id, explode(TextOps.tokens(col(textCol))).as("token")))
     // tok_band nested INSIDE the batch shard, so the probe still prunes
     // to the query terms' md5-band directories within every shard
+    // not salt-clustered — the ivfSink rationale: shard file counts are
+    // delta-bounded, consolidation ([[compactIndex]]) re-clusters
     tok.groupBy(id, col("token")).agg(count(lit(1)).as("tf"))
       .withColumn("tok_band", substring(md5(col("token")), 1, 1))
       .write.mode("overwrite").partitionBy("tok_band")

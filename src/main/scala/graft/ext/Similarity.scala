@@ -113,16 +113,94 @@ object Similarity {
     * never shuffled; the groupBy is on the row id.
     */
   private def ivfAssign(corpus: DataFrame, centroids: DataFrame,
-                        idCol: String, vecCol: String): DataFrame = {
-    val c = centroids.select(col("cluster_id"), col("cvec"),
-      norm2Scaled(col("cvec")).as("c_n2s"))
-    corpus.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(c))
-      .withColumn("dist_s", col("c_n2s") - lit(2L) * dotScaled(col(vecCol), col("cvec")))
-      .groupBy(col(idCol))
-      .agg(min(struct(col("dist_s"), col("cluster_id"))).as("m"),
-        first(col(vecCol)).as(vecCol))
-      .select(col(idCol), col(vecCol), col("m.cluster_id").as("cluster_id"))
+                        idCol: String, vecCol: String,
+                        probeStored: Boolean = false): DataFrame = {
+    // LITERAL-CENTROID fast shape (r17): when the model table is already
+    // locally known (driver-solved trainer / tiny stats checkpoint /
+    // probed stored model), the per-row argmin is a codegen'd least()
+    // chain over k literal vectors — a MAP-ONLY projection. The
+    // relational spelling below pays a broadcast build job plus a
+    // corpus-sized groupBy(id) exchange that carries the vectors, purely
+    // to reduce the k-way crossJoin back to one row per id — at any
+    // scale that exchange moves the whole corpus once per assign pass.
+    // Identical rows for unique non-null ids (the ANN corpus contract;
+    // the argmin algebra — least(struct(dist, cid)) — IS Min's update
+    // expression, so ties and null-distance handling match bit-for-bit;
+    // SimilaritySolveSpec differential). Falls through untouched for
+    // lazy model plans (the Lloyd loop), big models, or planOnly.
+    smallModelRows(centroids, probeStored) match {
+      case Some(cents) if cents.nonEmpty =>
+        corpus.select(col(idCol), col(vecCol),
+          argminCell(col(vecCol), cents).getField("cluster_id").as("cluster_id"))
+      case _ =>
+        val c = centroids.select(col("cluster_id"), col("cvec"),
+          norm2Scaled(col("cvec")).as("c_n2s"))
+        corpus.select(col(idCol), col(vecCol))
+          .crossJoin(broadcast(c))
+          .withColumn("dist_s", col("c_n2s") - lit(2L) * dotScaled(col(vecCol), col("cvec")))
+          .groupBy(col(idCol))
+          .agg(min(struct(col("dist_s"), col("cluster_id"))).as("m"),
+            first(col(vecCol)).as(vecCol))
+          .select(col(idCol), col(vecCol), col("m.cluster_id").as("cluster_id"))
+    }
+  }
+
+  /** Plan-size bound for the literal argmin chains: k literal vectors
+    * inline k dot-product expressions per row — fine at demo/model
+    * sizes, wrong past it (codegen blow-up; and a model that large
+    * should broadcast-join anyway). sizedNClusters-scale models (√n at
+    * 100 TB) never pass this, so the relational shape stays the scale
+    * path.
+    */
+  // def reading a system property, not a val: the differential spec
+  // (and any operator) can force the relational shape with
+  // -Dgraft.annLiteralCells=0
+  private def MaxLiteralCells: Int =
+    Integer.getInteger("graft.annLiteralCells", 64)
+
+  /** Collected rows of a SMALL model table for the literal-argmin
+    * assigns, or None to keep the relational path. Collects only what
+    * is free or known-bounded: a LocalRelation (driver-solved trainer —
+    * no job), a measured stats checkpoint under [[MaxLiteralCells]]
+    * rows (local blocks — one trivial job), or — only when
+    * `probeStored` (the per-batch sinks, whose model is a just-written
+    * tiny parquet dir) — a limit-bounded collect. Lazy plans (the Lloyd
+    * loop's per-round models) are never probed.
+    */
+  private def smallModelRows(model: DataFrame, probeStored: Boolean)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    if (shims.planOnly) return None
+    def conv(rows: Array[org.apache.spark.sql.Row]): Option[Array[org.apache.spark.sql.Row]] =
+      if (rows.length <= MaxLiteralCells &&
+        rows.forall(r => !r.anyNull &&
+          r.getSeq[Any](r.length - 1).forall(_ != null))) Some(rows)
+      else None
+    model.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        conv(model.collect()) // LocalTableScan: no job
+      case _: org.apache.spark.sql.execution.LogicalRDD
+        if shims.statsRowCount(model).exists(_ <= MaxLiteralCells) =>
+        conv(model.collect())
+      case _ if probeStored =>
+        conv(model.limit(MaxLiteralCells + 1).collect())
+      case _ => None
+    }
+  }
+
+  /** The literal-argmin cell: least over k struct(dist_s, cluster_id)
+    * expressions — dist_s = ‖c‖²ₛ − 2⟨x,c⟩ₛ with the centroid norm
+    * folded on the driver (same [[dotScaledLocal]] ops the codegen'd
+    * expression runs). Min's update expression IS least, so this is the
+    * aggregate argmin verbatim, without the exchange.
+    */
+  private def argminCell(vec: Column, cents: Array[org.apache.spark.sql.Row]): Column = {
+    val structs = cents.map { r =>
+      val cid = r.getInt(r.length - 2)
+      val cv = r.getSeq[Float](r.length - 1).toArray
+      struct((lit(dotScaledLocal(cv, cv)) - lit(2L) * dotScaled(vec, lit(cv)))
+        .as("dist_s"), lit(cid).as("cluster_id"))
+    }
+    if (structs.length == 1) structs.head else least(structs.toIndexedSeq: _*)
   }
 
   /** Centroid update: per-(cluster, dimension) order-independent scaled
@@ -469,7 +547,7 @@ object Similarity {
     // finally, not sequential: a Lloyd round that throws (lost executor,
     // cancelled job group) must not leave the sample's blocks pinned for
     // the session — the shims contract says nothing else will free them
-    try shims.checkpointWithStats(
+    try ensureStatsCheckpoint(
       ivfCentroids(sample, idCol, vecCol, nClusters, iterations))
     finally shims.unpersistLocalCheckpoint(sample)
   }
@@ -510,7 +588,7 @@ object Similarity {
     // stats-carrying checkpoint: stops re-deriving k-means per use AND
     // lets the probe/score joins see the model table's real (tiny) size
     // instead of a stats-less scan — no broadcast hints needed downstream
-    val cents = shims.checkpointWithStats(
+    val cents = ensureStatsCheckpoint(
       ivfCentroids(corpus, idCol, vecCol, nClusters, iterations))
     val lists = ivfAssign(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
@@ -534,6 +612,9 @@ object Similarity {
   private def ensureStatsCheckpoint(df: DataFrame): DataFrame =
     df.queryExecution.analyzed match {
       case _: org.apache.spark.sql.execution.LogicalRDD => df
+      // a driver-solved model (r17): literal rows, exact LocalRelation
+      // stats, free to "re-derive" — wrapping would only add a job
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => df
       case _ => shims.checkpointWithStats(df)
     }
 
@@ -647,13 +728,18 @@ object Similarity {
     val cents =
       if (sampled)
         ivfCentroidsSampled(corpus, idCol, vecCol, nClusters, iterations)
-      else shims.checkpointWithStats(
+      else ensureStatsCheckpoint(
         ivfCentroids(corpus, idCol, vecCol, nClusters, iterations))
     try {
       cents.write.mode("overwrite").parquet(s"$path/centroids")
-      ivfAssign(corpus, cents, idCol, vecCol)
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-          norm2Scaled(col(vecCol)).as("c_n2"), col("cluster_id"))
+      // salted clustering before the partitioned write (r17, guide §6 —
+      // see [[graft.operators.Bucketed.clusterForPartitionBy]]): bounds
+      // files per cell dir and keeps hot cells parallel
+      graft.operators.Bucketed.clusterForPartitionBy(
+          ivfAssign(corpus, cents, idCol, vecCol)
+            .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+              norm2Scaled(col(vecCol)).as("c_n2"), col("cluster_id")),
+          "cluster_id", "neighbor_id")
         .write.mode("overwrite").partitionBy("cluster_id")
         .parquet(s"$path/lists")
     } finally
@@ -731,7 +817,16 @@ object Similarity {
     // declared model schema: the standing-model read runs EVERY batch,
     // and footer inference is per-batch driver work the fold doesn't need
     val cents = spark.read.schema(CentroidSchema).parquet(s"$indexPath/centroids")
-    ivfAssign(batch, cents, idCol, vecCol)
+    // probeStored: the standing model is a tiny just-written dir — a
+    // bounded collect replaces the per-batch broadcast build + exchange
+    // NOT salt-clustered like the batch builder (measured +0.1-0.15 s
+    // per fold for an exchange the shard doesn't need): a micro-batch
+    // shard's file count is bounded by the delta's own task count, and
+    // the offline consolidation path ([[compactIvfLists]] ->
+    // Compact.compactShards) re-clusters to the target layout anyway —
+    // that is where the 100 TB file-count control for streamed shards
+    // lives.
+    ivfAssign(batch, cents, idCol, vecCol, probeStored = true)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         norm2Scaled(col(vecCol)).as("c_n2"), col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id")
@@ -872,16 +967,44 @@ object Similarity {
     * and never shuffled before the per-(id, sub) argmin.
     */
   private def pqAssign(sv: DataFrame, codebooks: DataFrame,
-                       idCol: String): DataFrame = {
-    val c = codebooks.select(col("sub").as("c_sub"), col("cluster_id"),
-      col("cvec"), norm2Scaled(col("cvec")).as("c_n2s"))
-    sv.join(broadcast(c), col("sub") === col("c_sub"))
-      .withColumn("dist_s", col("c_n2s") - lit(2L) * dotScaled(col("svec"), col("cvec")))
-      .groupBy(col(idCol), col("sub"))
-      .agg(min(struct(col("dist_s"), col("cluster_id"))).as("m"),
-        first(col("svec")).as("svec"))
-      .select(col(idCol), col("sub"), col("svec"), col("m.cluster_id").as("code"))
-  }
+                       idCol: String): DataFrame =
+    // literal-codebook fast shape (see [[ivfAssign]]): per (row, sub)
+    // argmin as a sub-dispatched least() chain — map-only, no broadcast
+    // build, no (id, sub) exchange. The inner join on sub drops rows
+    // whose subspace has no codebook entries; the isNotNull filter
+    // reproduces that. Identical rows for unique ids (differential).
+    perSubCodeExpr(codebooks, probeStored = false) match {
+      case Some(codeCol) =>
+        sv.select(col(idCol), col("sub"), col("svec"), codeCol.as("code"))
+          .filter(col("code").isNotNull)
+      case None =>
+        val c = codebooks.select(col("sub").as("c_sub"), col("cluster_id"),
+          col("cvec"), norm2Scaled(col("cvec")).as("c_n2s"))
+        sv.join(broadcast(c), col("sub") === col("c_sub"))
+          .withColumn("dist_s", col("c_n2s") - lit(2L) * dotScaled(col("svec"), col("cvec")))
+          .groupBy(col(idCol), col("sub"))
+          .agg(min(struct(col("dist_s"), col("cluster_id"))).as("m"),
+            first(col("svec")).as("svec"))
+          .select(col(idCol), col("sub"), col("svec"), col("m.cluster_id").as("code"))
+    }
+
+  /** CASE sub WHEN s THEN argmin-over-books(s) … — the literal
+    * per-subspace code expression over `svec`, or None when the
+    * codebook table isn't literal-able ([[smallModelRows]]). No
+    * otherwise branch: a sub absent from the books yields NULL, which
+    * callers filter — the inner-join drop semantics.
+    */
+  private def perSubCodeExpr(codebooks: DataFrame,
+      probeStored: Boolean): Option[Column] =
+    smallModelRows(codebooks, probeStored).filter(_.nonEmpty).map { rows =>
+      val bySub = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      val cases = bySub.map { case (s, arr) =>
+        (s, argminCell(col("svec"), arr).getField("cluster_id"))
+      }
+      cases.tail.foldLeft(when(col("sub") === cases.head._1, cases.head._2)) {
+        case (acc, (s, e)) => acc.when(col("sub") === s, e)
+      }
+    }
 
   /** Sub-codebook update: per (subspace, code, dimension) scaled average
     * (order-independent — [[Numeric.scaledAvg]]), reassembled into float
@@ -961,7 +1084,7 @@ object Similarity {
     // materialize-and-free (in finally — the ivfCentroidsSampled
     // rationale): the books are m·ks rows; returning them lazy would pin
     // the sample's blocks
-    try shims.checkpointWithStats(
+    try ensureStatsCheckpoint(
       pqCodebooks(sample, idCol, vecCol, m, subDim, ks, iterations))
     finally shims.unpersistLocalCheckpoint(sample)
   }
@@ -1021,7 +1144,7 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, m: Int = 4, subDim: Int = 16, ks: Int = 4,
              iterations: Int = 2, k: Int = 3): DataFrame = {
-    val books = shims.checkpointWithStats(
+    val books = ensureStatsCheckpoint(
       pqCodebooks(corpus, idCol, vecCol, m, subDim, ks, iterations))
     pqSearch(pqEncode(corpus, books, idCol, vecCol, m, subDim), books,
       queries, idCol, vecCol, m, subDim, k)
@@ -1053,7 +1176,7 @@ object Similarity {
     val books =
       if (sampledTraining.getOrElse(autoSampledTraining(corpus.count())))
         pqCodebooksSampled(corpus, idCol, vecCol, m, subDim, ks, iterations)
-      else shims.checkpointWithStats(
+      else ensureStatsCheckpoint(
         pqCodebooks(corpus, idCol, vecCol, m, subDim, ks, iterations))
     try {
       books.write.mode("overwrite").parquet(s"$path/codebooks")
@@ -1117,11 +1240,34 @@ object Similarity {
     * distance tables).
     */
   private def residuals(corpus: DataFrame, coarse: DataFrame,
-                        idCol: String, vecCol: String): DataFrame =
-    ivfAssign(corpus, coarse, idCol, vecCol)
-      .join(broadcast(coarse.select(col("cluster_id"), col("cvec"))), "cluster_id")
-      .select(col(idCol), col("cluster_id").as("coarse_id"),
-        zip_with(col(vecCol), col("cvec"), (a, b) => a - b).as("rvec"))
+                        idCol: String, vecCol: String,
+                        probeStored: Boolean = false): DataFrame =
+    // literal-centroid fast shape (see [[ivfAssign]]): the cell lookup
+    // becomes CASE cluster_id WHEN cid THEN zip_with(v, <literal cvec>)
+    // — the broadcast cvec join disappears; only the matched branch
+    // evaluates, so the per-row cost is the same one zip_with.
+    smallModelRows(coarse, probeStored) match {
+      case Some(cents) if cents.nonEmpty =>
+        // inline the literal assign (one smallModelRows collect, not two)
+        val assigned = corpus.select(col(idCol), col(vecCol),
+          argminCell(col(vecCol), cents).getField("cluster_id").as("cluster_id"))
+        val cases = cents.map { r =>
+          (r.getInt(0), lit(r.getSeq[Float](1).toArray))
+        }
+        val rvec = cases.tail.foldLeft(
+          when(col("cluster_id") === cases.head._1,
+            zip_with(col(vecCol), cases.head._2, (a, b) => a - b))) {
+          case (acc, (cid, cv)) => acc.when(col("cluster_id") === cid,
+            zip_with(col(vecCol), cv, (a, b) => a - b))
+        }
+        assigned.select(col(idCol), col("cluster_id").as("coarse_id"),
+          rvec.as("rvec"))
+      case _ =>
+        ivfAssign(corpus, coarse, idCol, vecCol, probeStored)
+          .join(broadcast(coarse.select(col("cluster_id"), col("cvec"))), "cluster_id")
+          .select(col(idCol), col("cluster_id").as("coarse_id"),
+            zip_with(col(vecCol), col("cvec"), (a, b) => a - b).as("rvec"))
+    }
 
   /** Residual-PQ encode of a residual frame against trained sub-
     * codebooks: (neighbor_id, sub, code, coarse_id) — the single code
@@ -1132,21 +1278,33 @@ object Similarity {
     * the build.
     */
   private def encodeResiduals(resid: DataFrame, books: DataFrame,
-                              idCol: String, m: Int, subDim: Int): DataFrame = {
-    val c = books.select(col("sub").as("c_sub"), col("cluster_id"),
-      col("cvec"), norm2Scaled(col("cvec")).as("c_n2s"))
-    resid.select(col(idCol), col("coarse_id"),
-        posexplode(array((0 until m).map(s =>
-          slice(col("rvec"), s * subDim + 1, subDim)): _*))
-          .as(Seq("sub", "svec")))
-      .join(broadcast(c), col("sub") === col("c_sub"))
-      .withColumn("dist_s",
-        col("c_n2s") - lit(2L) * dotScaled(col("svec"), col("cvec")))
-      .groupBy(col(idCol), col("sub"))
-      .agg(min(struct(col("dist_s"), col("cluster_id"))).as("m"),
-        first(col("coarse_id")).as("coarse_id"))
-      .select(col(idCol).as("neighbor_id"), col("sub"),
-        col("m.cluster_id").as("code"), col("coarse_id"))
+                              idCol: String, m: Int, subDim: Int,
+                              probeStored: Boolean = false): DataFrame = {
+    val exploded = resid.select(col(idCol), col("coarse_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("rvec"), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "svec")))
+    // literal-codebook fast shape (see [[pqAssign]]): map-only encode,
+    // no broadcast build, no (id, sub) exchange — coarse_id is just
+    // projected through instead of first()-carried
+    perSubCodeExpr(books, probeStored) match {
+      case Some(codeCol) =>
+        exploded.select(col(idCol).as("neighbor_id"), col("sub"),
+            codeCol.as("code"), col("coarse_id"))
+          .filter(col("code").isNotNull)
+      case None =>
+        val c = books.select(col("sub").as("c_sub"), col("cluster_id"),
+          col("cvec"), norm2Scaled(col("cvec")).as("c_n2s"))
+        exploded
+          .join(broadcast(c), col("sub") === col("c_sub"))
+          .withColumn("dist_s",
+            col("c_n2s") - lit(2L) * dotScaled(col("svec"), col("cvec")))
+          .groupBy(col(idCol), col("sub"))
+          .agg(min(struct(col("dist_s"), col("cluster_id"))).as("m"),
+            first(col("coarse_id")).as("coarse_id"))
+          .select(col(idCol).as("neighbor_id"), col("sub"),
+            col("m.cluster_id").as("code"), col("coarse_id"))
+    }
   }
 
   private def ivfPqModel(corpus: DataFrame, idCol: String, vecCol: String,
@@ -1159,7 +1317,7 @@ object Similarity {
     val coarse =
       if (sampledTraining)
         ivfCentroidsSampled(corpus, idCol, vecCol, nCoarse, coarseIters)
-      else shims.checkpointWithStats(
+      else ensureStatsCheckpoint(
         ivfCentroids(corpus, idCol, vecCol, nCoarse, coarseIters))
     // checkpointed: the Lloyd loop below re-reads the residuals every
     // round, and the code/cell lookup reads them twice more. The
@@ -1170,7 +1328,7 @@ object Similarity {
       residuals(corpus, coarse, idCol, vecCol))
     val books =
       if (!sampledTraining)
-        shims.checkpointWithStats(
+        ensureStatsCheckpoint(
           pqCodebooks(resid, idCol, "rvec", m, subDim, ks, pqIters))
       else {
         val trainResid = shims.checkpointWithStats(
@@ -1179,7 +1337,7 @@ object Similarity {
             .limit(math.max(ks * 64, ks * 2)))
         // the training sample is dead once the books are materialized —
         // freed in finally so a failed Lloyd round can't strand it
-        try shims.checkpointWithStats(
+        try ensureStatsCheckpoint(
           pqCodebooks(trainResid, idCol, "rvec", m, subDim, ks, pqIters))
         finally shims.unpersistLocalCheckpoint(trainResid)
       }
@@ -1276,7 +1434,9 @@ object Similarity {
     try {
       coarse.write.mode("overwrite").parquet(s"$path/coarse")
       books.write.mode("overwrite").parquet(s"$path/codebooks")
-      codes.write.mode("overwrite").partitionBy("coarse_id")
+      graft.operators.Bucketed.clusterForPartitionBy(
+          codes, "coarse_id", "neighbor_id")
+        .write.mode("overwrite").partitionBy("coarse_id")
         .parquet(s"$path/codes")
     } finally
       // all three model checkpoints (incl. the corpus-sized residuals)
@@ -1352,8 +1512,11 @@ object Similarity {
     // declared model schemas — the standing-model reads run EVERY batch
     val coarse = spark.read.schema(CentroidSchema).parquet(s"$indexPath/coarse")
     val books = spark.read.schema(PqBookSchema).parquet(s"$indexPath/codebooks")
-    encodeResiduals(residuals(batch, coarse, idCol, vecCol), books,
-        idCol, m, subDim)
+    // probeStored: both standing model tables are tiny just-written dirs
+    // not salt-clustered — the ivfSink rationale: shard file counts are
+    // delta-bounded, consolidation re-clusters
+    encodeResiduals(residuals(batch, coarse, idCol, vecCol, probeStored = true),
+        books, idCol, m, subDim, probeStored = true)
       .write.mode("overwrite").partitionBy("coarse_id")
       .parquet(s"$indexPath/codes/batch=$batchId")
   }

@@ -53,6 +53,27 @@ object Bucketed {
       .saveAsTable(name)
   }
 
+  /** Cluster rows to a `partitionBy(partCol)` write's layout first —
+    * the [[writeBucketed]] move for partitioned (non-bucketed) index
+    * writes (r17, guide §6 / r16 VERDICT #3): writing from arbitrary
+    * input partitioning emits one file per (task × partition value) —
+    * at warehouse scale, thousands of tasks × thousands of cells is the
+    * classic small-file explosion, with a concurrent writer per cell
+    * held open in every task. One exchange keyed on
+    * (partCol, pmod(xxhash64(saltIdCol), salt)) bounds the files per
+    * partition dir to ~`salt` regardless of input task count — and the
+    * bounded DETERMINISTIC salt (derived from a row id, never rand():
+    * retried map tasks must reproduce the same placement, guide §2.5)
+    * keeps a hot cell spread over `salt` tasks instead of serializing
+    * it through one. AQE still coalesces the exchange at small inputs,
+    * so local writes stay at their minimal file counts.
+    */
+  def clusterForPartitionBy(df: DataFrame, partCol: String,
+      saltIdCol: String, salt: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.repartition(col(partCol), pmod(xxhash64(col(saltIdCol)), lit(salt)))
+  }
+
   /** Join two bucketed catalog tables on `leftKey = rightKey`. When both
     * tables were written by [[writeBucketed]] with the same bucket
     * count, the physical plan is a sort-merge join over bucketed scans —

@@ -81,6 +81,27 @@ class SimilaritySolveSpec extends SparkSuite {
       smallSolveBytes = 0L).count() == 0)
   }
 
+  test("literal-centroid assigns == relational assigns (whole-query differential)") {
+    // a null-vec row rides along: the trainers bail to the distributed
+    // loop on it, and the assigns' null-distance algebra must match
+    // between the literal least() chain and the relational min(struct)
+    val c = corpus(40, 16).union(
+      Seq((990L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val q = corpus(40, 16).filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    def run(): Seq[String] = {
+      val ivf = Similarity.ivfTopK(c, q, "vec_id", "embedding", 3, 2, 2, 3)
+      val pq = Similarity.pqTopK(c, q, "vec_id", "embedding", 4, 4, 3, 2, 3)
+      val ivfpq = Similarity.ivfPqTopK(c, q, "vec_id", "embedding", 3, 2, 4, 4, 3, 2, 2, 3)
+      (ivf.collect() ++ pq.collect() ++ ivfpq.collect()).map(_.toString).sorted.toSeq
+    }
+    val lit = run()
+    System.setProperty("graft.annLiteralCells", "0")
+    try {
+      val rel = run()
+      assert(lit == rel, "literal-assign diverged from relational assign")
+    } finally System.clearProperty("graft.annLiteralCells")
+  }
+
   test("sampled trainers ride the same solve: output unchanged") {
     val c = corpus(300, 16)
     val fast = Similarity.ivfCentroidsSampled(c, "vec_id", "embedding",
