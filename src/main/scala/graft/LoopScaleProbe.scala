@@ -12,20 +12,24 @@ import org.apache.spark.sql.functions._
   * real path, and prints row-count parity per pair. Results recorded in
   * SCALE.md; re-run whenever the loop code changes.
   *
-  * Usage: LoopScaleProbe <sfDir> [cores=32] [reps=2]
+  * Usage: LoopScaleProbe <sfDir> [cores=32] [reps=2] [minW=2]
+  * minW=1 probes the RAW co-occurrence graph — past the broadcast
+  * threshold at sf1+, so auto == loop and the fast path has
+  * disengaged NATURALLY (the r16 VERDICT #1 ask).
   */
 object LoopScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val cores = if (args.length > 1) args(1).toInt else 32
     val reps = if (args.length > 2) args(2).toInt else 2
+    val minW = if (args.length > 3) args(3).toInt else 2
     val spark = GraftSession.local(cores, cores)
     spark.sparkContext.setLogLevel("ERROR")
     val li = Tables.lineitem(spark, dir)
     li.count() // warm
     val backbone = org.apache.spark.sql.graft.shims.checkpointWithStats(
       ext.Graph.coOccurrenceEdgesWeighted(li, "l_orderkey", "l_partkey")
-        .where(col("w") >= 2).select(col("u"), col("v")))
+        .where(col("w") >= minW).select(col("u"), col("v")))
     println(s"[loopscale] backbone edges = " +
       org.apache.spark.sql.graft.shims.statsRowCount(backbone).getOrElse(-1L) +
       ", bytes = " +
@@ -72,11 +76,11 @@ object LoopScaleProbe {
     }
     pair("sssp r=3") {
       val w = ext.Graph.coOccurrenceEdgesWeighted(li, "l_orderkey", "l_partkey")
-        .where(col("w") >= 2)
+        .where(col("w") >= minW)
       ext.Graph.ssspRounds(w, seeds, rounds = 3).count()
     } {
       val w = ext.Graph.coOccurrenceEdgesWeighted(li, "l_orderkey", "l_partkey")
-        .where(col("w") >= 2)
+        .where(col("w") >= minW)
       ext.Graph.ssspRounds(w, seeds, rounds = 3, smallSolveBytes = 0L).count()
     }
     pair("components") {
